@@ -1,0 +1,160 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuilder
+
+/**
+ * Exponential-Golomb order-k codec, bit-identical to the reference
+ * (reference: src/golomb.h — encoder :167-355, decoder :442-625, free fns :367-408,
+ * :644-680), over logical values carried in `Long` per [[PhysicalIntType]].
+ *
+ * Encoding one unsigned value `u` of width `w` at order `k` (k clamped to w-1,
+ * src/golomb.h:177-196):
+ *  - `data = (u + 2^k) mod 2^w`
+ *  - no wrap: emit `bitWidth(data)-k-1` zeros then the `bitWidth(data)` bits of data
+ *    (src/golomb.h:228-236)
+ *  - wrap ("top-of-range overflow", src/golomb.h:234-251): emit `w-k` zeros, an
+ *    explicit 1, then all `w` bits of the wrapped data — total `2w-k+1` bits.
+ *
+ * Decoding (src/golomb.h:517-595): count `z` zeros, consume the 1; `digits = z+k`;
+ * if `digits > w` → zero_overflow (skipped by the stream decoder, src/golomb.h:653-659);
+ * else read `digits` bits into `buffer`, value = `(buffer + ((2^z-1)<<k)) mod 2^w`.
+ */
+object GolombCodec {
+
+  @inline private def maskL(n: Int): Long = if (n == 0) 0L else -1L >>> (64 - n)
+
+  /** The reference clamps k to width-1 (src/golomb.h:177-196, :455-474). */
+  @inline def clampK(k: Int, width: Int): Int =
+    if (k < 0) 0 else if (k > width - 1) width - 1 else k
+
+  /** Encode one already-unsigned w-bit value at (clamped) order k. */
+  @inline def pushUnsigned(out: BitWriter, u: Long, k: Int, t: PhysicalIntType): Unit = {
+    val w = t.width
+    val data = (u + (1L << k)) & t.widthMask
+    val overflowed =
+      if (w == 64) java.lang.Long.compareUnsigned(data, u) < 0
+      else data < u
+    if (overflowed) {
+      out.writeZeros(w - k)
+      out.writeBit1()
+      out.writeBits(data, w)
+    } else {
+      val nb = 64 - java.lang.Long.numberOfLeadingZeros(data) // data >= 2^k >= 1
+      out.writeZeros(nb - k - 1)
+      out.writeBits(data, nb)
+    }
+  }
+
+  /** Encoded bit cost of unsigned `u` at order k — the chooser's cost model. */
+  @inline def bitCost(u: Long, k: Int, t: PhysicalIntType): Int = {
+    val w = t.width
+    val data = (u + (1L << k)) & t.widthMask
+    val overflowed =
+      if (w == 64) java.lang.Long.compareUnsigned(data, u) < 0
+      else data < u
+    if (overflowed) 2 * w - k + 1
+    else 2 * (64 - java.lang.Long.numberOfLeadingZeros(data)) - k - 1
+  }
+
+  /** Encode a slice of logical values into `out` (no flush — caller flushes). */
+  def encodeInto(out: BitWriter, values: Array[Long], from: Int, until: Int,
+                 k0: Int, t: PhysicalIntType): Unit = {
+    val k = clampK(k0, t.width)
+    var i = from
+    while (i < until) {
+      pushUnsigned(out, t.toUnsigned(values(i)), k, t)
+      i += 1
+    }
+  }
+
+  /** Encode logical values to the canonical u8-word byte stream. */
+  def encode(values: Array[Long], k: Int, t: PhysicalIntType): Array[Byte] = {
+    val out = new BitWriter(values.length + 16)
+    encodeInto(out, values, 0, values.length, k, t)
+    out.toByteArray
+  }
+
+  /**
+   * Decode a byte stream to logical values. Trailing pad zeros yield "done" and are
+   * dropped; zero_overflow results are skipped (reference: src/golomb.h:644-662).
+   */
+  def decode(bytes: Array[Byte], k0: Int, t: PhysicalIntType): Array[Long] = {
+    decodeRange(bytes, 0, bytes.length, k0, t, -1)
+  }
+
+  /** Decode at most `limit` values (limit < 0 = no limit) from a byte range. */
+  def decodeRange(bytes: Array[Byte], offset: Int, length: Int,
+                  k0: Int, t: PhysicalIntType, limit: Int): Array[Long] = {
+    val w = t.width
+    val k = clampK(k0, w)
+    val in = new BitReader(bytes, offset, length)
+    val out = new ArrayBuilder.ofLong
+    if (limit > 0) out.sizeHint(limit)
+    var n = 0
+    while (in.hasData && (limit < 0 || n < limit)) {
+      val zeros = in.scanZeros()
+      if (zeros >= 0) {
+        val digits = zeros + k
+        if (digits > w) {
+          // zero_overflow (src/golomb.h:548-554): skip, stream stays aligned after the 1
+        } else if (in.readBits(digits.toInt)) {
+          val base = (maskL(zeros.toInt) << k) & t.widthMask
+          val u = (in.lastRead + base) & t.widthMask
+          out += t.toIntegral(u)
+          n += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /**
+   * Adaptive-k encode (reference: util/golomb.cpp:432-462): the value is zigzagged
+   * FIRST, pushed at the current k, then `k = k - (k>>a) + (bitWidth(u)>>a)` where
+   * `u` is the zigzagged value (util/golomb.cpp:454-458). `a >= w` is invalid
+   * (util/golomb.cpp:438-442).
+   */
+  def adaptiveEncode(values: Array[Long], k0: Int, a: Int, t: PhysicalIntType): Array[Byte] = {
+    require(a >= 0 && a < t.width, s"adaptive factor $a out of range for ${t.name}")
+    val out = new BitWriter(values.length + 16)
+    var k = k0.toLong
+    var i = 0
+    while (i < values.length) {
+      val u = t.toUnsigned(values(i))
+      pushUnsigned(out, u, clampK(math.min(k, Int.MaxValue).toInt, t.width), t)
+      val bw = 64 - java.lang.Long.numberOfLeadingZeros(u)
+      k = k - (k >>> a) + (bw.toLong >>> a)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /**
+   * Adaptive-k decode (reference: util/golomb.cpp:516-544): k is updated from the
+   * decoded unsigned value BEFORE un-zigzagging (util/golomb.cpp:537-541).
+   */
+  def adaptiveDecode(bytes: Array[Byte], k0: Int, a: Int, t: PhysicalIntType): Array[Long] = {
+    require(a >= 0 && a < t.width, s"adaptive factor $a out of range for ${t.name}")
+    val w = t.width
+    val in = new BitReader(bytes)
+    val out = new ArrayBuilder.ofLong
+    var k = k0.toLong
+    while (in.hasData) {
+      val kc = clampK(math.min(k, Int.MaxValue).toInt, w)
+      val zeros = in.scanZeros()
+      if (zeros >= 0) {
+        val digits = zeros + kc
+        if (digits > w) {
+          // zero_overflow: skipped; adaptive k not updated (no successful value)
+        } else if (in.readBits(digits.toInt)) {
+          val base = (maskL(zeros.toInt) << kc) & t.widthMask
+          val u = (in.lastRead + base) & t.widthMask
+          val bw = 64 - java.lang.Long.numberOfLeadingZeros(u)
+          k = k - (k >>> a) + (bw.toLong >>> a)
+          out += t.toIntegral(u)
+        }
+      }
+    }
+    out.result()
+  }
+}
