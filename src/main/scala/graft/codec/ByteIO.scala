@@ -1,0 +1,45 @@
+package graft.codec
+
+import java.util.Arrays
+
+/** Growable big-endian byte sink for block headers and codec payloads. */
+final class ByteWriter(initialCapacity: Int = 256) {
+  private var buf = new Array[Byte](math.max(initialCapacity, 16))
+  private var len = 0
+
+  @inline private def ensure(extra: Int): Unit =
+    if (len + extra > buf.length)
+      buf = Arrays.copyOf(buf, math.max(buf.length * 2, len + extra))
+
+  def u8(v: Int): Unit = { ensure(1); buf(len) = v.toByte; len += 1 }
+  def i32(v: Int): Unit = {
+    ensure(4)
+    buf(len) = (v >>> 24).toByte; buf(len + 1) = (v >>> 16).toByte
+    buf(len + 2) = (v >>> 8).toByte; buf(len + 3) = v.toByte
+    len += 4
+  }
+  def i64(v: Long): Unit = { i32((v >>> 32).toInt); i32(v.toInt) }
+  def bytes(bs: Array[Byte]): Unit = { ensure(bs.length); System.arraycopy(bs, 0, buf, len, bs.length); len += bs.length }
+  /** int32 length prefix + bytes. */
+  def sized(bs: Array[Byte]): Unit = { i32(bs.length); bytes(bs) }
+
+  def length: Int = len
+  def toByteArray: Array[Byte] = Arrays.copyOf(buf, len)
+}
+
+/** Sequential big-endian cursor over a byte array. */
+final class ByteCursor(val buf: Array[Byte], private var pos: Int) {
+  def this(buf: Array[Byte]) = this(buf, 0)
+
+  def u8(): Int = { val v = buf(pos) & 0xff; pos += 1; v }
+  def i32(): Int = {
+    val v = ((buf(pos) & 0xff) << 24) | ((buf(pos + 1) & 0xff) << 16) |
+            ((buf(pos + 2) & 0xff) << 8) | (buf(pos + 3) & 0xff)
+    pos += 4; v
+  }
+  def i64(): Long = (i32().toLong << 32) | (i32().toLong & 0xffffffffL)
+  def bytes(n: Int): Array[Byte] = { val v = Arrays.copyOfRange(buf, pos, pos + n); pos += n; v }
+  /** Read an int32-length-prefixed byte slice without copying: returns (offset, length). */
+  def sizedSlice(): (Int, Int) = { val n = i32(); val off = pos; pos += n; (off, n) }
+  def position: Int = pos
+}

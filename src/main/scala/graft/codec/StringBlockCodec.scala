@@ -1,0 +1,150 @@
+package graft.codec
+
+import graft.core.PhysicalIntType
+import java.nio.charset.StandardCharsets
+
+/**
+ * Self-describing encoded block for one string (UTF-8 bytes) column slice.
+ *
+ * Format: magic 'G','S' | codecId u8 | n i32 | codec-specific body. Lengths and
+ * dictionary indices reuse [[IntBlockCodec]] so they benefit from the same integer
+ * codec family. Nulls are handled by the caller (validity handled at the block-row
+ * level); here every entry is a byte array.
+ */
+object StringBlockCodec {
+
+  private val MAGIC0: Byte = 'G'
+  private val MAGIC1: Byte = 'S'
+
+  private val ID_PLAIN = 0 // lengths block + concatenated bytes
+  private val ID_DICT = 1  // distinct strings as nested block + index block
+  private val ID_FSST = 2  // symbol table + compressed-lengths block + payload
+
+  def encodeStrings(values: Array[String]): Array[Byte] =
+    encode(values.map(s => if (s == null) Array.emptyByteArray else s.getBytes(StandardCharsets.UTF_8)))
+
+  def decodeStrings(block: Array[Byte]): Array[String] =
+    decode(block).map(bs => new String(bs, StandardCharsets.UTF_8))
+
+  /** Auto-choose: dict for low cardinality, FSST when the sample compresses, else plain. */
+  def encode(values: Array[Array[Byte]]): Array[Byte] = {
+    val n = values.length
+    val totalBytes = values.foldLeft(0L)(_ + _.length)
+    val distinct = new java.util.HashSet[String]()
+    var card = 0
+    var i = 0
+    while (i < n && card <= 4096) {
+      if (distinct.add(new String(values(i), StandardCharsets.ISO_8859_1))) card += 1
+      i += 1
+    }
+    if (card <= 4096 && card.toLong * 4 <= n.toLong) encodeAs(values, ID_DICT)
+    else if (totalBytes >= 4096 && sampleFsstRatio(values) < 0.80) encodeAs(values, ID_FSST)
+    else encodeAs(values, ID_PLAIN)
+  }
+
+  private def sampleFsstRatio(values: Array[Array[Byte]]): Double = {
+    val stride = math.max(1, values.length / 64)
+    val sample = values.indices.by(stride).take(64).map(values(_)).toArray
+    val table = FsstLite.train(sample.iterator)
+    val out = new ByteWriter(4096)
+    var in = 0L
+    sample.foreach { s => FsstLite.compress(table, s, out); in += s.length }
+    if (in == 0) 1.0 else out.length.toDouble / in
+  }
+
+  def encodeAs(values: Array[Array[Byte]], codecId: Int): Array[Byte] = {
+    val out = new ByteWriter(64)
+    out.u8(MAGIC0); out.u8(MAGIC1)
+    out.u8(codecId)
+    out.i32(values.length)
+    codecId match {
+      case ID_PLAIN =>
+        val lengths = values.map(_.length.toLong)
+        out.sized(IntBlockCodec.encode(lengths, PhysicalIntType.U32))
+        val payload = new ByteWriter(lengths.sum.toInt + 16)
+        values.foreach(payload.bytes)
+        out.sized(payload.toByteArray)
+
+      case ID_DICT =>
+        val keys = values.map(bs => new String(bs, StandardCharsets.ISO_8859_1))
+        val sortedDistinct = keys.distinct.sorted
+        val index = sortedDistinct.zipWithIndex.toMap
+        val codes = keys.map(k => index(k).toLong)
+        out.sized(encodeAs(sortedDistinct.map(_.getBytes(StandardCharsets.ISO_8859_1)), ID_PLAIN))
+        out.sized(IntBlockCodec.encode(codes, PhysicalIntType.U32))
+
+      case ID_FSST =>
+        val table = FsstLite.train(values.iterator)
+        table.serialize(out)
+        val payload = new ByteWriter(1024)
+        val compLens = new Array[Long](values.length)
+        var i = 0
+        while (i < values.length) {
+          val before = payload.length
+          FsstLite.compress(table, values(i), payload)
+          compLens(i) = (payload.length - before).toLong
+          i += 1
+        }
+        out.sized(IntBlockCodec.encode(compLens, PhysicalIntType.U32))
+        out.sized(payload.toByteArray)
+
+      case other => throw new IllegalArgumentException(s"unknown string codec id $other")
+    }
+    out.toByteArray
+  }
+
+  def codecName(block: Array[Byte]): String = (block(2) & 0xff) match {
+    case ID_PLAIN => "str_plain"
+    case ID_DICT => "str_dict"
+    case ID_FSST => "str_fsst"
+    case other => s"unknown($other)"
+  }
+
+  def decode(block: Array[Byte]): Array[Array[Byte]] = {
+    val c = new ByteCursor(block)
+    require(c.u8() == MAGIC0 && c.u8() == MAGIC1, "bad string block magic")
+    val codecId = c.u8()
+    val n = c.i32()
+    codecId match {
+      case ID_PLAIN =>
+        val (lo, ll) = c.sizedSlice()
+        val lengths = IntBlockCodec.decode(java.util.Arrays.copyOfRange(c.buf, lo, lo + ll))
+        val (po, _) = c.sizedSlice()
+        val out = new Array[Array[Byte]](n)
+        var off = po
+        var i = 0
+        while (i < n) {
+          val len = lengths(i).toInt
+          out(i) = java.util.Arrays.copyOfRange(c.buf, off, off + len)
+          off += len
+          i += 1
+        }
+        out
+
+      case ID_DICT =>
+        val (doff, dlen) = c.sizedSlice()
+        val dict = decode(java.util.Arrays.copyOfRange(c.buf, doff, doff + dlen))
+        val (io, il) = c.sizedSlice()
+        val codes = IntBlockCodec.decode(java.util.Arrays.copyOfRange(c.buf, io, io + il))
+        Array.tabulate(n)(i => dict(codes(i).toInt))
+
+      case ID_FSST =>
+        val table = FsstLite.deserializeTable(c)
+        val (lo, ll) = c.sizedSlice()
+        val compLens = IntBlockCodec.decode(java.util.Arrays.copyOfRange(c.buf, lo, lo + ll))
+        val (po, _) = c.sizedSlice()
+        val out = new Array[Array[Byte]](n)
+        var off = po
+        var i = 0
+        while (i < n) {
+          val len = compLens(i).toInt
+          out(i) = FsstLite.decompress(table, c.buf, off, len)
+          off += len
+          i += 1
+        }
+        out
+
+      case other => throw new IllegalArgumentException(s"unknown string codec id $other")
+    }
+  }
+}

@@ -1,0 +1,153 @@
+package graft.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{GolombCodec, PhysicalIntType}
+import graft.core.PhysicalIntType._
+import CodecSpec._
+
+class CodecFamilySpec extends AnyFunSuite {
+
+  private val intTypes = Seq(I8, U8, I16, U16, I32, U32, I64, U64)
+
+  private def inRange(t: PhysicalIntType, raw: Long): Long =
+    if (t.signed) t.extend(raw) else raw & t.widthMask
+
+  private val specs: Seq[CodecSpec] = Seq(
+    Plain, Eg(0), Eg(3), EgAdaptive(2, 2), BitPack,
+    For(Eg(1)), For(BitPack), Delta(Eg(0)), Delta(BitPack),
+    Rle(For(Eg(0)), Eg(0)), Dict(Delta(Eg(0)), BitPack))
+
+  test("every codec round-trips random data for every type") {
+    val rnd = new scala.util.Random(42)
+    for (t <- intTypes; spec <- specs) {
+      val values = Array.tabulate(500) { i =>
+        inRange(t, rnd.nextInt(4) match {
+          case 0 => rnd.nextLong()
+          case 1 => rnd.nextInt(100).toLong
+          case 2 => i.toLong * 3 // sorted-ish segment
+          case _ => 7L           // repeats
+        })
+      }
+      val block = IntBlockCodec.encodeAs(values, t, spec)
+      val decoded = IntBlockCodec.decode(block)
+      assert(decoded.toSeq == values.toSeq, s"type=${t.name} spec=${spec.name}")
+      assert(IntBlockCodec.numValues(block) == values.length)
+      assert(IntBlockCodec.physicalType(block) == t)
+    }
+  }
+
+  test("extreme values round-trip through every codec") {
+    for (t <- intTypes; spec <- specs) {
+      val values = Array(0L, 1L, inRange(t, -1L), inRange(t, Long.MinValue),
+        inRange(t, Long.MaxValue), 42L, 42L, 42L, 0L)
+      val block = IntBlockCodec.encodeAs(values, t, spec)
+      assert(IntBlockCodec.decode(block).toSeq == values.toSeq, s"type=${t.name} spec=${spec.name}")
+    }
+  }
+
+  test("empty and single-value blocks round-trip") {
+    for (t <- Seq(I64, U64, I32); spec <- specs) {
+      for (values <- Seq(Array.empty[Long], Array(inRange(t, -5L)))) {
+        val block = IntBlockCodec.encodeAs(values, t, spec)
+        assert(IntBlockCodec.decode(block).toSeq == values.toSeq, s"type=${t.name} spec=${spec.name} n=${values.length}")
+      }
+    }
+  }
+
+  test("property: auto-chosen codec round-trips over 200 random distributions") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 200) {
+      val n = rnd.nextInt(301)
+      val mode = rnd.nextInt(5)
+      val raw = Array.fill(n)(mode match {
+        case 0 => rnd.nextLong()
+        case 1 => rnd.nextLong(101) - 50
+        case 2 => 1L + rnd.nextInt(3)
+        case 3 => 1000000L + rnd.nextInt(101)
+        case 4 => 99L
+      })
+      for (t <- Seq(I64, I32, U16, U64)) {
+        val values = raw.map(inRange(t, _))
+        val block = IntBlockCodec.encode(values, t)
+        assert(IntBlockCodec.decode(block).toSeq == values.toSeq,
+          s"trial=$trial type=${t.name} codec=${IntBlockCodec.info(block).codecName}")
+      }
+    }
+  }
+
+  test("eg leaf payload is byte-identical to the bare reference stream") {
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(1000)(inRange(I32, rnd.nextInt(10000).toLong - 5000))
+    val block = IntBlockCodec.encodeAs(values, I32, Eg(2))
+    val bare = GolombCodec.encode(values, 2, I32)
+    // header: magic(2) type(1) n(4) id(1) k(1) size(4) = 13 bytes, then the raw stream
+    assert(block.length == 13 + bare.length)
+    assert(block.drop(13).toSeq == bare.toSeq)
+  }
+
+  test("chooser picks sensible codecs and never loses to plain by much") {
+    val n = 4096
+    val constant = Array.fill(n)(7L)
+    val lowCard = Array.tabulate(n)(i => (i % 5).toLong * 1000)
+    val sortedTs = Array.tabulate(n)(i => 1700000000000000L + i * 1000L + (i % 7))
+    val smallNoise = Array.tabulate(n)(i => ((i * 2654435761L) % 100) - 50)
+    val randomWide = { val r = new scala.util.Random(1); Array.fill(n)(r.nextLong()) }
+    val runs = Array.tabulate(n)(i => (i / 100).toLong)
+
+    def check(values: Array[Long], label: String): String = {
+      val block = IntBlockCodec.encode(values, I64)
+      assert(IntBlockCodec.decode(block).toSeq == values.toSeq, label)
+      val plain = values.length * 8 + 32
+      assert(block.length <= plain * 1.05 + 64, s"$label blew past plain: ${block.length} vs $plain")
+      IntBlockCodec.info(block).codecName
+    }
+
+    assert(check(constant, "constant") == "const")
+    val lc = check(lowCard, "lowCard"); assert(lc.startsWith("dict") || lc.startsWith("rle"), lc)
+    val st = check(sortedTs, "sortedTs"); assert(st.startsWith("delta"), st)
+    check(smallNoise, "smallNoise")
+    check(randomWide, "randomWide")
+    val rn = check(runs, "runs"); assert(rn.startsWith("rle") || rn.startsWith("delta"), rn)
+
+    // compression actually happens where it should
+    assert(IntBlockCodec.encode(constant, I64).length < 64)
+    assert(IntBlockCodec.encode(sortedTs, I64).length < n * 8 / 4, "sorted timestamps should compress >4x")
+    assert(IntBlockCodec.encode(lowCard, I64).length < n * 8 / 8, "low-cardinality should compress >8x")
+  }
+
+  test("string codecs round-trip") {
+    val rnd = new scala.util.Random(3)
+    val langs = Array.tabulate(2000)(i => Seq("en", "de", "fr", "zh", "es")(rnd.nextInt(5)))
+    val texts = Array.tabulate(300)(i =>
+      s"the quick brown fox jumps over the lazy dog $i " * (1 + rnd.nextInt(5)))
+    val urls = Array.tabulate(500)(i => s"https://host-${i % 37}.example.com/path/$i?q=${rnd.nextInt(100)}")
+
+    for ((vs, label) <- Seq((langs, "langs"), (texts, "texts"), (urls, "urls"))) {
+      val block = StringBlockCodec.encodeStrings(vs)
+      assert(StringBlockCodec.decodeStrings(block).toSeq == vs.toSeq, label)
+    }
+    // low-cardinality strings pick dict; long repetitive text picks fsst and compresses
+    assert(StringBlockCodec.codecName(StringBlockCodec.encodeStrings(langs)) == "str_dict")
+    val tb = StringBlockCodec.encodeStrings(texts)
+    assert(StringBlockCodec.codecName(tb) == "str_fsst")
+    val rawBytes = texts.map(_.length).sum
+    assert(tb.length < rawBytes / 2, s"fsst should halve repetitive text: ${tb.length} vs $rawBytes")
+    // unicode + empty + null handling
+    val tricky = Array("", "héllo wörld ünïcode", "日本語テキスト", "a", "")
+    assert(StringBlockCodec.decodeStrings(StringBlockCodec.encodeStrings(tricky)).toSeq == tricky.toSeq)
+  }
+
+  test("property: string plain/dict/fsst all round-trip arbitrary bytes") {
+    val rnd = new scala.util.Random(99L)
+    for (trial <- 0 until 100; codecId <- 0 to 2) {
+      val arr = Array.fill(rnd.nextInt(80)) {
+        val bs = new Array[Byte](rnd.nextInt(120))
+        rnd.nextBytes(bs)
+        bs
+      }
+      val block = StringBlockCodec.encodeAs(arr, codecId)
+      assert(StringBlockCodec.decode(block).map(_.toSeq).toSeq == arr.map(_.toSeq).toSeq,
+        s"trial=$trial codec=$codecId")
+    }
+  }
+}
