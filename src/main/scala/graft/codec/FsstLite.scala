@@ -43,10 +43,12 @@ object FsstLite {
   }
 
   @inline private def pack(bs: Array[Byte], off: Int, len: Int): Long = {
+    // keys live in per-length maps, so the raw bytes alone are a unique key;
+    // a length tag would corrupt len==8 keys (all 64 bits already used)
     var v = 0L
     var i = 0
     while (i < len) { v = (v << 8) | (bs(off + i) & 0xffL); i += 1 }
-    v | (len.toLong << 56) // disambiguate lengths within one map is redundant but cheap
+    v
   }
 
   /** Train a table on sample strings (uses up to ~64KB of bytes). */

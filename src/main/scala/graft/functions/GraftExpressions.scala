@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.codec.{IntBlockCodec, StringBlockCodec}
+import graft.core.{GolombCodec, PhysicalIntType}
+
+/**
+ * Catalyst expressions exposing the codec family to SQL/DataFrame plans
+ * (the UDF/UDAF surface mandated by SURVEY.md §2.2; reference CLI contract
+ * util/golomb.cpp:253-329 maps to the (k, type-string) arguments).
+ *
+ * The heavy work is array-kernel sized (one call per block, not per scalar), so
+ * CodegenFallback costs nothing measurable; the scalar zigzag pair implements
+ * doGenCode and stays inside whole-stage codegen.
+ */
+object GraftExprUtil {
+  def elementTypeOf(dt: DataType): PhysicalIntType = dt match {
+    case ArrayType(LongType, _) => PhysicalIntType.I64
+    case ArrayType(IntegerType, _) => PhysicalIntType.I32
+    case ArrayType(ShortType, _) => PhysicalIntType.I16
+    case ArrayType(ByteType, _) => PhysicalIntType.I8
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  def toLongs(arr: ArrayData, dt: DataType): Array[Long] = dt match {
+    case ArrayType(LongType, _) => arr.toLongArray()
+    case ArrayType(IntegerType, _) => arr.toIntArray().map(_.toLong)
+    case ArrayType(ShortType, _) => arr.toShortArray().map(_.toLong)
+    case ArrayType(ByteType, _) => arr.toByteArray().map(_.toLong)
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+}
+
+/** eg_encode(array<integral>, k [, 'i8'..'u64']) -> binary (bare reference bitstream). */
+case class EgEncode(child: Expression, kExpr: Expression, typeExpr: Expression)
+    extends TernaryExpression with CodegenFallback {
+  def this(child: Expression, kExpr: Expression) =
+    this(child, kExpr, Literal(UTF8String.fromString("i64"), StringType))
+
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = typeExpr
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(arr: Any, k: Any, typ: Any): Any = {
+    val t = PhysicalIntType.fromName(typ.toString)
+    val values = GraftExprUtil.toLongs(arr.asInstanceOf[ArrayData], child.dataType)
+    GolombCodec.encode(values, k.asInstanceOf[Number].intValue(), t)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(child = f, kExpr = s, typeExpr = t)
+  override def prettyName: String = "eg_encode"
+}
+
+/** eg_decode(binary, k, 'i8'..'u64') -> array<long> (reference decode semantics). */
+case class EgDecode(child: Expression, kExpr: Expression, typeExpr: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = child
+  override def second: Expression = kExpr
+  override def third: Expression = typeExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(bin: Any, k: Any, typ: Any): Any = {
+    val t = PhysicalIntType.fromName(typ.toString)
+    val values = GolombCodec.decode(bin.asInstanceOf[Array[Byte]], k.asInstanceOf[Number].intValue(), t)
+    new GenericArrayData(values)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(child = f, kExpr = s, typeExpr = t)
+  override def prettyName: String = "eg_decode"
+}
+
+/** eg_encode_adaptive(array<integral>, k, a [, type]) -> binary (util/golomb.cpp:432-462). */
+case class EgEncodeAdaptive(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val t = if (children.length > 3) PhysicalIntType.fromName(vs(3).toString)
+            else GraftExprUtil.elementTypeOf(children.head.dataType)
+    val values = GraftExprUtil.toLongs(vs(0).asInstanceOf[ArrayData], children.head.dataType)
+    GolombCodec.adaptiveEncode(values,
+      vs(1).asInstanceOf[Number].intValue(), vs(2).asInstanceOf[Number].intValue(), t)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "eg_encode_adaptive"
+}
+
+/** eg_decode_adaptive(binary, k, a, 'type') -> array<long>. */
+case class EgDecodeAdaptive(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val t = PhysicalIntType.fromName(vs(3).toString)
+    new GenericArrayData(GolombCodec.adaptiveDecode(vs(0).asInstanceOf[Array[Byte]],
+      vs(1).asInstanceOf[Number].intValue(), vs(2).asInstanceOf[Number].intValue(), t))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(children = c)
+  override def prettyName: String = "eg_decode_adaptive"
+}
+
+/** graft_encode(array<integral> [, type]) -> binary self-describing block, auto codec. */
+case class GraftEncode(child: Expression, typeExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+  def this(child: Expression) = this(child, Literal(UTF8String.fromString(""), StringType))
+  override def left: Expression = child
+  override def right: Expression = typeExpr
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(arr: Any, typ: Any): Any = {
+    val t = typ.toString match {
+      case "" => GraftExprUtil.elementTypeOf(child.dataType)
+      case s => PhysicalIntType.fromName(s)
+    }
+    IntBlockCodec.encode(GraftExprUtil.toLongs(arr.asInstanceOf[ArrayData], child.dataType), t)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(child = l, typeExpr = r)
+  override def prettyName: String = "graft_encode"
+}
+
+/** graft_decode(binary) -> array<long>; the block is self-describing. */
+case class GraftDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(bin: Any): Any =
+    new GenericArrayData(IntBlockCodec.decode(bin.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_decode"
+}
+
+/** graft_codec(binary) -> string describing the chosen codec tree. */
+case class GraftCodecName(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(bin: Any): Any = {
+    val bs = bin.asInstanceOf[Array[Byte]]
+    val name =
+      if (bs.length >= 2 && bs(1) == 'S') StringBlockCodec.codecName(bs)
+      else IntBlockCodec.info(bs).codecName
+    UTF8String.fromString(name)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_codec"
+}
+
+/** graft_encode_str(array<string>) -> binary string block (dict/FSST/plain auto). */
+case class GraftEncodeStr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val strs = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      strs(i) = if (a.isNullAt(i)) Array.emptyByteArray else a.getUTF8String(i).getBytes
+      i += 1
+    }
+    StringBlockCodec.encode(strs)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_encode_str"
+}
+
+/** graft_decode_str(binary) -> array<string>. */
+case class GraftDecodeStr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(bin: Any): Any = {
+    val decoded = StringBlockCodec.decode(bin.asInstanceOf[Array[Byte]])
+    new GenericArrayData(decoded.map(bs => UTF8String.fromBytes(bs)): Array[Any])
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "graft_decode_str"
+}
+
+/** zigzag_encode(bigint) -> bigint, codegen-capable (src/golomb.h:118-129 for i64). */
+case class ZigZagEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[Long]
+    (s << 1) ^ (s >> 63)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(($c << 1) ^ ($c >> 63))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "zigzag_encode"
+}
+
+/** zigzag_decode(bigint) -> bigint (src/golomb.h:137-149 for i64). */
+case class ZigZagDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[Long]
+    (u >>> 1) ^ -(u & 1L)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"(($c >>> 1) ^ -($c & 1L))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "zigzag_decode"
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graftshim.Shim.{column, expression}
+
+/**
+ * Registration + typed Column surface for the codec expressions — the engine's
+ * equivalent of the reference CLI grammar (reference: util/golomb.cpp:253-329).
+ */
+object GraftFunctions {
+
+  private def lit(v: Any): Expression = Literal(v)
+
+  /** All (name, builder) pairs for SQL registration. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "eg_encode" -> { args: Seq[Expression] =>
+      if (args.length == 2) new EgEncode(args(0), args(1)) else EgEncode(args(0), args(1), args(2))
+    },
+    "eg_decode" -> { args: Seq[Expression] => EgDecode(args(0), args(1), args(2)) },
+    "eg_encode_adaptive" -> { args: Seq[Expression] => EgEncodeAdaptive(args) },
+    "eg_decode_adaptive" -> { args: Seq[Expression] => EgDecodeAdaptive(args) },
+    "graft_encode" -> { args: Seq[Expression] =>
+      if (args.length == 1) new GraftEncode(args(0)) else GraftEncode(args(0), args(1))
+    },
+    "graft_decode" -> { args: Seq[Expression] => GraftDecode(args(0)) },
+    "graft_codec" -> { args: Seq[Expression] => GraftCodecName(args(0)) },
+    "graft_encode_str" -> { args: Seq[Expression] => GraftEncodeStr(args(0)) },
+    "graft_decode_str" -> { args: Seq[Expression] => GraftDecodeStr(args(0)) },
+    "zigzag_encode" -> { args: Seq[Expression] => ZigZagEncode(args(0)) },
+    "zigzag_decode" -> { args: Seq[Expression] => ZigZagDecode(args(0)) })
+
+  /** Register for SQL use on an existing session. */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  // ---- typed Column API ----
+  def eg_encode(arr: Column, k: Int, typ: String = "i64"): Column =
+    column(EgEncode(expression(arr), lit(k), lit(typ)))
+  def eg_decode(bin: Column, k: Int, typ: String): Column =
+    column(EgDecode(expression(bin), lit(k), lit(typ)))
+  def eg_encode_adaptive(arr: Column, k: Int, a: Int, typ: String = "i64"): Column =
+    column(EgEncodeAdaptive(Seq(expression(arr), lit(k), lit(a), lit(typ))))
+  def eg_decode_adaptive(bin: Column, k: Int, a: Int, typ: String): Column =
+    column(EgDecodeAdaptive(Seq(expression(bin), lit(k), lit(a), lit(typ))))
+  def graft_encode(arr: Column): Column = column(new GraftEncode(expression(arr)))
+  def graft_encode(arr: Column, typ: String): Column = column(GraftEncode(expression(arr), lit(typ)))
+  def graft_decode(bin: Column): Column = column(GraftDecode(expression(bin)))
+  def graft_codec(bin: Column): Column = column(GraftCodecName(expression(bin)))
+  def graft_encode_str(arr: Column): Column = column(GraftEncodeStr(expression(arr)))
+  def graft_decode_str(bin: Column): Column = column(GraftDecodeStr(expression(bin)))
+  def zigzag_encode(c: Column): Column = column(ZigZagEncode(expression(c)))
+  def zigzag_decode(c: Column): Column = column(ZigZagDecode(expression(c)))
+}
+
+/**
+ * SparkSessionExtensions entry point:
+ * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+ * Injects the codec functions and the block-pruning optimizer rule.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        builder))
+    }
+    ext.injectOptimizerRule(_ => graft.plans.BlockMinMaxPruneRule)
+  }
+}

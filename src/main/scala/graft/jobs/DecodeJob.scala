@@ -1,0 +1,99 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.{IntBlockCodec, StringBlockCodec}
+import graft.sources.{SnapshotStore, WebPage}
+
+/**
+ * Decode job: read the committed snapshot's block files, reassemble pages, and verify
+ * the per-url byte-identical `text` invariant (BASELINE.json input_hint).
+ *
+ * Reassembly groups the 5 column blocks of each (part_id, block_seq) with one
+ * shuffle (`groupByKey(mapGroups)`); each group is one bounded block (≤64Ki rows ×
+ * 5 columns), so executor memory stays flat at any table size.
+ */
+object DecodeJob {
+
+  /** Read the current snapshot's blocks as a DataFrame. */
+  def blocks(spark: SparkSession, root: String) = {
+    val dirs = SnapshotStore.dataDirs(root)
+    require(dirs.nonEmpty, s"no committed snapshot under $root")
+    spark.read.parquet(dirs: _*)
+  }
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Decode the full snapshot back into pages. */
+  def decode(spark: SparkSession, root: String): Dataset[WebPage] = {
+    import spark.implicits._
+    blocks(spark, root)
+      .select($"part_id", $"block_seq", $"column", $"encoded")
+      .as[(Int, Int, String, Array[Byte])]
+      .groupByKey { case (pid, seq, _, _) => (pid, seq) }
+      .flatMapGroups { (_: (Int, Int), it: Iterator[(Int, Int, String, Array[Byte])]) =>
+        val cols = it.map { case (_, _, col, enc) => col -> enc }.toMap
+        val urls = StringBlockCodec.decode(cols("url"))
+        val ts = IntBlockCodec.decode(cols("warc_ts"))
+        val htmls = StringBlockCodec.decode(cols("html"))
+        val texts = StringBlockCodec.decode(cols("text"))
+        val langs = StringBlockCodec.decode(cols("lang"))
+        urls.indices.iterator.map { i =>
+          WebPage(
+            new String(urls(i), StandardCharsets.UTF_8),
+            tsFromMicros(ts(i)),
+            htmls(i),
+            new String(texts(i), StandardCharsets.UTF_8),
+            new String(langs(i), StandardCharsets.UTF_8))
+        }
+      }
+  }
+
+  /**
+   * Verify decoded pages against an original dataset: equi-join on url, compare every
+   * column (text compared byte-exact). Returns mismatch count (0 == pass).
+   */
+  def verifyAgainst(original: Dataset[WebPage], decoded: Dataset[WebPage]): Long = {
+    val o = original.toDF("url", "warc_ts", "html", "text", "lang")
+    val d = decoded.toDF("url", "d_warc_ts", "d_html", "d_text", "d_lang")
+    o.join(d, Seq("url"), "full_outer")
+      .where(
+        col("d_text").isNull || col("text").isNull ||
+        col("d_text") =!= col("text") ||
+        col("d_lang") =!= col("lang") ||
+        col("d_warc_ts") =!= col("warc_ts") ||
+        col("d_html") =!= col("html"))
+      .count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = if (args.length > 0) args(0) else "/tmp/graft-store"
+    val n = if (args.length > 1) args(1).toLong else -1L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-decode")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val decoded = decode(spark, root)
+    if (n >= 0) {
+      val mismatches = verifyAgainst(graft.sources.Webtext.generate(spark, n, 32), decoded)
+      println(s"decoded rows=${decoded.count()} mismatches=$mismatches")
+      require(mismatches == 0L, s"$mismatches mismatching rows")
+    } else {
+      println(s"decoded rows=${decoded.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,268 @@
+package graft.jobs
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.codec.{IntBlockCodec, StringBlockCodec}
+import graft.core.PhysicalIntType
+import graft.sources.{SnapshotStore, WebPage, Webtext}
+
+/** One encoded block of one column of one work unit. */
+final case class BlockRow(
+    part_id: Int,
+    block_seq: Int,
+    column: String,
+    typ: String,
+    codec: String,
+    n: Int,
+    block_min: Long,
+    block_max: Long,
+    orig_bytes: Long,
+    enc_bytes: Long,
+    encoded: Array[Byte])
+
+/**
+ * Columnar encode job (SURVEY.md §3.4 lifecycle):
+ *
+ *  1. PLAN    — read input snapshot; left-anti join against committed part manifest
+ *               (resume from last checkpoint, north_rule).
+ *  2. PARTITION — explicit range partitioning on `url` via deterministic sampled
+ *               boundaries persisted next to the store (same work units on re-run).
+ *  3. ENCODE  — `Dataset.mapPartitions` kernel: per column slice, stats → codec
+ *               auto-choice → self-describing block rows. Single pass, bounded
+ *               memory (64Ki rows per block).
+ *  4. COMMIT  — stage parquet to a fresh data dir, roll up per-part lineage +
+ *               metrics, atomic manifest swap. Each commit is a checkpoint.
+ *
+ * Scale notes: the only wide exchange is the one repartition by part_id; encode and
+ * metric rollup are map-side; the committed-parts side of the anti-join is broadcast
+ * (manifest rows ≪ data). Work units are a pure function of (url, boundaries), so
+ * skew in `lang`/`host` cannot skew tasks — urls are ~unique. Group-level skew is
+ * handled where grouping happens (salted two-phase rollups in metrics queries).
+ */
+object EncodeJob {
+
+  val BlockSize = 65536
+
+  // ---------------- range boundaries (deterministic, persisted) ----------------
+
+  /** Deterministic sample of urls -> parts-1 sorted boundary strings. */
+  def computeBoundaries(pages: Dataset[WebPage], parts: Int): Array[String] = {
+    if (parts <= 1) return Array.empty
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val targetSample = math.min(parts * 200, 200000)
+    // xxhash64 is deterministic; modulus keeps the sample small at any input size
+    val urls = pages.select($"url")
+      .where(pmod(xxhash64($"url"), lit(1000)) < lit(10)) // ~1% deterministic sample
+      .limit(targetSample)
+      .as[String].collect().sorted
+    if (urls.isEmpty) Array.empty
+    else Array.tabulate(parts - 1) { i =>
+      urls(((i + 1).toLong * urls.length / parts).toInt.min(urls.length - 1))
+    }.distinct
+  }
+
+  def loadOrCreateBoundaries(root: String, pages: Dataset[WebPage], parts: Int): Array[String] = {
+    val p = Paths.get(root, "BOUNDARIES")
+    if (Files.exists(p)) {
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    } else {
+      val bs = computeBoundaries(pages, parts)
+      Files.createDirectories(p.getParent)
+      val tmp = Paths.get(root, s".BOUNDARIES.tmp.${java.util.UUID.randomUUID()}")
+      Files.write(tmp, bs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      bs
+    }
+  }
+
+  /** part_id = range bucket of url (pure function of url + persisted boundaries). */
+  def partIdFor(url: String, boundaries: Array[String]): Int = {
+    var lo = 0; var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (url.compareTo(boundaries(mid)) < 0) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  // ---------------- encode kernel ----------------
+
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+
+  private def utf8(s: String): Array[Byte] =
+    if (s == null) Array.emptyByteArray else s.getBytes(StandardCharsets.UTF_8)
+
+  /** Encode one buffered block (all 5 columns) into BlockRows. */
+  private def flushBlock(partId: Int, seq: Int,
+      urls: java.util.ArrayList[Array[Byte]],
+      ts: Array[Long], tsN: Int,
+      htmls: java.util.ArrayList[Array[Byte]],
+      texts: java.util.ArrayList[Array[Byte]],
+      langs: java.util.ArrayList[Array[Byte]]): Seq[BlockRow] = {
+
+    def strBlock(name: String, vs: java.util.ArrayList[Array[Byte]]): BlockRow = {
+      val arr = vs.toArray(new Array[Array[Byte]](vs.size))
+      val enc = StringBlockCodec.encode(arr)
+      var orig = 0L
+      arr.foreach(orig += _.length)
+      BlockRow(partId, seq, name, "str", StringBlockCodec.codecName(enc), arr.length,
+        0L, 0L, orig, enc.length.toLong, enc)
+    }
+
+    val tsSlice = java.util.Arrays.copyOf(ts, tsN)
+    val tsEnc = IntBlockCodec.encode(tsSlice, PhysicalIntType.I64)
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var i = 0
+    while (i < tsN) { if (ts(i) < mn) mn = ts(i); if (ts(i) > mx) mx = ts(i); i += 1 }
+    if (tsN == 0) { mn = 0L; mx = 0L }
+
+    Seq(
+      strBlock("url", urls),
+      BlockRow(partId, seq, "warc_ts", "i64", IntBlockCodec.info(tsEnc).codecName, tsN,
+        mn, mx, tsN.toLong * 8, tsEnc.length.toLong, tsEnc),
+      strBlock("html", htmls),
+      strBlock("text", texts),
+      strBlock("lang", langs))
+  }
+
+  /** The mapPartitions kernel: rows arrive sorted by (part_id, url). */
+  def encodePartition(rows: Iterator[(Int, WebPage)]): Iterator[BlockRow] = new Iterator[BlockRow] {
+    private var out: Iterator[BlockRow] = Iterator.empty
+    private var curPart = -1
+    private var blockSeq = 0
+    private val urls = new java.util.ArrayList[Array[Byte]](BlockSize)
+    private val htmls = new java.util.ArrayList[Array[Byte]](BlockSize)
+    private val texts = new java.util.ArrayList[Array[Byte]](BlockSize)
+    private val langs = new java.util.ArrayList[Array[Byte]](BlockSize)
+    private val ts = new Array[Long](BlockSize)
+    private var n = 0
+
+    private def flush(): Seq[BlockRow] = {
+      if (n == 0) Seq.empty
+      else {
+        val res = flushBlock(curPart, blockSeq, urls, ts, n, htmls, texts, langs)
+        urls.clear(); htmls.clear(); texts.clear(); langs.clear()
+        n = 0; blockSeq += 1
+        res
+      }
+    }
+
+    override def hasNext: Boolean = {
+      while (!out.hasNext && rows.hasNext) {
+        val (pid, page) = rows.next()
+        var flushed: Seq[BlockRow] = Seq.empty
+        if (pid != curPart) { flushed = flush(); curPart = pid; blockSeq = 0 }
+        else if (n == BlockSize) flushed = flush()
+        urls.add(utf8(page.url))
+        htmls.add(if (page.html == null) Array.emptyByteArray else page.html)
+        texts.add(utf8(page.text))
+        langs.add(utf8(page.lang))
+        ts(n) = tsMicros(page.warc_ts)
+        n += 1
+        if (flushed.nonEmpty) out = flushed.iterator
+      }
+      if (!out.hasNext && !rows.hasNext && n > 0) out = flush().iterator
+      out.hasNext
+    }
+    override def next(): BlockRow = { if (!hasNext) throw new NoSuchElementException; out.next() }
+  }
+
+  // ---------------- job ----------------
+
+  final case class RunResult(snapshotId: Long, partsEncoded: Int, nRows: Long,
+      origBytes: Long, encBytes: Long)
+
+  /**
+   * Encode all pending work units. `waves` splits the part range into that many
+   * commit groups — each wave is one Spark job ending in an atomic manifest commit,
+   * so a killed run loses at most one wave and the next run resumes behind the last
+   * committed checkpoint. `maxWaves` exists for kill/resume tests.
+   */
+  def run(spark: SparkSession, pages: Dataset[WebPage], root: String, parts: Int,
+          waves: Int = 1, maxWaves: Int = Int.MaxValue): RunResult = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(root))
+    val boundaries = loadOrCreateBoundaries(root, pages, parts)
+    val bBoundaries = spark.sparkContext.broadcast(boundaries)
+
+    val withPart = pages.map(p => (EncodeJob.partIdForBroadcast(bBoundaries.value, p.url), p))
+      .toDF("part_id", "page")
+
+    // RESUME: drop work units already committed (anti-join against the manifest —
+    // broadcast; manifest rows ≪ data at any scale)
+    val committed = SnapshotStore.committedPartIds(root)
+    val pendingParts = (0 until parts).filterNot(committed)
+    val waveSize = math.max(1, (pendingParts.size + waves - 1) / math.max(waves, 1))
+    val groups = pendingParts.grouped(waveSize).take(maxWaves).toSeq
+
+    var totalEntries = Seq.empty[SnapshotStore.PartEntry]
+    var lastSnap = SnapshotStore.currentSnapshotId(root).getOrElse(0L)
+
+    for (group <- groups) {
+      val committedNow = SnapshotStore.committedPartIds(root)
+      val groupDf = group.toDF("part_id")
+      val pending = withPart
+        .join(broadcast(groupDf), Seq("part_id"), "left_semi")
+        .join(broadcast(committedNow.toSeq.toDF("part_id")), Seq("part_id"), "left_anti")
+
+      // one exchange per wave: co-locate each work unit, order inside for block locality
+      val blocks = pending
+        .repartition(math.max(group.size, 1), $"part_id")
+        .sortWithinPartitions($"part_id", $"page.url")
+        .as[(Int, WebPage)]
+        .mapPartitions(encodePartition)
+
+      val (relDir, absDir) = SnapshotStore.newDataDir(root)
+      blocks.write.mode(SaveMode.Overwrite).parquet(absDir)
+
+      // lineage + metrics rollup from the staged files (no recompute, no driver loops)
+      val staged = spark.read.parquet(absDir)
+      val perPart = staged.groupBy($"part_id").agg(
+        sum(when($"column" === "url", $"n").otherwise(0L)).as("n_rows"),
+        sum($"orig_bytes").as("orig_bytes"),
+        sum($"enc_bytes").as("enc_bytes"),
+        to_json(map_from_entries(collect_set(struct($"column", $"codec")))).as("codecs"))
+        .collect()
+
+      val entries = perPart.map { r =>
+        SnapshotStore.PartEntry(r.getAs[Int]("part_id"), relDir, r.getAs[Long]("n_rows"),
+          r.getAs[Long]("orig_bytes"), r.getAs[Long]("enc_bytes"), r.getAs[String]("codecs"))
+      }.toSeq
+
+      lastSnap = SnapshotStore.commit(root, entries)
+      totalEntries ++= entries
+    }
+
+    RunResult(lastSnap, totalEntries.size, totalEntries.map(_.nRows).sum,
+      totalEntries.map(_.origBytes).sum, totalEntries.map(_.encBytes).sum)
+  }
+
+  // broadcast-friendly binary search (avoids capturing the job object)
+  def partIdForBroadcast(boundaries: Array[String], url: String): Int = partIdFor(url, boundaries)
+
+  /** spark-submit main: generate webtext and encode it into a snapshot store. */
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 100000L
+    val root = if (args.length > 1) args(1) else "/tmp/graft-store"
+    val parts = if (args.length > 2) args(2).toInt else 32
+    val waves = if (args.length > 3) args(3).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-encode")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val res = run(spark, Webtext.generate(spark, n, parts), root, parts, waves)
+    println(s"encoded: $res ratio=${res.origBytes.toDouble / math.max(res.encBytes, 1)}")
+    spark.stop()
+  }
+}

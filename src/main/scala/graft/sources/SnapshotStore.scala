@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Minimal snapshot/manifest table layer with atomic commits and resume — the Iceberg
+ * *behaviors* the north_rule needs (snapshot reads, atomic commit, per-partition
+ * lineage, checkpoint resume), emulated because no Iceberg jars exist in this sandbox
+ * (SURVEY.md §7.1). Behind this interface a real Iceberg catalog can drop in.
+ *
+ * Layout under `root/`:
+ *   data/<commit-uuid>/...parquet      — immutable block data files
+ *   manifests/<snapshotId>.jsonl       — full manifest: one line per committed part
+ *   SNAPSHOT                           — pointer file, swapped atomically (tmp+rename)
+ *
+ * A killed job leaves at most an orphaned data dir (never referenced by any
+ * manifest): re-running resumes from the last committed snapshot's part set.
+ */
+object SnapshotStore {
+
+  /** Per-partition lineage row (one work unit == one part_id). */
+  final case class PartEntry(
+      partId: Int,
+      dataDir: String, // relative to root
+      nRows: Long,
+      origBytes: Long,
+      encBytes: Long,
+      codecsJson: String)
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def entryToJson(e: PartEntry): String =
+    s"""{"part_id":${e.partId},"data_dir":${q(e.dataDir)},"n_rows":${e.nRows},""" +
+    s""""orig_bytes":${e.origBytes},"enc_bytes":${e.encBytes},"codecs":${e.codecsJson}}"""
+
+  private def parseEntry(line: String): PartEntry = {
+    // fields are writer-controlled; robust enough for our own format
+    def longField(k: String): Long = {
+      val m = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(line)
+      m.map(_.group(1).toLong).getOrElse(0L)
+    }
+    def strField(k: String): String = {
+      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(line)
+      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+    }
+    val codecs = {
+      val i = line.indexOf("\"codecs\":")
+      if (i < 0) "{}" else line.substring(i + 9, line.length - 1)
+    }
+    PartEntry(longField("part_id").toInt, strField("data_dir"), longField("n_rows"),
+      longField("orig_bytes"), longField("enc_bytes"), codecs)
+  }
+
+  def snapshotPointer(root: String): Path = Paths.get(root, "SNAPSHOT")
+
+  def currentSnapshotId(root: String): Option[Long] = {
+    val p = snapshotPointer(root)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  def currentEntries(root: String): Seq[PartEntry] =
+    currentSnapshotId(root) match {
+      case None => Seq.empty
+      case Some(id) =>
+        val mf = Paths.get(root, "manifests", s"$id.jsonl")
+        Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
+          .filter(_.nonEmpty).map(parseEntry)
+    }
+
+  /** part_ids already committed — the resume anti-join's build side. */
+  def committedPartIds(root: String): Set[Int] = currentEntries(root).map(_.partId).toSet
+
+  /** Absolute paths of all committed data dirs (the snapshot's readable file set). */
+  def dataDirs(root: String): Seq[String] =
+    currentEntries(root).map(_.dataDir).distinct.map(d => Paths.get(root, d).toString)
+
+  /** Allocate a fresh staging data dir (not visible until committed). */
+  def newDataDir(root: String): (String, String) = {
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    val abs = Paths.get(root, rel)
+    Files.createDirectories(abs.getParent)
+    (rel, abs.toString)
+  }
+
+  /**
+   * Atomic commit: new manifest = previous entries + `newEntries`, written to a new
+   * snapshot file, then the SNAPSHOT pointer is swapped via tmp-write + ATOMIC_MOVE.
+   * Idempotent per part: callers only pass parts not in the current snapshot.
+   */
+  def commit(root: String, newEntries: Seq[PartEntry]): Long = synchronized {
+    val prev = currentEntries(root)
+    val nextId = currentSnapshotId(root).getOrElse(0L) + 1L
+    val mfDir = Paths.get(root, "manifests")
+    Files.createDirectories(mfDir)
+    val mf = mfDir.resolve(s"$nextId.jsonl")
+    val content = (prev ++ newEntries).map(entryToJson).mkString("", "\n", "\n")
+    Files.write(mf, content.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val tmp = Paths.get(root, s".SNAPSHOT.tmp.${java.util.UUID.randomUUID()}")
+    Files.write(tmp, nextId.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, snapshotPointer(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    nextId
+  }
+}

@@ -150,4 +150,13 @@ class CodecFamilySpec extends AnyFunSuite {
         s"trial=$trial codec=$codecId")
     }
   }
+
+  test("fsst handles 8-byte symbols without key collisions (regression)") {
+    // urls with long shared prefixes train 8-byte symbols; a length tag packed into
+    // the top bits of the 64-bit key made distinct 8-byte symbols collide
+    val urls = Array.tabulate(5000)(i => s"https://host-${i % 97}.example.com/p/${java.lang.Long.toHexString(i * 2654435761L)}/$i")
+    val block = StringBlockCodec.encodeAs(urls.map(_.getBytes("UTF-8")), 2)
+    val decoded = StringBlockCodec.decode(block).map(new String(_, "UTF-8"))
+    assert(decoded.toSeq == urls.toSeq)
+  }
 }

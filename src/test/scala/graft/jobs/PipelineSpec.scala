@@ -1,0 +1,135 @@
+package graft.jobs
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.sources.{SnapshotStore, Webtext}
+
+/**
+ * Spark end-to-end coverage (SURVEY.md §5.2 item 4): encode job → snapshot store →
+ * decode job with the per-url byte-identical invariant; kill-after-partial-commit
+ * resume with no dupes/gaps; Catalyst expression surface; metadata pushdown rule.
+ */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-store-").toString
+
+  test("encode -> snapshot -> decode round-trips 20k pages byte-identically") {
+    val root = freshRoot()
+    val n = 20000L
+    val pages = Webtext.generate(spark, n, 8)
+    val res = EncodeJob.run(spark, pages, root, parts = 8)
+    assert(res.partsEncoded == 8)
+    assert(res.nRows == n)
+    assert(res.encBytes < res.origBytes, "must actually compress")
+
+    val decoded = DecodeJob.decode(spark, root)
+    assert(decoded.count() == n)
+    assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 8), decoded) == 0L)
+  }
+
+  test("killed-after-partial-commit run resumes with no dupes and no gaps") {
+    val root = freshRoot()
+    val n = 12000L
+    val pages = Webtext.generate(spark, n, 8)
+
+    // simulate a kill: 4 waves planned, die after 2 commits
+    val partial = EncodeJob.run(spark, pages, root, parts = 8, waves = 4, maxWaves = 2)
+    assert(partial.partsEncoded == 4)
+    val committedAfterKill = SnapshotStore.committedPartIds(root)
+    assert(committedAfterKill.size == 4)
+
+    // resume: a fresh run picks up only the remaining work units
+    val resumed = EncodeJob.run(spark, pages, root, parts = 8)
+    assert(resumed.partsEncoded == 4, "resume must not re-encode committed parts")
+    assert(SnapshotStore.committedPartIds(root) == (0 until 8).toSet)
+
+    val decoded = DecodeJob.decode(spark, root)
+    assert(decoded.count() == n, "no dupes, no gaps")
+    assert(decoded.select("url").distinct().count() == n)
+    assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 8), decoded) == 0L)
+  }
+
+  test("catalyst expressions: sql eg round-trip, graft auto codec, zigzag codegen") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+
+    val df = spark.range(0, 1000).select(
+      (col("id") % 7).as("g"),
+      (col("id") * 31 - 500).as("v"))
+    df.createOrReplaceTempView("t")
+
+    // SQL surface: group values into arrays, eg-encode at k=3, decode, explode back
+    val rt = spark.sql(
+      """SELECT g, explode(eg_decode(eg_encode(vals, 3, 'i64'), 3, 'i64')) AS v
+        |FROM (SELECT g, collect_list(v) AS vals FROM t GROUP BY g)""".stripMargin)
+    assert(rt.count() == 1000)
+    assert(rt.select(sum($"v")).as[Long].head() == df.select(sum($"v")).as[Long].head())
+
+    // auto codec block + codec introspection
+    val info = spark.sql(
+      """SELECT graft_codec(graft_encode(vals)) AS c,
+        |       aggregate(graft_decode(graft_encode(vals)), 0L, (a, x) -> a + x) AS s,
+        |       aggregate(vals, 0L, (a, x) -> a + x) AS expected
+        |FROM (SELECT collect_list(v) AS vals FROM t)""".stripMargin).head()
+    assert(info.getString(0).nonEmpty)
+    assert(info.getLong(1) == info.getLong(2))
+
+    // adaptive round-trip via SQL
+    val ad = spark.sql(
+      """SELECT explode(eg_decode_adaptive(eg_encode_adaptive(vals, 2, 2, 'i64'), 2, 2, 'i64')) AS v
+        |FROM (SELECT collect_list(v) AS vals FROM t)""".stripMargin)
+    assert(ad.select(sum($"v")).as[Long].head() == df.select(sum($"v")).as[Long].head())
+
+    // zigzag scalar pair stays exact over negatives and stays in codegen
+    val zz = spark.sql("SELECT sum(abs(zigzag_decode(zigzag_encode(v)) - v)) FROM t").head().getLong(0)
+    assert(zz == 0L)
+
+    // string block round trip via SQL
+    val strs = spark.sql(
+      """SELECT graft_decode_str(graft_encode_str(array('aa','bb','aa',''))) AS xs""").head()
+    assert(strs.getSeq[String](0) == Seq("aa", "bb", "aa", ""))
+  }
+
+  test("block min/max pruning rule rewrites decode-filters onto metadata") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    // a blocks table with FoR metadata columns
+    val dir = freshRoot() + "/blocks"
+    Seq(
+      (1, 0L, 99L, graft.codec.IntBlockCodec.encode(Array(0L, 50L, 99L), graft.core.PhysicalIntType.I64)),
+      (2, 100L, 199L, graft.codec.IntBlockCodec.encode(Array(100L, 150L, 199L), graft.core.PhysicalIntType.I64)))
+      .toDF("block_id", "block_min", "block_max", "encoded")
+      .write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("blocks")
+
+    val q = spark.sql("SELECT block_id FROM blocks WHERE array_contains(graft_decode(encoded), 150L)")
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("block_min") && optimized.contains("block_max"),
+      s"pruning conjuncts missing from plan:\n$optimized")
+    // the metadata conjuncts must reach the parquet scan as pushed filters
+    val physical = q.queryExecution.executedPlan.toString()
+    assert(physical.contains("PushedFilters: [") && physical.contains("block_min"),
+      s"metadata filter not pushed to scan:\n$physical")
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(2))
+
+    // soundness: no metadata columns -> rule is a no-op, same results
+    val noMeta = spark.read.parquet(dir).select("block_id", "encoded")
+    noMeta.createOrReplaceTempView("blocks_nometa")
+    val q2 = spark.sql("SELECT block_id FROM blocks_nometa WHERE array_contains(graft_decode(encoded), 150L)")
+    assert(q2.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+}
