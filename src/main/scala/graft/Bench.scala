@@ -1,24 +1,124 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.core.{GolombCodec, PhysicalIntType}
+import graft.jobs.EncodeJob
+import graft.sources.Webtext
+
+/**
+ * Benchmark main. Prints ONE JSON line with:
+ *  - single-thread exp-Golomb encode/decode MB/s on the BASELINE.md workload shape
+ *    (16M signed Pareto(1.3) i32 values, k=0) — apples-to-apples vs the reference's
+ *    111 MB/s encode / 72 MB/s decode (BASELINE.md, measured)
+ *  - full encode-job throughput at local[8] vs local[32] on identical webtext input
+ *    -> scaling efficiency (T8/T32)/4 (the north_rule N vs 4N criterion, evidenced
+ *    in-sandbox per BASELINE.md)
+ *  - per-query wall times on SPARK_GRAFT_SF_DIR
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  /** Signed Pareto(alpha=1.3)-magnitude i32 values, deterministic (BASELINE.md shape). */
+  private def paretoI32(n: Int, seed: Long): Array[Long] = {
+    val out = new Array[Long](n)
+    var x = seed
+    var i = 0
+    while (i < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val u = ((x >>> 11).toDouble + 1.0) / 9007199254740993.0 // (0,1)
+      val mag = math.min(math.pow(u, -1.0 / 1.3) - 1.0, Int.MaxValue.toDouble)
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val sign = if ((x & 1L) == 0L) 1L else -1L
+      out(i) = (sign * mag.toLong).max(Int.MinValue.toLong).min(Int.MaxValue.toLong)
+      i += 1
+    }
+    out
+  }
+
+  private def microBench(): (Double, Double, Double) = {
+    val n = 16 * 1024 * 1024
+    val values = paretoI32(n, 42L)
+    val inputBytes = n.toLong * 4
+    // warm up JIT
+    GolombCodec.decode(GolombCodec.encode(values.take(1 << 20), 0, PhysicalIntType.I32), 0, PhysicalIntType.I32)
+    var enc: Array[Byte] = null
+    val t0 = System.nanoTime()
+    enc = GolombCodec.encode(values, 0, PhysicalIntType.I32)
+    val t1 = System.nanoTime()
+    val dec = GolombCodec.decode(enc, 0, PhysicalIntType.I32)
+    val t2 = System.nanoTime()
+    require(dec.length == n)
+    val encMbps = inputBytes / 1e6 / ((t1 - t0) / 1e9)
+    val decMbps = inputBytes / 1e6 / ((t2 - t1) / 1e9)
+    (encMbps, decMbps, inputBytes.toDouble / enc.length)
+  }
+
+  private def newSession(threads: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-bench-$threads")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Encode-job wall seconds + byte totals at a given parallelism on identical input. */
+  private def encodeAt(threads: Int, pagesParquet: String, nRows: Long): (Double, Long, Long) = {
+    val spark = newSession(threads)
+    import spark.implicits._
+    val pages = spark.read.parquet(pagesParquet).as[graft.sources.WebPage]
+    val store = java.nio.file.Files.createTempDirectory(s"bench-store-$threads").toString
+    val t0 = System.nanoTime()
+    val res = EncodeJob.run(spark, pages, store, parts = threads * 2)
+    val secs = (System.nanoTime() - t0) / 1e9
     spark.stop()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    (secs, res.origBytes, res.encBytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
+
+    val (encMbps, decMbps, egRatio) = microBench()
+
+    // materialize identical webtext input once
+    val prep = newSession(cpus)
+    val pagesParquet = java.nio.file.Files.createTempDirectory("bench-pages").toString + "/pages"
+    Webtext.generate(prep, benchPages, 64).write.mode("overwrite").parquet(pagesParquet)
+    prep.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    val (t8, origBytes, _) = encodeAt(8, pagesParquet, benchPages)
+    val (t32, _, encBytes) = encodeAt(32, pagesParquet, benchPages)
+    val efficiency = (t8 / t32) / 4.0
+    val gbps8 = origBytes / 1e9 / t8
+    val gbps32 = origBytes / 1e9 / t32
+
+    // query timings on the driver-provided sf dir
+    val spark = newSession(cpus)
+    val headline = Seq(
+      "rt_eg_i64", "rt_auto_ts", "rt_str_text", "rt_expr_sql",
+      "q1_agg", "q_join3", "q_window_rank", "q_topk_price", "q_rollup",
+      "q_dedup_exact", "q_minhash_pairs", "q_knn_brute", "q_setops_exceptall")
+    val timings = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    spark.stop()
+
+    val total = timings.map(_._2).sum
+    val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_secs_local8":$t8%.2f,"encode_secs_local32":$t32%.2f,"scaling_efficiency_8_to_32":$efficiency%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }
