@@ -37,22 +37,47 @@ object StringBlockCodec {
       if (distinct.add(new String(values(i), StandardCharsets.ISO_8859_1))) card += 1
       i += 1
     }
-    if (card <= 4096 && card.toLong * 4 <= n.toLong) encodeAs(values, ID_DICT)
-    else if (totalBytes >= 4096 && sampleFsstRatio(values) < 0.80) encodeAs(values, ID_FSST)
-    else encodeAs(values, ID_PLAIN)
+    if (card <= 4096 && card.toLong * 4 <= n.toLong) return encodeAs(values, ID_DICT)
+    if (totalBytes >= 4096) {
+      // train once on a strided sample; reuse the same table for the real encode
+      val stride = math.max(1, values.length / 64)
+      val sample = values.indices.by(stride).take(64).map(values(_)).toArray
+      val table = FsstLite.train(sample.iterator)
+      val out = new ByteWriter(4096)
+      var in = 0L
+      sample.foreach { s => FsstLite.compress(table, s, out); in += s.length }
+      if (in > 0 && out.length.toDouble / in < 0.80) return encodeFsst(values, table)
+    }
+    encodeAs(values, ID_PLAIN)
   }
 
-  private def sampleFsstRatio(values: Array[Array[Byte]]): Double = {
-    val stride = math.max(1, values.length / 64)
-    val sample = values.indices.by(stride).take(64).map(values(_)).toArray
-    val table = FsstLite.train(sample.iterator)
-    val out = new ByteWriter(4096)
-    var in = 0L
-    sample.foreach { s => FsstLite.compress(table, s, out); in += s.length }
-    if (in == 0) 1.0 else out.length.toDouble / in
+  def encodeAs(values: Array[Array[Byte]], codecId: Int): Array[Byte] =
+    if (codecId == ID_FSST) encodeFsst(values, FsstLite.train(values.iterator))
+    else encodeOther(values, codecId)
+
+  private def encodeFsst(values: Array[Array[Byte]], table: FsstLite.Table): Array[Byte] = {
+    var totalIn = 0
+    values.foreach(totalIn += _.length)
+    val out = new ByteWriter(totalIn / 2 + 4096)
+    out.u8(MAGIC0); out.u8(MAGIC1)
+    out.u8(ID_FSST)
+    out.i32(values.length)
+    table.serialize(out)
+    val payload = new ByteWriter(totalIn / 2 + 4096)
+    val compLens = new Array[Long](values.length)
+    var i = 0
+    while (i < values.length) {
+      val before = payload.length
+      FsstLite.compress(table, values(i), payload)
+      compLens(i) = (payload.length - before).toLong
+      i += 1
+    }
+    out.sized(IntBlockCodec.encode(compLens, PhysicalIntType.U32))
+    out.sized(payload.toByteArray)
+    out.toByteArray
   }
 
-  def encodeAs(values: Array[Array[Byte]], codecId: Int): Array[Byte] = {
+  private def encodeOther(values: Array[Array[Byte]], codecId: Int): Array[Byte] = {
     val out = new ByteWriter(64)
     out.u8(MAGIC0); out.u8(MAGIC1)
     out.u8(codecId)
@@ -72,21 +97,6 @@ object StringBlockCodec {
         val codes = keys.map(k => index(k).toLong)
         out.sized(encodeAs(sortedDistinct.map(_.getBytes(StandardCharsets.ISO_8859_1)), ID_PLAIN))
         out.sized(IntBlockCodec.encode(codes, PhysicalIntType.U32))
-
-      case ID_FSST =>
-        val table = FsstLite.train(values.iterator)
-        table.serialize(out)
-        val payload = new ByteWriter(1024)
-        val compLens = new Array[Long](values.length)
-        var i = 0
-        while (i < values.length) {
-          val before = payload.length
-          FsstLite.compress(table, values(i), payload)
-          compLens(i) = (payload.length - before).toLong
-          i += 1
-        }
-        out.sized(IntBlockCodec.encode(compLens, PhysicalIntType.U32))
-        out.sized(payload.toByteArray)
 
       case other => throw new IllegalArgumentException(s"unknown string codec id $other")
     }

@@ -131,8 +131,12 @@ object EncodeJob {
       strBlock("lang", langs))
   }
 
+  /** Kernel row: raw UTF-8 bytes and epoch micros — no Timestamp, no String
+    * re-materialization (UTF8String -> String -> getBytes showed up hot). */
+  type EncRow = (Int, Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte])
+
   /** The mapPartitions kernel: rows arrive sorted by (part_id, url). */
-  def encodePartition(rows: Iterator[(Int, WebPage)]): Iterator[BlockRow] = new Iterator[BlockRow] {
+  def encodePartition(rows: Iterator[EncRow]): Iterator[BlockRow] = new Iterator[BlockRow] {
     private var out: Iterator[BlockRow] = Iterator.empty
     private var curPart = -1
     private var blockSeq = 0
@@ -155,15 +159,15 @@ object EncodeJob {
 
     override def hasNext: Boolean = {
       while (!out.hasNext && rows.hasNext) {
-        val (pid, page) = rows.next()
+        val (pid, url, tsUs, html, text, lang) = rows.next()
         var flushed: Seq[BlockRow] = Seq.empty
         if (pid != curPart) { flushed = flush(); curPart = pid; blockSeq = 0 }
         else if (n == BlockSize) flushed = flush()
-        urls.add(utf8(page.url))
-        htmls.add(if (page.html == null) Array.emptyByteArray else page.html)
-        texts.add(utf8(page.text))
-        langs.add(utf8(page.lang))
-        ts(n) = tsMicros(page.warc_ts)
+        urls.add(if (url == null) Array.emptyByteArray else url)
+        htmls.add(if (html == null) Array.emptyByteArray else html)
+        texts.add(if (text == null) Array.emptyByteArray else text)
+        langs.add(if (lang == null) Array.emptyByteArray else lang)
+        ts(n) = tsUs
         n += 1
         if (flushed.nonEmpty) out = flushed.iterator
       }
@@ -176,7 +180,7 @@ object EncodeJob {
   // ---------------- job ----------------
 
   final case class RunResult(snapshotId: Long, partsEncoded: Int, nRows: Long,
-      origBytes: Long, encBytes: Long)
+      origBytes: Long, encBytes: Long, jobSecs: Double)
 
   /**
    * Encode all pending work units. `waves` splits the part range into that many
@@ -191,8 +195,13 @@ object EncodeJob {
     val boundaries = loadOrCreateBoundaries(root, pages, parts)
     val bBoundaries = spark.sparkContext.broadcast(boundaries)
 
-    val withPart = pages.map(p => (EncodeJob.partIdForBroadcast(bBoundaries.value, p.url), p))
-      .toDF("part_id", "page")
+    // narrow projection before the exchange: epoch micros instead of Timestamp,
+    // no case-class re-materialization — less shuffle IO and no per-row boxing
+    val partIdUdf = udf((url: String) => EncodeJob.partIdForBroadcast(bBoundaries.value, url))
+    val withPart = pages.toDF()
+      .select(partIdUdf(col("url")).as("part_id"), col("url"),
+        unix_micros(col("warc_ts").cast("timestamp")).as("ts_us"),
+        col("html"), col("text"), col("lang"))
 
     // RESUME: drop work units already committed (anti-join against the manifest —
     // broadcast; manifest rows ≪ data at any scale)
@@ -203,6 +212,7 @@ object EncodeJob {
 
     var totalEntries = Seq.empty[SnapshotStore.PartEntry]
     var lastSnap = SnapshotStore.currentSnapshotId(root).getOrElse(0L)
+    var jobSecs = 0.0
 
     for (group <- groups) {
       val committedNow = SnapshotStore.committedPartIds(root)
@@ -214,12 +224,17 @@ object EncodeJob {
       // one exchange per wave: co-locate each work unit, order inside for block locality
       val blocks = pending
         .repartition(math.max(group.size, 1), $"part_id")
-        .sortWithinPartitions($"part_id", $"page.url")
-        .as[(Int, WebPage)]
+        .sortWithinPartitions($"part_id", $"url")
+        .select(col("part_id"), col("url").cast("binary").as("url"), col("ts_us"),
+          col("html"), col("text").cast("binary").as("text"),
+          col("lang").cast("binary").as("lang"))
+        .as[EncRow]
         .mapPartitions(encodePartition)
 
       val (relDir, absDir) = SnapshotStore.newDataDir(root)
+      val jt0 = System.nanoTime()
       blocks.write.mode(SaveMode.Overwrite).parquet(absDir)
+      jobSecs += (System.nanoTime() - jt0) / 1e9
 
       // lineage + metrics rollup from the staged files (no recompute, no driver loops)
       val staged = spark.read.parquet(absDir)
@@ -240,7 +255,7 @@ object EncodeJob {
     }
 
     RunResult(lastSnap, totalEntries.size, totalEntries.map(_.nRows).sum,
-      totalEntries.map(_.origBytes).sum, totalEntries.map(_.encBytes).sum)
+      totalEntries.map(_.origBytes).sum, totalEntries.map(_.encBytes).sum, jobSecs)
   }
 
   // broadcast-friendly binary search (avoids capturing the job object)

@@ -31,17 +31,80 @@ object Dedup {
       i => concat_ws(" ", slice(words, i + 1, lit(n))))
   }
 
+  // ---- JVM kernels (one pass per document; the declarative higher-order-function
+  // form re-evaluates the shingle subtree per seed, which is 30x slower) ----
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a hashes of lowercased whitespace tokens. */
+  private[operators] def tokenHashes(text: String): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var h = 0xCBF29CE484222325L
+    var inTok = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        if (inTok) { out += h; h = 0xCBF29CE484222325L; inTok = false }
+      } else {
+        h = (h ^ Character.toLowerCase(c).toInt) * 0x100000001B3L
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) out += h
+    out.result()
+  }
+
+  /** One-pass minhash signature over word shingles of size n. */
+  def minhashSignature(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val toks = tokenHashes(text)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (toks.length < shingleSize) {
+      // degenerate short doc: hash the whole token sequence as one shingle
+      var h = 0L
+      var i = 0
+      while (i < toks.length) { h = h * 0x9E3779B97F4A7C15L + toks(i); i += 1 }
+      var s = 0
+      while (s < numHashes) { sig(s) = mix64(h ^ (s.toLong * 0xC2B2AE3D27D4EB4FL)); s += 1 }
+      return sig
+    }
+    var i = 0
+    while (i + shingleSize <= toks.length) {
+      var h = 0L
+      var j = 0
+      while (j < shingleSize) { h = h * 0x9E3779B97F4A7C15L + toks(i + j); j += 1 }
+      var s = 0
+      while (s < numHashes) {
+        val v = mix64(h ^ (s.toLong * 0xC2B2AE3D27D4EB4FL))
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   /**
-   * MinHash signatures: `numHashes` permutations approximated by
-   * `xxhash64(shingle, seed)` minima — the standard one-pass minhash.
-   * Returns the input plus `sig` (array<long> length numHashes).
+   * MinHash signatures as a typed kernel: input plus `sig` (array<long> numHashes).
    */
   def withMinhashSignature(df: DataFrame, textCol: String,
                            numHashes: Int, shingleSize: Int): DataFrame = {
-    val sh = shingles(col(textCol), shingleSize)
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      array_min(transform(sh, s => xxhash64(s, seed))))
-    df.withColumn("sig", sig)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idCols = df.columns.filter(_ != textCol)
+    require(idCols.length == 1, "withMinhashSignature expects (id, text) input")
+    df.select(col(idCols.head).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, minhashSignature(if (t == null) "" else t, numHashes, shingleSize))
+      })
+      .toDF(idCols.head, "sig")
   }
 
   /**
@@ -59,8 +122,10 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
-    val signed = withMinhashSignature(df, textCol, numHashes, shingleSize)
-      .select(col(idCol).as("id"), col("sig"))
+    val signed = withMinhashSignature(df.select(col(idCol), col(textCol)), textCol,
+      numHashes, shingleSize)
+      .withColumnRenamed(idCol, "id")
+      .cache() // sig is reused by both join sides and the verify
 
     val banded = signed.select(
       $"id", $"sig",
@@ -68,17 +133,15 @@ object Dedup {
         struct(b.as("band"), xxhash64(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
       .select($"id", $"sig", $"bb.band", $"bb.bucket")
 
-    // candidates: pairs sharing any (band, bucket)
+    // candidates: pairs sharing any (band, bucket); verify map-side, THEN dedup on
+    // the narrow (a, b) pair — never shuffle signature arrays through a distinct
     val a = banded.select($"band", $"bucket", $"id".as("a"), $"sig".as("sig_a"))
     val b = banded.select($"band", $"bucket", $"id".as("b"), $"sig".as("sig_b"))
-    val cand = a.join(b, Seq("band", "bucket")).where($"a" < $"b")
-      .select($"a", $"b", $"sig_a", $"sig_b").distinct()
-
-    // verify: fraction of agreeing minhashes estimates Jaccard
     val agree = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
-    cand.withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
+    a.join(b, Seq("band", "bucket")).where($"a" < $"b")
+      .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
       .where($"est_jaccard" >= threshold)
-      .select($"a", $"b", $"est_jaccard")
+      .groupBy($"a", $"b").agg(max($"est_jaccard").as("est_jaccard"))
   }
 
   /**
@@ -86,18 +149,41 @@ object Dedup {
    * `simhash` long column. Near-dup detection bands the 64 bits into 4 x 16-bit
    * keys (pairs within Hamming distance 3 share at least one band whp).
    */
+  /** One-pass 64-bit simhash kernel over word shingles. */
+  def simhash64(text: String, shingleSize: Int): Long = {
+    val toks = tokenHashes(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    val last = toks.length - shingleSize
+    while (i <= last) {
+      var h = 0L
+      var j = 0
+      while (j < shingleSize) { h = h * 0x9E3779B97F4A7C15L + toks(i + j); j += 1 }
+      h = mix64(h)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   def withSimhash(df: DataFrame, textCol: String, shingleSize: Int = 2): DataFrame = {
-    val sh = shingles(col(textCol), shingleSize)
-    val hashes = transform(sh, s => xxhash64(s))
-    // single pass: per-bit +1/-1 votes folded into a 64-counter array, then sign bits
-    val masks = typedLit((0 until 64).map(i => 1L << i))
-    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, masks,
-        (c, m) => c + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    val simhash = aggregate(
-      zip_with(counts, masks, (c, m) => when(c > 0L, m).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-    df.withColumn("simhash", simhash)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idCols = df.columns.filter(_ != textCol)
+    require(idCols.length == 1, "withSimhash expects (id, text) input")
+    df.select(col(idCols.head).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, simhash64(if (t == null) "" else t, shingleSize))
+      })
+      .toDF(idCols.head, "simhash")
   }
 
   /** Near-duplicate pairs by simhash banding + exact Hamming verify. */
@@ -105,7 +191,8 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sh = withSimhash(df, textCol).select(col(idCol).as("id"), $"simhash")
+    val sh = withSimhash(df.select(col(idCol), col(textCol)), textCol)
+      .withColumnRenamed(idCol, "id").cache()
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright($"simhash", b * 16).bitwiseAND(lit(0xffffL)).as("key")))
