@@ -189,7 +189,7 @@ object EncodeJob {
    * committed checkpoint. `maxWaves` exists for kill/resume tests.
    */
   def run(spark: SparkSession, pages: Dataset[WebPage], root: String, parts: Int,
-          waves: Int = 1, maxWaves: Int = Int.MaxValue): RunResult = {
+          waves: Int = 1, maxWaves: Int = Int.MaxValue, partOffset: Long = 0L): RunResult = {
     import spark.implicits._
     Files.createDirectories(Paths.get(root))
     val boundaries = loadOrCreateBoundaries(root, pages, parts)
@@ -197,7 +197,8 @@ object EncodeJob {
 
     // narrow projection before the exchange: epoch micros instead of Timestamp,
     // no case-class re-materialization — less shuffle IO and no per-row boxing
-    val partIdUdf = udf((url: String) => EncodeJob.partIdForBroadcast(bBoundaries.value, url))
+    val partIdUdf = udf((url: String) =>
+      (partOffset + EncodeJob.partIdForBroadcast(bBoundaries.value, url)).toInt)
     val withPart = pages.toDF()
       .select(partIdUdf(col("url")).as("part_id"), col("url"),
         unix_micros(col("warc_ts").cast("timestamp")).as("ts_us"),
@@ -206,7 +207,7 @@ object EncodeJob {
     // RESUME: drop work units already committed (anti-join against the manifest —
     // broadcast; manifest rows ≪ data at any scale)
     val committed = SnapshotStore.committedPartIds(root)
-    val pendingParts = (0 until parts).filterNot(committed)
+    val pendingParts = (partOffset.toInt until (partOffset + parts).toInt).filterNot(committed)
     val waveSize = math.max(1, (pendingParts.size + waves - 1) / math.max(waves, 1))
     val groups = pendingParts.grouped(waveSize).take(maxWaves).toSeq
 

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.jobs.EncodeJob
+import graft.sources.WebPage
+
+/**
+ * Streaming surface. The codec core is explicitly single-pass with O(1) state
+ * (reference: README.md:5-6, src/golomb.h:173-175), so the batch kernels slot into
+ * Structured Streaming unchanged:
+ *
+ *  - [[encodeStream]]: readStream -> foreachBatch -> the SAME EncodeJob.run used in
+ *    batch. Each micro-batch ends in an atomic snapshot commit; Spark's streaming
+ *    checkpoint + the store's manifest give end-to-end exactly-once block commits
+ *    (a replayed batch re-encodes only parts missing from the manifest).
+ *  - [[windowedLangCounts]]: watermarked event-time windows over page arrivals —
+ *    late data beyond the watermark is dropped by Spark, counts are append-mode.
+ *  - [[dedupStream]]: stateful exact dedup by content fingerprint via
+ *    flatMapGroupsWithState (first occurrence passes, repeats drop; state expires).
+ */
+object StreamingEncode {
+
+  /** Encode a streaming pages source into the snapshot store, one commit per batch. */
+  def encodeStream(pages: DataFrame, root: String, parts: Int,
+                   checkpointDir: String): StreamingQuery = {
+    pages.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        // distinct work-unit namespace per micro-batch: appends get fresh part ids,
+        // while a REPLAYED batch reuses its ids and is dropped by the resume
+        // anti-join -> exactly-once block commits
+        EncodeJob.run(batch.sparkSession, batch.as[WebPage], root, parts,
+          partOffset = batchId * parts)
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked sliding-window page counts per lang (event time = warc_ts). */
+  def windowedLangCounts(pages: DataFrame, watermark: String = "1 hour",
+                         win: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("warc_ts", col("warc_ts").cast("timestamp"))
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), win), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("lang"), col("cnt"))
+
+  final case class SeenState(firstSeenBatchMs: Long)
+  final case class DedupIn(fp: Long, url: String)
+
+  /**
+   * Stateful streaming exact-dedup: keeps one state entry per content fingerprint,
+   * emits only first occurrences, expires state after `ttlMs` of inactivity
+   * (bounded state at web scale: dup windows are temporal).
+   */
+  def dedupStream(pages: Dataset[DedupIn], ttlMs: Long): Dataset[DedupIn] = {
+    import pages.sparkSession.implicits._
+    pages
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[SeenState, DedupIn](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: Long, rows: Iterator[DedupIn], state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            state.setTimeoutDuration(ttlMs)
+            Iterator.empty // duplicates of an already-seen fingerprint
+          } else {
+            state.update(SeenState(System.currentTimeMillis()))
+            state.setTimeoutDuration(ttlMs)
+            rows.take(1) // first occurrence wins; same-batch repeats drop too
+          }
+      }
+  }
+}

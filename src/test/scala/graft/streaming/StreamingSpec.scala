@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.DecodeJob
+import graft.sources.{SnapshotStore, Webtext}
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream-").toString + "/d"
+
+  test("streaming encode commits snapshots per micro-batch and decodes byte-identically") {
+    import spark.implicits._
+    val n = 6000L
+    val src = tmp()
+    // three parquet files = micro-batch input (maxFilesPerTrigger drives batching)
+    Webtext.generate(spark, n, 3).write.parquet(src)
+
+    val root = tmp()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = StreamingEncode.encodeStream(stream, root, parts = 4, checkpointDir = tmp())
+    q.awaitTermination(120000)
+
+    assert(SnapshotStore.currentSnapshotId(root).exists(_ >= 1L))
+    val decoded = DecodeJob.decode(spark, root)
+    assert(decoded.count() == n)
+    assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 3), decoded) == 0L)
+  }
+
+  test("watermarked windowed lang counts over a streamed source match batch") {
+    import spark.implicits._
+    val n = 4000L
+    val src = tmp()
+    // a single file -> a single micro-batch, so no cross-batch late data: closed
+    // windows carry complete counts and must match the batch aggregation exactly
+    Webtext.generate(spark, n, 2).coalesce(1).write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val agg = StreamingEncode.windowedLangCounts(stream)
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("lang_counts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode emits windows only after the watermark passes; with AvailableNow the
+    // final watermark is max(event time) - 1h, so compare against batch for closed windows
+    val streamed = spark.sql("SELECT * FROM lang_counts")
+    val batch = StreamingEncode.windowedLangCounts(
+      spark.read.parquet(src), watermark = "0 seconds")
+    val maxTs = spark.read.parquet(src).agg(max(col("warc_ts").cast("timestamp"))).head().getTimestamp(0)
+    // emitted iff window END <= watermark (= maxTs - 1h) -> start <= maxTs - 2h
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 2 * 3600 * 1000)
+    val closedBatch = batch.where(col("ws") <= cutoff)
+    val closedStream = streamed.where(col("ws") <= cutoff)
+    assert(closedStream.exceptAll(closedBatch).count() == 0)
+    assert(closedBatch.exceptAll(closedStream).count() == 0)
+    assert(closedStream.count() > 0)
+  }
+
+  test("stateful streaming dedup emits first occurrence per fingerprint") {
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[StreamingEncode.DedupIn]
+    val src = tmp()
+    // 20 distinct fingerprints, each repeated 5 times
+    (0 until 100).map(i => StreamingEncode.DedupIn((i % 20).toLong, s"u$i"))
+      .toDS().write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+      .as[StreamingEncode.DedupIn]
+    val out = StreamingEncode.dedupStream(stream, ttlMs = 600000)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT fp FROM dedup_out").as[Long].collect().sorted
+    assert(got.length == 20)
+    assert(got.toSeq == (0L until 20L))
+  }
+}
