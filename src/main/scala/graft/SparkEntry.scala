@@ -204,6 +204,32 @@ object SparkEntry {
       GraftFunctions.zigzag_encode(col("l_orderkey") - 3000).as("zz"),
       GraftFunctions.zigzag_decode(GraftFunctions.zigzag_encode(col("l_orderkey") - 3000)).as("rt"))),
 
+    "q_stats_udaf" -> ((s, d) => t(s, d, "lineitem")
+      .agg(graft.functions.StatsAggregator.graft_stats(col("l_partkey")).as("st"))
+      .select(col("st.n").as("n"), col("st.mn").as("mn"),
+        col("st.mx").as("mx"), col("st.maxbw").as("maxbw"))),
+
+    "q_cube" -> ((s, d) => t(s, d, "events")
+      .select(col("event_type"), year(col("ts").cast("timestamp")).as("y"))
+      .cube(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("cnt"))),
+
+    "q_setops_intersect" -> ((s, d) => {
+      val e = t(s, d, "events")
+      e.where(col("event_type") === "click").select(col("user_id"))
+        .intersectAll(e.where(col("event_type") === "view").select(col("user_id")))
+    }),
+
+    "q_json" -> ((s, d) => t(s, d, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    "q_array_funcs" -> ((s, d) => t(s, d, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      aggregate(transform(col("embedding"), x => x.cast("double")), lit(0.0d),
+        (a, x) => a + x).as("vsum"))),
+
     // ---------------- dedup / text analysis (documents) ----------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
@@ -273,7 +299,7 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = extraOracles ++ Map(
     "rt_eg_i64" -> "SELECT l_orderkey AS v FROM lineitem",
     "rt_eg_adaptive_i32" -> "SELECT l_linenumber AS v FROM lineitem",
     "rt_auto_ts" -> "SELECT epoch_us(l_shipdate) AS v FROM lineitem",
@@ -355,7 +381,28 @@ object SparkEntry {
       "CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / " +
       "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) END AS mwl FROM documents"))
 
-  // NOTE: q_langid, q_minhash_pairs, q_simhash_pairs, q_ngram_jaccard, rt_u64,
+
+  private val extraOracles: Map[String, String] = Map(
+    "q_stats_udaf" -> ("SELECT CAST(count(*) AS BIGINT) AS n, min(l_partkey) AS mn, " +
+      "max(l_partkey) AS mx, max(CASE WHEN zz = 0 THEN 0 ELSE " +
+      "CAST(floor(log2(zz)) AS BIGINT) + 1 END) AS maxbw FROM " +
+      "(SELECT l_partkey, CASE WHEN l_partkey < 0 THEN -2 * l_partkey - 1 " +
+      "ELSE 2 * l_partkey END AS zz FROM lineitem)"),
+
+    "q_cube" -> ("SELECT event_type, y, CAST(count(*) AS BIGINT) AS cnt FROM " +
+      "(SELECT event_type, CAST(year(ts) AS INTEGER) AS y FROM events) " +
+      "GROUP BY CUBE (event_type, y)"),
+
+    "q_setops_intersect" -> ("SELECT user_id FROM events WHERE event_type = 'click' " +
+      "INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'view'"),
+
+    "q_json" -> ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) " +
+      "AS k FROM events"),
+
+    "q_array_funcs" -> ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
+      "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vsum FROM embeddings"))
+
+    // NOTE: q_langid, q_minhash_pairs, q_simhash_pairs, q_ngram_jaccard, rt_u64,
   // q_knn_brute, q_knn_ann, q_embedding_neardups have no SQL-expressible oracle
   // (hash/float semantics) — driver records rows-only checks for those.
 }
