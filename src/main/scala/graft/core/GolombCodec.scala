@@ -82,30 +82,79 @@ object GolombCodec {
     decodeRange(bytes, 0, bytes.length, k0, t, -1)
   }
 
-  /** Decode at most `limit` values (limit < 0 = no limit) from a byte range. */
+  /**
+   * Decode at most `limit` values (limit < 0 = no limit) from a byte range.
+   * Fused hot loop (accumulator state in locals, output preallocated when the count
+   * is known) — same semantics as the reference decoder incl. zero_overflow skip and
+   * done-mid-value truncation (src/golomb.h:517-595, :644-662).
+   */
   def decodeRange(bytes: Array[Byte], offset: Int, length: Int,
                   k0: Int, t: PhysicalIntType, limit: Int): Array[Long] = {
     val w = t.width
     val k = clampK(k0, w)
-    val in = new BitReader(bytes, offset, length)
-    val out = new ArrayBuilder.ofLong
-    if (limit > 0) out.sizeHint(limit)
+    val widthMask = t.widthMask
+    val end = offset + length
+    var pos = offset
+    var acc = 0L
+    var navail = 0
+    val outArr: Array[Long] = if (limit >= 0) new Array[Long](limit) else null
+    val builder = if (limit < 0) new ArrayBuilder.ofLong else null
     var n = 0
-    while (in.hasData && (limit < 0 || n < limit)) {
-      val zeros = in.scanZeros()
-      if (zeros >= 0) {
-        val digits = zeros + k
-        if (digits > w) {
-          // zero_overflow (src/golomb.h:548-554): skip, stream stays aligned after the 1
-        } else if (in.readBits(digits.toInt)) {
-          val base = (maskL(zeros.toInt) << k) & t.widthMask
-          val u = (in.lastRead + base) & t.widthMask
-          out += t.toIntegral(u)
-          n += 1
+    var running = true
+    while (running && (limit < 0 || n < limit)) {
+      while (navail <= 56 && pos < end) { acc = (acc << 8) | (bytes(pos) & 0xffL); navail += 8; pos += 1 }
+      if (navail == 0) running = false
+      else {
+        // zero-scan a whole window at a time (src/golomb.h:527-542)
+        var zeros = 0L
+        var window = acc & maskL(navail)
+        var exhausted = false
+        while (window == 0L && !exhausted) {
+          zeros += navail
+          navail = 0
+          while (navail <= 56 && pos < end) { acc = (acc << 8) | (bytes(pos) & 0xffL); navail += 8; pos += 1 }
+          if (navail == 0) exhausted = true
+          else window = acc & maskL(navail)
+        }
+        if (exhausted) running = false // trailing pad zeros -> done
+        else {
+          val bw = 64 - java.lang.Long.numberOfLeadingZeros(window)
+          zeros += navail - bw
+          navail = bw - 1 // consume the terminating 1
+          val digits = zeros + k
+          if (digits > w) {
+            // zero_overflow (src/golomb.h:548-554): skip; stream stays aligned
+          } else {
+            var dleft = digits.toInt
+            var buf = 0L
+            var ok = true
+            while (dleft > 0 && ok) {
+              if (navail == 0) {
+                while (navail <= 56 && pos < end) { acc = (acc << 8) | (bytes(pos) & 0xffL); navail += 8; pos += 1 }
+                if (navail == 0) ok = false
+              }
+              if (ok) {
+                val tb = if (dleft < navail) dleft else navail
+                buf = (buf << tb) | ((acc >>> (navail - tb)) & maskL(tb))
+                navail -= tb
+                dleft -= tb
+              }
+            }
+            if (!ok) running = false // done mid-value: value dropped
+            else {
+              val base = (maskL(zeros.toInt) << k) & widthMask
+              val u = (buf + base) & widthMask
+              val v = t.toIntegral(u)
+              if (outArr != null) outArr(n) = v else builder += v
+              n += 1
+            }
+          }
         }
       }
     }
-    out.result()
+    if (outArr != null) {
+      if (n == limit) outArr else java.util.Arrays.copyOf(outArr, n)
+    } else builder.result()
   }
 
   /**
