@@ -13,12 +13,12 @@ object Dedup {
 
   /**
    * Exact dedup: one representative (min id) per identical text.
-   * Single shuffle on xxhash64(text) — grouping on the 8-byte hash, not the text,
-   * keeps shuffle rows narrow; the `min(text-hash-collision guard)` is unnecessary at
-   * 64-bit collision rates but text is carried for exactness via first(text) compare.
+   * Single shuffle keyed on the 128-bit md5 of the text — shuffle rows stay narrow
+   * (16B key + id instead of whole documents) and 128 bits keeps collision odds
+   * negligible even at 10^12 documents (vs ~3% birthday risk at 64 bits).
    */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(md5(col(textCol).cast("binary")))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
