@@ -61,7 +61,14 @@ object FsstLite {
     new Table(syms)
   }
 
-  /** Train a table on sample strings (bounded byte budget). */
+  /**
+   * Train a table on sample strings (bounded byte budget) with the FSST paper's
+   * iterative scheme: start from single bytes, then for a few generations greedily
+   * encode the sample with the current table, count symbol usage and adjacent-symbol
+   * concatenations, and keep the 255 highest-gain candidates (gain = bytes saved =
+   * count * (len - 1); singles gain their escape-avoidance). Longer symbols emerge
+   * as concatenations of proven shorter ones instead of raw n-gram guesses.
+   */
   def train(sample: Iterator[Array[Byte]]): Table = {
     val budget = 16 * 1024
     var used = 0
@@ -71,48 +78,84 @@ object FsstLite {
       buf += s
       used += s.length
     }
-    val gramFreq = new java.util.HashMap[String, Integer]()
     val byteFreq = new Array[Long](256)
     for (s <- buf) {
       var i = 0
-      while (i < s.length) {
-        byteFreq(s(i) & 0xff) += 1
-        var len = 2
-        while (len <= MaxSymbolLen && i + len <= s.length) {
-          // longer grams sampled at stride 2 to bound the counting map
-          if (len <= 3 || (i & 1) == 0) {
-            val key = new String(s, i, len, java.nio.charset.StandardCharsets.ISO_8859_1)
-            gramFreq.merge(key, 1, (a, b) => a + b)
+      while (i < s.length) { byteFreq(s(i) & 0xff) += 1; i += 1 }
+    }
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val seenSingles = (0 until 256).filter(byteFreq(_) > 0).map(b => Array(b.toByte))
+    var table = new Table(seenSingles.take(MaxSymbols).toArray)
+
+    val generations = 3
+    for (_ <- 0 until generations) {
+      val symCount = new Array[Long](table.symbols.length)
+      val pairCount = new java.util.HashMap[String, Long]()
+      for (s <- buf) {
+        var prev = -1
+        var i = 0
+        val n = s.length
+        while (i < n) {
+          // greedy longest match (same dispatch as compress)
+          var code = -1
+          var len = 1
+          if (i + 1 < n) {
+            val p = ((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)
+            val cands = table.longCands(p)
+            if (cands != null && i + 2 < n) {
+              var ci = 0
+              while (code < 0 && ci < cands.length) {
+                val c = cands(ci)
+                val sym = table.symbols(c)
+                if (i + sym.length <= n && matches(s, i, sym)) { code = c; len = sym.length }
+                ci += 1
+              }
+            }
+            if (code < 0 && table.code2(p) >= 0) { code = table.code2(p); len = 2 }
           }
-          len += 1
+          if (code < 0) { code = table.code1(s(i) & 0xff); len = 1 }
+          if (code >= 0) symCount(code) += 1
+          if (prev >= 0 && code >= 0) {
+            val concatLen = table.symbols(prev).length + len
+            if (concatLen <= MaxSymbolLen) {
+              pairCount.merge(new String(s, i - table.symbols(prev).length, concatLen, iso), 1L, _ + _)
+            }
+          }
+          prev = code
+          i += len
         }
-        i += 1
       }
-    }
-    // bounded top-k selection (full sort of the gram map showed up hot in profiles)
-    val topK = 160
-    val heap = new java.util.PriorityQueue[(String, Long)](topK + 1,
-      (a: (String, Long), b: (String, Long)) => {
-        val c = java.lang.Long.compare(a._2, b._2)
-        if (c != 0) c else b._1.compareTo(a._1)
-      })
-    gramFreq.forEach { (g, f) =>
-      val gain = f.toLong * (g.length - 1)
-      if (gain > 16) {
+      // candidates: current symbols + adjacent concatenations, scored by bytes saved
+      val cand = new java.util.HashMap[String, Long]()
+      var c = 0
+      while (c < table.symbols.length) {
+        val sym = table.symbols(c)
+        val gain =
+          if (sym.length == 1) byteFreq(sym(0) & 0xff) // escape avoidance: 1B saved/occurrence
+          else symCount(c) * (sym.length - 1)
+        if (gain > 0) cand.merge(new String(sym, iso), gain, math.max)
+        c += 1
+      }
+      pairCount.forEach { (g, f) =>
+        val gain = f * (g.length - 1)
+        if (gain > 8) cand.merge(g, gain, math.max)
+      }
+      // top 255 by gain (deterministic tiebreak on the bytes)
+      val heap = new java.util.PriorityQueue[(String, Long)](MaxSymbols + 1,
+        (a: (String, Long), b: (String, Long)) => {
+          val cc = java.lang.Long.compare(a._2, b._2)
+          if (cc != 0) cc else b._1.compareTo(a._1)
+        })
+      cand.forEach { (g, gain) =>
         heap.offer((g, gain))
-        if (heap.size() > topK) heap.poll()
+        if (heap.size() > MaxSymbols) heap.poll()
       }
+      val chosen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      while (!heap.isEmpty) chosen += heap.poll()
+      table = new Table(chosen.sortBy { case (g, gain) => (-gain, g) }
+        .map(_._1.getBytes(iso)).toArray)
     }
-    val grams = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-    while (!heap.isEmpty) grams += heap.poll()
-    val gramBytes = grams.sortBy { case (g, gain) => (-gain, g) }
-      .map(_._1.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).toSeq
-    val singles = (0 until 256)
-      .filter(b => byteFreq(b) > 0)
-      .sortBy(b => (-byteFreq(b), b))
-      .take(MaxSymbols - gramBytes.length)
-      .map(b => Array(b.toByte))
-    new Table((gramBytes ++ singles).take(MaxSymbols).toArray)
+    table
   }
 
   @inline private def matches(s: Array[Byte], i: Int, sym: Array[Byte]): Boolean = {
