@@ -49,16 +49,23 @@ object EncodeJob {
 
   // ---------------- range boundaries (deterministic, persisted) ----------------
 
-  /** Deterministic sample of urls -> parts-1 sorted boundary strings. */
+  /**
+   * Deterministic sample of urls -> parts-1 sorted boundary strings.
+   * The sampling rate adapts to the row count (parquet count() is metadata-only, so
+   * this costs no data scan) and the sample is a pure hash filter — unbiased across
+   * the whole input, unlike limit(), which would only see the first files read and
+   * skew every boundary at scale.
+   */
   def computeBoundaries(pages: Dataset[WebPage], parts: Int): Array[String] = {
     if (parts <= 1) return Array.empty
     val spark = pages.sparkSession
     import spark.implicits._
-    val targetSample = math.min(parts * 200, 200000)
-    // xxhash64 is deterministic; modulus keeps the sample small at any input size
+    val targetSample = math.min(parts * 200L, 200000L)
+    val total = math.max(pages.count(), 1L)
+    val rateDenom = 1000000L
+    val threshold = math.min((targetSample * rateDenom) / total + 1, rateDenom)
     val urls = pages.select($"url")
-      .where(pmod(xxhash64($"url"), lit(1000)) < lit(10)) // ~1% deterministic sample
-      .limit(targetSample)
+      .where(pmod(xxhash64($"url"), lit(rateDenom)) < lit(threshold))
       .as[String].collect().sorted
     if (urls.isEmpty) Array.empty
     else Array.tabulate(parts - 1) { i =>

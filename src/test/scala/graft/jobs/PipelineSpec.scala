@@ -39,6 +39,12 @@ class PipelineSpec extends AnyFunSuite {
     val decoded = DecodeJob.decode(spark, root)
     assert(decoded.count() == n)
     assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 8), decoded) == 0L)
+
+    // sampled range boundaries must yield balanced work units (skew guard)
+    val sizes = SnapshotStore.currentEntries(root).map(_.nRows)
+    val mean = sizes.sum.toDouble / sizes.size
+    assert(sizes.forall(s => s > mean * 0.4 && s < mean * 2.0),
+      s"unbalanced parts: $sizes")
   }
 
   test("killed-after-partial-commit run resumes with no dupes and no gaps") {
