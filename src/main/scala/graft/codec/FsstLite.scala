@@ -87,7 +87,7 @@ object FsstLite {
     val seenSingles = (0 until 256).filter(byteFreq(_) > 0).map(b => Array(b.toByte))
     var table = new Table(seenSingles.take(MaxSymbols).toArray)
 
-    val generations = 3
+    val generations = 4
     for (_ <- 0 until generations) {
       val symCount = new Array[Long](table.symbols.length)
       val pairCount = new java.util.HashMap[String, Long]()
