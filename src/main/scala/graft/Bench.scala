@@ -35,6 +35,37 @@ object Bench {
     out
   }
 
+  /**
+   * Hardware calibration: run an identical fixed CPU workload on k concurrent raw
+   * threads. Perfect hardware gives equal wall times (weak scaling eff 1.0); this
+   * host's 32 vCPUs share 16 physical cores and are co-tenant-contended, so the
+   * measured ceiling contextualizes the Spark job's 8->32 efficiency.
+   */
+  private def weakScalingCalibration(): (Double, Double) = {
+    def work(): Long = {
+      val vs = Array.tabulate(1 << 19)(i => (i * 2654435761L) % 100000)
+      var total = 0L
+      for (_ <- 0 until 6) {
+        val e = GolombCodec.encode(vs, 3, PhysicalIntType.I64)
+        total += GolombCodec.decode(e, 3, PhysicalIntType.I64).length
+      }
+      total
+    }
+    def at(threads: Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val futs = (0 until threads).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = work()
+      }))
+      futs.foreach(_.get())
+      pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    work() // JIT warmup
+    val t2 = at(2); val t8 = at(8); val t32 = at(32)
+    (t2 / t8, t8 / t32)
+  }
+
   private def microBench(): (Double, Double, Double) = {
     val n = 16 * 1024 * 1024
     val values = paretoI32(n, 42L)
@@ -117,6 +148,7 @@ object Bench {
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
 
     val (encMbps, decMbps, egRatio) = microBench()
+    val (hwEff28, hwEff832) = weakScalingCalibration()
 
     // materialize identical webtext input once (on tmpfs) + JIT warmup encode
     val prep = newSession(cpus)
@@ -164,6 +196,6 @@ object Bench {
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }
