@@ -84,6 +84,15 @@ object SparkEntry {
           |      FROM lineitem_v GROUP BY l_orderkey % 64)""".stripMargin)
     }),
 
+    // string blocks through the SQL expression surface
+    "rt_expr_str" -> ((s, d) => {
+      GraftFunctions.registerAll(s)
+      t(s, d, "documents").createOrReplaceTempView("documents_v")
+      s.sql(
+        """SELECT explode(graft_decode_str(graft_encode_str(vals))) AS v
+          |FROM (SELECT collect_list(lang) AS vals FROM documents_v GROUP BY source)""".stripMargin)
+    }),
+
     // ---------------- aggregations / stats ----------------
     "q1_agg" -> ((s, d) => t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -307,6 +316,7 @@ object SparkEntry {
     "rt_str_text" -> "SELECT text AS v FROM documents",
     "rt_str_lang" -> "SELECT lang AS v FROM documents",
     "rt_expr_sql" -> "SELECT l_suppkey AS v FROM lineitem",
+    "rt_expr_str" -> "SELECT lang AS v FROM documents",
 
     "q1_agg" -> ("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, " +
       "sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price, " +

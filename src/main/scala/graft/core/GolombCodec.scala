@@ -40,8 +40,11 @@ object GolombCodec {
       out.writeBits(data, w)
     } else {
       val nb = 64 - java.lang.Long.numberOfLeadingZeros(data) // data >= 2^k >= 1
-      out.writeZeros(nb - k - 1)
-      out.writeBits(data, nb)
+      // the code word is (nb-k-1) zeros then the nb bits of data, whose leading bit
+      // is 1 — for total width <= 56 that is ONE field write of data
+      val total = 2 * nb - k - 1
+      if (total <= 56) out.writeBits(data, total)
+      else { out.writeZeros(nb - k - 1); out.writeBits(data, nb) }
     }
   }
 

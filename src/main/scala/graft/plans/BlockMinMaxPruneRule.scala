@@ -12,7 +12,9 @@ import graft.functions.GraftDecode
  * predicate-push onto dictionary and FoR metadata without full decompression").
  *
  * Block tables written by the encode job carry per-block `block_min`/`block_max`
- * columns (FoR bounds in the column's logical domain). For a filter of the shape
+ * columns (FoR bounds in the column's logical domain) and, for dictionary-coded
+ * blocks, an optional `block_dict` array listing every distinct value in the block
+ * (null for non-dict codecs). For a filter of the shape
  * `array_contains(graft_decode(encoded), <literal>)` this rule conjoins
  * `block_min <= lit AND lit <= block_max`, which Parquet then prunes with row-group
  * statistics BEFORE any block is decompressed. Pure pruning rewrite: value ∈ block ⇒
@@ -31,19 +33,26 @@ object BlockMinMaxPruneRule extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) =>
       val minAttr = child.output.find(_.name.equalsIgnoreCase("block_min"))
       val maxAttr = child.output.find(_.name.equalsIgnoreCase("block_max"))
-      (minAttr, maxAttr) match {
-        case (Some(mn), Some(mx)) =>
-          val conjuncts = splitConjunctivePredicates(cond)
-          val extra = conjuncts.flatMap {
-            case ArrayContains(GraftDecode(_), lit) =>
-              literalLong(lit).map { v =>
+      val dictAttr = child.output.find(_.name.equalsIgnoreCase("block_dict"))
+      if (minAttr.isEmpty && dictAttr.isEmpty) f
+      else {
+        val conjuncts = splitConjunctivePredicates(cond)
+        val extra = conjuncts.flatMap {
+          case ArrayContains(GraftDecode(_), lit) =>
+            literalLong(lit).toSeq.flatMap { v =>
+              val range = for (mn <- minAttr; mx <- maxAttr) yield
                 And(LessThanOrEqual(mn, Literal(v)), GreaterThanOrEqual(mx, Literal(v)))
+              // dictionary-membership prune: null block_dict (non-dict codec) must
+              // pass — the guard keeps the rewrite purely pruning
+              val dict = dictAttr.map { d =>
+                Or(IsNull(d), ArrayContains(d, Literal(v)))
               }
-            case _ => None
-          }.filterNot(e => conjuncts.exists(_.semanticEquals(e)))
-          if (extra.isEmpty) f
-          else Filter(extra.foldLeft(cond)(And(_, _)), child)
-        case _ => f
+              range.toSeq ++ dict.toSeq
+            }
+          case _ => Nil
+        }.filterNot(e => conjuncts.exists(_.semanticEquals(e)))
+        if (extra.isEmpty) f
+        else Filter(extra.foldLeft(cond)(And(_, _)), child)
       }
   }
 

@@ -132,6 +132,21 @@ class PipelineSpec extends AnyFunSuite {
       s"metadata filter not pushed to scan:\n$physical")
     assert(q.collect().map(_.getInt(0)).toSeq == Seq(2))
 
+    // dictionary-membership prune: null block_dict rows must PASS (soundness)
+    val dictDir = freshRoot() + "/dictblocks"
+    Seq(
+      (1, Seq(5L, 7L, 9L), graft.codec.IntBlockCodec.encode(Array(5L, 7L, 9L), graft.core.PhysicalIntType.I64)),
+      (2, Seq(10L, 20L), graft.codec.IntBlockCodec.encode(Array(10L, 20L), graft.core.PhysicalIntType.I64)),
+      (3, null, graft.codec.IntBlockCodec.encode(Array(7L, 100L), graft.core.PhysicalIntType.I64)))
+      .toDF("block_id", "block_dict", "encoded")
+      .write.parquet(dictDir)
+    spark.read.parquet(dictDir).createOrReplaceTempView("dict_blocks")
+    val qd = spark.sql("SELECT block_id FROM dict_blocks WHERE array_contains(graft_decode(encoded), 7L)")
+    assert(qd.queryExecution.optimizedPlan.toString().contains("block_dict"),
+      "dict conjunct missing")
+    assert(qd.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3),
+      "dict prune must keep dict hit AND null-dict block")
+
     // soundness: no metadata columns -> rule is a no-op, same results
     val noMeta = spark.read.parquet(dir).select("block_id", "encoded")
     noMeta.createOrReplaceTempView("blocks_nometa")
