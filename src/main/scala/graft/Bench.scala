@@ -193,6 +193,8 @@ object Bench {
     }
     spark.stop()
 
+    deleteRecursively(new java.io.File(scratch))
+
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
