@@ -141,11 +141,20 @@ object IntBlockCodec {
 
   final case class BlockInfo(t: PhysicalIntType, n: Int, codecName: String)
 
-  def decode(block: Array[Byte]): Array[Long] = {
-    val c = header(block)
-    val n = c._2
-    decodeNode(c._3, n, c._1)
-  }
+  /** Raised for malformed/truncated blocks instead of raw index errors. */
+  final class CorruptBlockException(msg: String, cause: Throwable)
+      extends IllegalArgumentException(msg, cause)
+
+  def decode(block: Array[Byte]): Array[Long] =
+    try {
+      val c = header(block)
+      decodeNode(c._3, c._2, c._1)
+    } catch {
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new CorruptBlockException(s"truncated or corrupt block (${block.length} bytes)", e)
+      case e: NegativeArraySizeException =>
+        throw new CorruptBlockException(s"corrupt block lengths (${block.length} bytes)", e)
+    }
 
   def physicalType(block: Array[Byte]): PhysicalIntType = header(block)._1
   def numValues(block: Array[Byte]): Int = header(block)._2
