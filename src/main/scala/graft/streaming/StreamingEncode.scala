@@ -57,25 +57,29 @@ object StreamingEncode {
 
   /**
    * Stateful streaming exact-dedup: keeps one state entry per content fingerprint,
-   * emits only first occurrences, expires state after `ttlMs` of inactivity
-   * (bounded state at web scale: dup windows are temporal).
+   * emits only first occurrences. With `ttlMs > 0` state expires after that much
+   * processing-time inactivity (bounded state at web scale). Caveat: Spark 4.1's
+   * AvailableNow trigger schedules an extra timeout batch for ProcessingTimeTimeout
+   * that can hit an internal planner NPE — use a ProcessingTime trigger with the
+   * TTL path. `ttlMs <= 0` keeps state forever (NoTimeout), safe under any trigger.
    */
   def dedupStream(pages: Dataset[DedupIn], ttlMs: Long): Dataset[DedupIn] = {
     import pages.sparkSession.implicits._
+    val mode =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     pages
       .groupByKey(_.fp)
-      .flatMapGroupsWithState[SeenState, DedupIn](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[SeenState, DedupIn](OutputMode.Append, mode) {
         (_: Long, rows: Iterator[DedupIn], state: GroupState[SeenState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else if (state.exists) {
-            state.setTimeoutDuration(ttlMs)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             Iterator.empty // duplicates of an already-seen fingerprint
           } else {
             state.update(SeenState(System.currentTimeMillis()))
-            state.setTimeoutDuration(ttlMs)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             rows.take(1) // first occurrence wins; same-batch repeats drop too
           }
       }

@@ -83,7 +83,9 @@ class StreamingSpec extends AnyFunSuite {
       .schema(spark.read.parquet(src).schema)
       .parquet(src)
       .as[StreamingEncode.DedupIn]
-    val out = StreamingEncode.dedupStream(stream, ttlMs = 600000)
+    // ttlMs <= 0 -> NoTimeout: the TTL path's ProcessingTimeTimeout trips a Spark 4.1
+    // internal NPE on AvailableNow's extra timeout batch (documented on dedupStream)
+    val out = StreamingEncode.dedupStream(stream, ttlMs = 0)
     val q = out.writeStream.outputMode("append").format("memory").queryName("dedup_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
