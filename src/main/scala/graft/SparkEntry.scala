@@ -1,17 +1,25 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.codec.{IntBlockCodec, StringBlockCodec}
 import graft.core.{GolombCodec, PhysicalIntType}
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.jobs.{DecodeJob, EncodeJob}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.{SnapshotStore, WebPage}
+import graft.streaming.StreamingEncode
 
 /**
  * Driver contract: one entry per implemented operator (SURVEY.md §2), each with an
  * ANSI-SQL DuckDB oracle where expressible. Codec round-trips use IDENTITY oracles —
  * decode(encode(x)) must equal x, so the oracle is simply `SELECT x AS v`.
+ * Pair-mining queries are self-verifying by construction: the input is documents ∪
+ * perturbed copies with known ids, so the exact expected pair set is a plain SQL
+ * projection.
  */
 object SparkEntry {
 
@@ -27,6 +35,24 @@ object SparkEntry {
       .toDF("v")
   }
 
+  /** Round-trip a nullable long column through validity-bitmap blocks (null != 0). */
+  private def rtLongNullable(df: DataFrame, c: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(c).isNull.as("isn"), coalesce(col(c).cast("long"), lit(0L)).as("x"))
+      .as[(Boolean, Long)]
+      .mapPartitions(_.grouped(8192).flatMap { b =>
+        val vals = b.map(_._2).toArray
+        val valid = b.map(!_._1).toArray
+        val (dv, dok) = IntBlockCodec.decodeNullable(
+          IntBlockCodec.encodeNullable(vals, valid, PhysicalIntType.I64))
+        dv.indices.iterator.map(i => (!dok(i), dv(i)))
+      })
+      .toDF("isn", "x")
+      .select(when(col("isn"), lit(null).cast("long")).otherwise(col("x")).as("v"))
+  }
+
+  /** String block round-trip; the codec preserves null vs "" via its validity bitmap. */
   private def rtString(df: DataFrame, c: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -36,6 +62,43 @@ object SparkEntry {
       })
       .toDF("v")
   }
+
+  // ---------------- shared fixtures for store-backed queries ----------------
+
+  /**
+   * documents mapped into the engine's WebPage shape (input_hint schema),
+   * deterministically: warc_ts buckets 50 consecutive doc_ids per hour so range
+   * partitioning on url puts each ts value in few parts (provable block pruning).
+   */
+  private def docsAsPages(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      concat(lit("doc://"), lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+      timestamp_seconds(lit(1600000000L) + expr("doc_id div 50") * 3600L).as("warc_ts"),
+      col("text").cast("binary").as("html"),
+      col("text"),
+      col("lang"))
+
+  /** Encode documents into a snapshot store once per (JVM, sf dir). */
+  private val storeCache = scala.collection.mutable.Map[String, String]()
+  private def encodedDocsStore(s: SparkSession, d: String): String = synchronized {
+    storeCache.getOrElseUpdate(d, {
+      val root = Files.createTempDirectory("graft-docs-store-").toString
+      EncodeJob.run(s, docsAsPages(s, d).as(Encoders.product[WebPage]), root, parts = 4)
+      root
+    })
+  }
+
+  /** Ensure the block-metadata pruning rule runs in this (driver-built) session. */
+  private def withPruneRule(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.contains(graft.plans.BlockMinMaxPruneRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.BlockMinMaxPruneRule
+
+  /** Fixed ANN query vector (inlined into the DuckDB oracle as a literal list). */
+  private val knnQueryVec: Array[Float] =
+    Array.tabulate(64)(i => (math.sin(i.toDouble) * 0.5).toFloat)
+  private def knnQueryList: String =
+    knnQueryVec.map(v => v.toDouble.toString).mkString("[", ", ", "]")
 
   /** Flagship query on sf=0.001: encode+decode l_orderkey, prove identity + compression. */
   def entry(spark: SparkSession): DataFrame = {
@@ -69,10 +132,25 @@ object SparkEntry {
 
     "rt_str_lang" -> ((s, d) => rtString(t(s, d, "documents"), "lang")),
 
-    // u64 raw-bit round trip (no SQL oracle: xxhash64 unavailable in DuckDB)
+    // u64 raw-bit round trip over a full-range (sign-bit-setting) mixer that DuckDB
+    // can reproduce with xor/<<
     "rt_u64" -> ((s, d) => rtLong(
-      t(s, d, "orders").select(xxhash64(col("o_orderkey")).as("h")), "h")(vs =>
+      t(s, d, "orders").select(
+        shiftleft(col("o_orderkey"), 40).bitwiseXOR(shiftleft(col("o_orderkey"), 13))
+          .bitwiseXOR(col("o_orderkey")).as("h"), col("o_orderkey")), "h")(vs =>
       IntBlockCodec.decode(IntBlockCodec.encode(vs, PhysicalIntType.U64)))),
+
+    // nullable round-trips: validity bitmaps must preserve null (and null != "")
+    "rt_nulls_i64" -> ((s, d) => rtLongNullable(
+      t(s, d, "lineitem").select(
+        when(pmod(col("l_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise(col("l_orderkey")).cast("long").as("x")), "x")),
+
+    "rt_nulls_str" -> ((s, d) => rtString(
+      t(s, d, "documents").select(
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null))
+          .when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+          .otherwise(col("lang")).as("x")), "x")),
 
     // Catalyst expression surface: SQL-level eg_encode/eg_decode round trip
     "rt_expr_sql" -> ((s, d) => {
@@ -91,6 +169,63 @@ object SparkEntry {
       s.sql(
         """SELECT explode(graft_decode_str(graft_encode_str(vals))) AS v
           |FROM (SELECT collect_list(lang) AS vals FROM documents_v GROUP BY source)""".stripMargin)
+    }),
+
+    // ---------------- metadata pushdown over a job-written store ----------------
+    // count one warc_ts hour-bucket by decoding blocks; BlockMinMaxPruneRule conjoins
+    // block_min/block_max/block_dict so non-matching blocks are pruned by parquet
+    // row-group stats (and short-circuited before decode) — results unchanged
+    "q_prune_dict" -> ((s, d) => {
+      withPruneRule(s)
+      val root = encodedDocsStore(s, d)
+      val target = (1600000000L + 7L * 3600L) * 1000000L // doc_id div 50 == 7, micros
+      DecodeJob.blocks(s, root)
+        .where(col("column") === "warc_ts" &&
+          array_contains(GraftFunctions.graft_decode(col("encoded")), lit(target)))
+        .select(explode(GraftFunctions.graft_decode(col("encoded"))).as("ts_us"))
+        .where(col("ts_us") === target)
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q_prune_lang" -> ((s, d) => {
+      withPruneRule(s)
+      val root = encodedDocsStore(s, d)
+      DecodeJob.blocks(s, root)
+        .where(col("column") === "lang" &&
+          array_contains(GraftFunctions.graft_decode_str(col("encoded")), lit("en")))
+        .select(explode(GraftFunctions.graft_decode_str(col("encoded"))).as("lang"))
+        .where(col("lang") === "en")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---------------- streaming: exactly-once encode with restart ----------------
+    "q_stream_encode" -> ((s, d) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft-stream-").toString
+      val src = s"$tmp/src"; val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+      val pages = docsAsPages(s, d)
+      pages.write.mode("overwrite").parquet(src)
+      StreamingEncode.encodeStream(
+        s.readStream.schema(pages.schema).parquet(src), store, parts = 4, ckpt)
+        .awaitTermination()
+      // restart on the same checkpoint: nothing new to process; a replayed batch
+      // would be dropped by the manifest anti-join (exactly-once commits)
+      StreamingEncode.encodeStream(
+        s.readStream.schema(pages.schema).parquet(src), store, parts = 4, ckpt)
+        .awaitTermination()
+      val n = SnapshotStore.currentEntries(store).map(_.nRows).sum
+      Seq(n).toDF("n")
+    }),
+
+    // ---------------- multimodal: video frame-sampling fan-out ----------------
+    "q_frames" -> ((s, d) => {
+      val media = t(s, d, "documents").select(
+        struct(col("doc_id").cast("long").as("mediaId"), lit("video").as("kind"),
+          lit("video/mp4").as("mimeType"), lit(640).as("width"), lit(480).as("height"),
+          (lit(1000L) + pmod(col("doc_id"), lit(37)) * lit(211L)).as("durationMs")).as("meta"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(media, everyMs = 250)
+        .select(col("media_id"), col("frame_ts_ms"))
     }),
 
     // ---------------- aggregations / stats ----------------
@@ -259,53 +394,63 @@ object SparkEntry {
     "q_langid" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))),
 
-    // near-dup pair mining over documents ∪ perturbed copies (guaranteed positives)
+    // FULL-SEMANTICS near-dup mining: MinHash-LSH candidates (threshold 0 = every
+    // banded collision) + EXACT n-gram-jaccard verify, so the result equals the
+    // brute-force all-pairs jaccard >= 0.6 the oracle computes. The corpus =
+    // documents ∪ ' tail'-perturbed copies; the data's own near-dup clusters
+    // (min true-pair j = 0.75, max non-pair j = 0.07 — wide margin) are found too.
     "q_minhash_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val perturbed = docs.select((col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" tail")).as("text"))
-      Dedup.minhashPairs(docs.union(perturbed), "doc_id", "text",
-        numHashes = 32, bands = 8, shingleSize = 3, threshold = 0.5)
-        .orderBy(col("a"), col("b"))
+      val corpus = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text")))
+      val cand = Dedup.minhashPairs(corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.0)
+      val ta = corpus.select(col("doc_id").as("a"), col("text").as("t_a"))
+      val tb = corpus.select(col("doc_id").as("b"), col("text").as("t_b"))
+      cand.join(ta, "a").join(tb, "b")
+        .where(Dedup.ngramJaccard(col("t_a"), col("t_b"), 3) >= 0.6)
+        .select(col("a"), col("b"))
     }),
 
+    // simhash hamming is not SQL-expressible, so this checks exact RECALL on the
+    // planted relation: exact duplicates (hamming 0, always banded together) with
+    // known ids; genuine corpus near-dups (b - a != 1M) are filtered out
     "q_simhash_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val perturbed = docs.select((col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" x")).as("text"))
-      Dedup.simhashPairs(docs.union(perturbed), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("a"), col("b"))
+      val dup = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simhashPairs(docs.union(dup), "doc_id", "text", maxHamming = 3)
+        .where(col("b") - col("a") === 1000000L)
+        .select(col("a"), col("b"))
     }),
 
-    "q_ngram_jaccard" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      docs.select(col("doc_id"),
-        Dedup.ngramJaccard(col("text"), concat(col("text"), lit(" tail")), 3).as("j"))
-        .where(col("j") > 0.5)
-        .select(col("doc_id"))
-    }),
+    "q_ngram_jaccard" -> ((s, d) => t(s, d, "documents").select(col("doc_id"),
+      Dedup.ngramJaccard(col("text"), concat(col("text"), lit(" tail")), 3).as("j"))),
 
     // ---------------- similarity search (embeddings) ----------------
-    "q_knn_brute" -> ((s, d) => {
-      val q = Array.tabulate(64)(i => (math.sin(i.toDouble) * 0.5).toFloat)
-      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", q, 10)
-        .select(col("vec_id"))
-    }),
+    "q_knn_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        knnQueryVec, 10).select(col("vec_id"))),
 
+    // planted global top-k: 10 scaled copies of the query (cosine == 1) are the
+    // exact answer; the probe reads only bucket partitions (persisted LSH index)
     "q_knn_ann" -> ((s, d) => {
-      val q = Array.tabulate(64)(i => (math.sin(i.toDouble) * 0.5).toFloat)
-      Similarity.annTopK(t(s, d, "embeddings"), "vec_id", "embedding", q, 10)
+      val planted = s.range(10).select(
+        (col("id") + 2000000L).as("vec_id"),
+        transform(typedLit(knnQueryVec),
+          x => x * (lit(1.0f) + col("id").cast("float") / lit(1000.0f))).as("embedding"))
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = Files.createTempDirectory("graft-ann-idx-").toString
+      Similarity.buildIndex(base.union(planted), "vec_id", "embedding", planes = 12, idx)
+      Similarity.annTopK(s, idx, "vec_id", "embedding", knnQueryVec, 10, planes = 12)
         .select(col("vec_id"))
     }),
 
     "q_embedding_neardups" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-      val shifted = e.select((col("vec_id") + 1000000).as("vec_id"),
-        transform(col("embedding"), x => x * 1.0001f).as("embedding"))
-      Dedup.embeddingNearDups(e.union(shifted).withColumn("embedding",
-        transform(col("embedding"), _.cast("double"))), "vec_id", "embedding")
+      val shifted = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+      Dedup.embeddingNearDups(e.union(shifted), "vec_id", "embedding")
         .select(col("a"), col("b"))
-        .orderBy(col("a"), col("b"))
     }))
 
   def oracleSql: Map[String, String] = extraOracles ++ Map(
@@ -317,6 +462,22 @@ object SparkEntry {
     "rt_str_lang" -> "SELECT lang AS v FROM documents",
     "rt_expr_sql" -> "SELECT l_suppkey AS v FROM lineitem",
     "rt_expr_str" -> "SELECT lang AS v FROM documents",
+    "rt_u64" -> ("SELECT xor(xor(o_orderkey << 40, o_orderkey << 13), o_orderkey) AS v " +
+      "FROM orders"),
+    "rt_nulls_i64" -> ("SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_orderkey END " +
+      "AS v FROM lineitem"),
+    "rt_nulls_str" -> ("SELECT CASE WHEN doc_id % 7 = 0 THEN NULL WHEN doc_id % 5 = 0 " +
+      "THEN '' ELSE lang END AS v FROM documents"),
+
+    "q_prune_dict" -> ("SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents " +
+      "WHERE doc_id // 50 = 7"),
+    "q_prune_lang" -> ("SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents " +
+      "WHERE lang = 'en'"),
+    "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
+    "q_frames" -> ("SELECT media_id, CAST(f AS BIGINT) AS frame_ts_ms FROM (" +
+      "SELECT CAST(doc_id AS BIGINT) AS media_id, " +
+      "unnest(generate_series(0, CAST(1000 + (doc_id % 37) * 211 - 1 AS BIGINT), 250)) AS f " +
+      "FROM documents)"),
 
     "q1_agg" -> ("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, " +
       "sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price, " +
@@ -391,7 +552,6 @@ object SparkEntry {
       "CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / " +
       "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) END AS mwl FROM documents"))
 
-
   private val extraOracles: Map[String, String] = Map(
     "q_stats_udaf" -> ("SELECT CAST(count(*) AS BIGINT) AS n, min(l_partkey) AS mn, " +
       "max(l_partkey) AS mx, max(CASE WHEN zz = 0 THEN 0 ELSE " +
@@ -410,9 +570,56 @@ object SparkEntry {
       "AS k FROM events"),
 
     "q_array_funcs" -> ("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, " +
-      "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vsum FROM embeddings"))
+      "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vsum FROM embeddings"),
 
-    // NOTE: q_langid, q_minhash_pairs, q_simhash_pairs, q_ngram_jaccard, rt_u64,
-  // q_knn_brute, q_knn_ann, q_embedding_neardups have no SQL-expressible oracle
-  // (hash/float semantics) — driver records rows-only checks for those.
+    // language-id heuristic mirrored exactly (script fractions + stopword votes)
+    "q_langid" -> ("SELECT doc_id, CASE " +
+      "WHEN (length(text) - length(regexp_replace(text, '[\\x{3040}-\\x{30ff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) > 0.05 THEN 'ja' " +
+      "WHEN (length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) > 0.2 THEN 'zh' " +
+      "WHEN (length(text) - length(regexp_replace(text, '[\\x{0400}-\\x{04ff}]', '', 'g'))) * 1.0 / greatest(length(text), 1) > 0.2 THEN 'ru' " +
+      "WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en' " +
+      "WHEN de >= fr AND de >= es AND de > 0 THEN 'de' " +
+      "WHEN fr >= es AND fr > 0 THEN 'fr' " +
+      "WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_guess FROM (" +
+      "SELECT doc_id, text, " +
+      "len(list_filter(toks, w -> w IN ('the','and','of','to','is','that','for','with'))) AS en, " +
+      "len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit'))) AS de, " +
+      "len(list_filter(toks, w -> w IN ('le','la','les','et','est','que','des','une'))) AS fr, " +
+      "len(list_filter(toks, w -> w IN ('el','la','los','las','que','es','una','por'))) AS es " +
+      "FROM (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents))"),
+
+    // exact 3-gram jaccard of text vs text+' tail' (set semantics, both engines)
+    "q_ngram_jaccard" -> ("WITH w AS (SELECT doc_id, " +
+      "regexp_split_to_array(lower(trim(text)), '\\s+') AS w1, " +
+      "regexp_split_to_array(lower(trim(text || ' tail')), '\\s+') AS w2 FROM documents), " +
+      "sh AS (SELECT doc_id, " +
+      "list_distinct(CASE WHEN len(w1) - 2 <= 0 THEN [] ELSE list_transform(range(1, len(w1) - 1), i -> array_to_string(w1[i:i+2], ' ')) END) AS s1, " +
+      "list_distinct(CASE WHEN len(w2) - 2 <= 0 THEN [] ELSE list_transform(range(1, len(w2) - 1), i -> array_to_string(w2[i:i+2], ' ')) END) AS s2 FROM w) " +
+      "SELECT doc_id, CASE WHEN len(list_distinct(s1 || s2)) = 0 THEN 1.0 " +
+      "ELSE len(list_distinct(list_intersect(s1, s2))) * 1.0 / len(list_distinct(s1 || s2)) END AS j FROM sh"),
+
+    // brute-force all-pairs exact jaccard over the same corpus (LSH-free ground truth)
+    "q_minhash_pairs" -> ("WITH corpus AS (" +
+      "SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents " +
+      "UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), text || ' tail' FROM documents), " +
+      "sh AS (SELECT id, list_distinct(CASE WHEN len(w) - 2 <= 0 THEN [] ELSE " +
+      "list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END) AS s " +
+      "FROM (SELECT id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM corpus)) " +
+      "SELECT a.id AS a, b.id AS b FROM sh a JOIN sh b ON a.id < b.id " +
+      "WHERE len(list_distinct(list_intersect(a.s, b.s))) * 1.0 / " +
+      "greatest(len(list_distinct(a.s || b.s)), 1) >= 0.6"),
+    // planted exact-duplicate recall relation
+    "q_simhash_pairs" -> ("SELECT CAST(doc_id AS BIGINT) AS a, " +
+      "CAST(doc_id + 1000000 AS BIGINT) AS b FROM documents"),
+    "q_embedding_neardups" -> ("SELECT CAST(vec_id AS BIGINT) AS a, " +
+      "CAST(vec_id + 1000000 AS BIGINT) AS b FROM embeddings"),
+    "q_knn_ann" -> "SELECT CAST(2000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",
+    "q_knn_brute" -> knnBruteOracle)
+
+  /** Brute-force kNN oracle: same cosine ranking computed by DuckDB list lambdas. */
+  private def knnBruteOracle: String =
+    "SELECT vec_id FROM (SELECT vec_id, " +
+      s"list_sum(list_transform(range(1, 65), i -> embedding[i] * ($knnQueryList[i]))) / " +
+      "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS score " +
+      "FROM embeddings) ORDER BY score DESC, vec_id LIMIT 10"
 }

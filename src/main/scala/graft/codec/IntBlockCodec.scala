@@ -15,6 +15,12 @@ import CodecSpec._
  * where a codec-tree node is `codecId u8 | params | body` — leaf bodies are
  * int32-length-prefixed payloads, wrapper bodies are child nodes. The exp-Golomb leaf
  * payload is byte-identical to the reference CLI output for the same (type, k) stream.
+ *
+ * Nullability: the reference is null-free by design (src/golomb.h:43-57 accepts only
+ * integrals), but real Spark columns are nullable. When a block contains nulls the
+ * typeId byte carries flag 0x80 and an int32-sized validity bitmap (LSB-first, bit i
+ * = value i is non-null) follows `nValues`; the codec tree then encodes ONLY the
+ * non-null values. All-valid blocks stay byte-identical to the null-free format.
  */
 object IntBlockCodec {
 
@@ -53,6 +59,65 @@ object IntBlockCodec {
   /** Encode with the stats-driven auto-chooser. */
   def encode(values: Array[Long], t: PhysicalIntType): Array[Byte] =
     encodeAs(values, t, CodecChooser.choose(values, t))
+
+  private[codec] val NullableFlag = 0x80
+
+  private[codec] def packValidity(valid: Array[Boolean]): Array[Byte] = {
+    val out = new Array[Byte]((valid.length + 7) / 8)
+    var i = 0
+    while (i < valid.length) {
+      if (valid(i)) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Encode a nullable column slice: `valid(i)` marks non-null positions; the value
+   * at a null position is ignored. All-valid input produces the exact null-free
+   * block bytes (no flag, no bitmap).
+   */
+  def encodeNullable(values: Array[Long], valid: Array[Boolean], t: PhysicalIntType): Array[Byte] = {
+    require(values.length == valid.length, "values/valid length mismatch")
+    var nValid = 0
+    var i = 0
+    while (i < valid.length) { if (valid(i)) nValid += 1; i += 1 }
+    if (nValid == values.length) return encode(values, t)
+    val compact = new Array[Long](nValid)
+    var j = 0
+    i = 0
+    while (i < values.length) { if (valid(i)) { compact(j) = values(i); j += 1 }; i += 1 }
+    val out = new ByteWriter(compact.length / 2 + 64)
+    out.u8(MAGIC0); out.u8(MAGIC1)
+    out.u8(t.id | NullableFlag)
+    out.i32(values.length)
+    out.sized(packValidity(valid))
+    encodeNode(out, compact, t, CodecChooser.choose(compact, t))
+    out.toByteArray
+  }
+
+  /**
+   * Decode any block (nullable or not): returns n values (0 at null positions) and
+   * the validity mask.
+   */
+  def decodeNullable(block: Array[Byte]): (Array[Long], Array[Boolean]) =
+    try {
+      val h = readHeader(block)
+      val compact = decodeNode(h.c, h.nValid, h.t)
+      if (h.valid == null) (compact, Array.fill(h.n)(true))
+      else {
+        val out = new Array[Long](h.n)
+        var j = 0
+        var i = 0
+        while (i < h.n) { if (h.valid(i)) { out(i) = compact(j); j += 1 }; i += 1 }
+        (out, h.valid)
+      }
+    } catch {
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new CorruptBlockException(s"truncated or corrupt block (${block.length} bytes)", e)
+      case e: NegativeArraySizeException =>
+        throw new CorruptBlockException(s"corrupt block lengths (${block.length} bytes)", e)
+    }
 
   private def encodeNode(out: ByteWriter, values: Array[Long], t: PhysicalIntType,
                          spec: CodecSpec): Unit = spec match {
@@ -147,8 +212,9 @@ object IntBlockCodec {
 
   def decode(block: Array[Byte]): Array[Long] =
     try {
-      val c = header(block)
-      decodeNode(c._3, c._2, c._1)
+      val h = readHeader(block)
+      require(h.valid == null, "nullable block: use decodeNullable")
+      decodeNode(h.c, h.nValid, h.t)
     } catch {
       case e: ArrayIndexOutOfBoundsException =>
         throw new CorruptBlockException(s"truncated or corrupt block (${block.length} bytes)", e)
@@ -156,20 +222,38 @@ object IntBlockCodec {
         throw new CorruptBlockException(s"corrupt block lengths (${block.length} bytes)", e)
     }
 
-  def physicalType(block: Array[Byte]): PhysicalIntType = header(block)._1
-  def numValues(block: Array[Byte]): Int = header(block)._2
+  def physicalType(block: Array[Byte]): PhysicalIntType = readHeader(block).t
+  def numValues(block: Array[Byte]): Int = readHeader(block).n
 
   def info(block: Array[Byte]): BlockInfo = {
-    val (t, n, cur) = header(block)
-    BlockInfo(t, n, describeNode(cur))
+    val h = readHeader(block)
+    BlockInfo(h.t, h.n, describeNode(h.c))
   }
 
-  private def header(block: Array[Byte]): (PhysicalIntType, Int, ByteCursor) = {
+  private final case class Header(t: PhysicalIntType, n: Int, nValid: Int,
+                                  valid: Array[Boolean], c: ByteCursor)
+
+  private def readHeader(block: Array[Byte]): Header = {
     val c = new ByteCursor(block)
     require(c.u8() == MAGIC0 && c.u8() == MAGIC1, "bad block magic")
-    val t = PhysicalIntType.fromId(c.u8().toByte)
+    val tb = c.u8()
+    val t = PhysicalIntType.fromId((tb & 0x7f).toByte)
     val n = c.i32()
-    (t, n, c)
+    if ((tb & NullableFlag) == 0) Header(t, n, n, null, c)
+    else {
+      val (off, len) = c.sizedSlice()
+      require(len >= (n + 7) / 8, "truncated validity bitmap")
+      val valid = new Array[Boolean](n)
+      var nValid = 0
+      var i = 0
+      while (i < n) {
+        val v = ((c.buf(off + (i >> 3)) >> (i & 7)) & 1) == 1
+        valid(i) = v
+        if (v) nValid += 1
+        i += 1
+      }
+      Header(t, n, nValid, valid, c)
+    }
   }
 
   private def describeNode(c: ByteCursor): String = c.u8() match {

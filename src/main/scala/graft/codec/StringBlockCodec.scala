@@ -8,8 +8,12 @@ import java.nio.charset.StandardCharsets
  *
  * Format: magic 'G','S' | codecId u8 | n i32 | codec-specific body. Lengths and
  * dictionary indices reuse [[IntBlockCodec]] so they benefit from the same integer
- * codec family. Nulls are handled by the caller (validity handled at the block-row
- * level); here every entry is a byte array.
+ * codec family.
+ *
+ * Nullability: a null entry is distinct from an empty string. When any entry is
+ * null the codecId byte carries flag 0x80 and the body becomes
+ * `sized(validity bitmap) | sized(inner block over the non-null entries)`;
+ * all-valid blocks stay byte-identical to the null-free format.
  */
 object StringBlockCodec {
 
@@ -20,14 +24,33 @@ object StringBlockCodec {
   private val ID_DICT = 1  // distinct strings as nested block + index block
   private val ID_FSST = 2  // symbol table + compressed-lengths block + payload
 
+  private val NullableFlag = 0x80
+
   def encodeStrings(values: Array[String]): Array[Byte] =
-    encode(values.map(s => if (s == null) Array.emptyByteArray else s.getBytes(StandardCharsets.UTF_8)))
+    encode(values.map(s => if (s == null) null else s.getBytes(StandardCharsets.UTF_8)))
 
   def decodeStrings(block: Array[Byte]): Array[String] =
-    decode(block).map(bs => new String(bs, StandardCharsets.UTF_8))
+    decode(block).map(bs => if (bs == null) null else new String(bs, StandardCharsets.UTF_8))
+
+  /** Null-tolerant encode: wraps the dense block with a validity bitmap when needed. */
+  def encode(values: Array[Array[Byte]]): Array[Byte] = {
+    var hasNull = false
+    var i = 0
+    while (i < values.length && !hasNull) { if (values(i) == null) hasNull = true; i += 1 }
+    if (!hasNull) return encodeDense(values)
+    val valid = values.map(_ != null)
+    val inner = encodeDense(values.filter(_ != null))
+    val out = new ByteWriter(inner.length + values.length / 8 + 32)
+    out.u8(MAGIC0); out.u8(MAGIC1)
+    out.u8((inner(2) & 0xff) | NullableFlag)
+    out.i32(values.length)
+    out.sized(IntBlockCodec.packValidity(valid))
+    out.sized(inner)
+    out.toByteArray
+  }
 
   /** Auto-choose: dict for low cardinality, FSST when the sample compresses, else plain. */
-  def encode(values: Array[Array[Byte]]): Array[Byte] = {
+  private def encodeDense(values: Array[Array[Byte]]): Array[Byte] = {
     val n = values.length
     val totalBytes = values.foldLeft(0L)(_ + _.length)
     val distinct = new java.util.HashSet[String]()
@@ -103,7 +126,7 @@ object StringBlockCodec {
     out.toByteArray
   }
 
-  def codecName(block: Array[Byte]): String = (block(2) & 0xff) match {
+  def codecName(block: Array[Byte]): String = (block(2) & 0xff & ~NullableFlag) match {
     case ID_PLAIN => "str_plain"
     case ID_DICT => "str_dict"
     case ID_FSST => "str_fsst"
@@ -115,6 +138,20 @@ object StringBlockCodec {
     require(c.u8() == MAGIC0 && c.u8() == MAGIC1, "bad string block magic")
     val codecId = c.u8()
     val n = c.i32()
+    if ((codecId & NullableFlag) != 0) {
+      val (voff, vlen) = c.sizedSlice()
+      require(vlen >= (n + 7) / 8, "truncated validity bitmap")
+      val (ioff, ilen) = c.sizedSlice()
+      val inner = decode(java.util.Arrays.copyOfRange(c.buf, ioff, ioff + ilen))
+      val out = new Array[Array[Byte]](n)
+      var j = 0
+      var i = 0
+      while (i < n) {
+        if (((c.buf(voff + (i >> 3)) >> (i & 7)) & 1) == 1) { out(i) = inner(j); j += 1 }
+        i += 1
+      }
+      return out
+    }
     codecId match {
       case ID_PLAIN =>
         val (lo, ll) = c.sizedSlice()

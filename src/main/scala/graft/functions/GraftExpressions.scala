@@ -126,11 +126,17 @@ case class GraftEncode(child: Expression, typeExpr: Expression)
   override def prettyName: String = "graft_encode"
 }
 
-/** graft_decode(binary) -> array<long>; the block is self-describing. */
+/** graft_decode(binary) -> array<long>; the block is self-describing (null elements
+  * restored from the validity bitmap of nullable blocks). */
 case class GraftDecode(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(bin: Any): Any =
-    new GenericArrayData(IntBlockCodec.decode(bin.asInstanceOf[Array[Byte]]))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(bin: Any): Any = {
+    val (vs, ok) = IntBlockCodec.decodeNullable(bin.asInstanceOf[Array[Byte]])
+    val out = new Array[Any](vs.length)
+    var i = 0
+    while (i < vs.length) { if (ok(i)) out(i) = vs(i); i += 1 }
+    new GenericArrayData(out)
+  }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "graft_decode"
 }
@@ -158,7 +164,7 @@ case class GraftEncodeStr(child: Expression) extends UnaryExpression with Codege
     val strs = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
-      strs(i) = if (a.isNullAt(i)) Array.emptyByteArray else a.getUTF8String(i).getBytes
+      strs(i) = if (a.isNullAt(i)) null else a.getUTF8String(i).getBytes
       i += 1
     }
     StringBlockCodec.encode(strs)
@@ -167,12 +173,13 @@ case class GraftEncodeStr(child: Expression) extends UnaryExpression with Codege
   override def prettyName: String = "graft_encode_str"
 }
 
-/** graft_decode_str(binary) -> array<string>. */
+/** graft_decode_str(binary) -> array<string> (null elements preserved). */
 case class GraftDecodeStr(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullSafeEval(bin: Any): Any = {
     val decoded = StringBlockCodec.decode(bin.asInstanceOf[Array[Byte]])
-    new GenericArrayData(decoded.map(bs => UTF8String.fromBytes(bs)): Array[Any])
+    new GenericArrayData(decoded.map(bs =>
+      if (bs == null) null else UTF8String.fromBytes(bs)): Array[Any])
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "graft_decode_str"

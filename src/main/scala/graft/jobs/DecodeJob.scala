@@ -41,18 +41,20 @@ object DecodeJob {
       .groupByKey { case (pid, seq, _, _) => (pid, seq) }
       .flatMapGroups { (_: (Int, Int), it: Iterator[(Int, Int, String, Array[Byte])]) =>
         val cols = it.map { case (_, _, col, enc) => col -> enc }.toMap
+        def str(bs: Array[Byte]): String =
+          if (bs == null) null else new String(bs, StandardCharsets.UTF_8)
         val urls = StringBlockCodec.decode(cols("url"))
-        val ts = IntBlockCodec.decode(cols("warc_ts"))
+        val (ts, tsValid) = IntBlockCodec.decodeNullable(cols("warc_ts"))
         val htmls = StringBlockCodec.decode(cols("html"))
         val texts = StringBlockCodec.decode(cols("text"))
         val langs = StringBlockCodec.decode(cols("lang"))
         urls.indices.iterator.map { i =>
           WebPage(
-            new String(urls(i), StandardCharsets.UTF_8),
-            tsFromMicros(ts(i)),
+            str(urls(i)),
+            if (tsValid(i)) tsFromMicros(ts(i)) else null,
             htmls(i),
-            new String(texts(i), StandardCharsets.UTF_8),
-            new String(langs(i), StandardCharsets.UTF_8))
+            str(texts(i)),
+            str(langs(i)))
         }
       }
   }

@@ -10,7 +10,19 @@ import graft.codec.{IntBlockCodec, StringBlockCodec}
 import graft.core.PhysicalIntType
 import graft.sources.{SnapshotStore, WebPage, Webtext}
 
-/** One encoded block of one column of one work unit. */
+/**
+ * One encoded block of one column of one work unit, with pruning metadata:
+ *  - `block_min`/`block_max`: value bounds of integer blocks (None when the block
+ *    holds no non-null value)
+ *  - `block_dict`: all distinct values when cardinality <= 256 (dictionary metadata;
+ *    None otherwise)
+ *  - `block_str_min`/`block_str_max`: bounds for text-typed string blocks, emitted
+ *    only when the bound string is <= 64 chars (None = no bound; truncating a max
+ *    would be unsound)
+ *  - `block_str_dict`: distinct strings when cardinality <= 64 (e.g. `lang`)
+ * [[graft.plans.BlockMinMaxPruneRule]] conjoins these onto decode filters so parquet
+ * row-group stats skip blocks before any decompression.
+ */
 final case class BlockRow(
     part_id: Int,
     block_seq: Int,
@@ -18,8 +30,12 @@ final case class BlockRow(
     typ: String,
     codec: String,
     n: Int,
-    block_min: Long,
-    block_max: Long,
+    block_min: Option[Long],
+    block_max: Option[Long],
+    block_dict: Option[Array[Long]],
+    block_str_min: Option[String],
+    block_str_max: Option[String],
+    block_str_dict: Option[Array[String]],
     orig_bytes: Long,
     enc_bytes: Long,
     encoded: Array[Byte])
@@ -105,42 +121,100 @@ object EncodeJob {
   private def utf8(s: String): Array[Byte] =
     if (s == null) Array.emptyByteArray else s.getBytes(StandardCharsets.UTF_8)
 
+  /** Max distinct values stored as dictionary metadata per block. */
+  val IntDictCap = 256
+  val StrDictCap = 64
+  /** Max chars for a stored string bound (a truncated max would be unsound). */
+  val StrBoundMaxLen = 64
+
   /** Encode one buffered block (all 5 columns) into BlockRows. */
   private def flushBlock(partId: Int, seq: Int,
       urls: java.util.ArrayList[Array[Byte]],
-      ts: Array[Long], tsN: Int,
+      ts: Array[Long], tsValid: Array[Boolean], tsN: Int,
       htmls: java.util.ArrayList[Array[Byte]],
       texts: java.util.ArrayList[Array[Byte]],
       langs: java.util.ArrayList[Array[Byte]]): Seq[BlockRow] = {
 
-    def strBlock(name: String, vs: java.util.ArrayList[Array[Byte]]): BlockRow = {
+    // textual = UTF-8 string columns where bounds/dict metadata is meaningful;
+    // html is opaque binary — converting it to String for metadata would be unsound
+    def strBlock(name: String, vs: java.util.ArrayList[Array[Byte]], textual: Boolean): BlockRow = {
       val arr = vs.toArray(new Array[Array[Byte]](vs.size))
       val enc = StringBlockCodec.encode(arr)
       var orig = 0L
-      arr.foreach(orig += _.length)
+      arr.foreach(v => if (v != null) orig += v.length)
+
+      var mn: Array[Byte] = null
+      var mx: Array[Byte] = null
+      var dict: java.util.TreeSet[String] = if (textual) new java.util.TreeSet[String]() else null
+      if (textual) {
+        var i = 0
+        while (i < arr.length) {
+          val v = arr(i)
+          if (v != null) {
+            if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
+            if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
+            if (dict != null && dict.size <= StrDictCap)
+              dict.add(new String(v, StandardCharsets.UTF_8))
+          }
+          i += 1
+        }
+      }
+      def bound(v: Array[Byte]): Option[String] =
+        if (v == null) None
+        else {
+          val s = new String(v, StandardCharsets.UTF_8)
+          if (s.length <= StrBoundMaxLen) Some(s) else None
+        }
+      val strDict =
+        if (dict != null && dict.size <= StrDictCap && mn != null)
+          Some(dict.toArray(new Array[String](dict.size)))
+        else None
+
       BlockRow(partId, seq, name, "str", StringBlockCodec.codecName(enc), arr.length,
-        0L, 0L, orig, enc.length.toLong, enc)
+        None, None, None, bound(mn), bound(mx), strDict,
+        orig, enc.length.toLong, enc)
     }
 
     val tsSlice = java.util.Arrays.copyOf(ts, tsN)
-    val tsEnc = IntBlockCodec.encode(tsSlice, PhysicalIntType.I64)
+    val tsValidSlice = java.util.Arrays.copyOf(tsValid, tsN)
+    val tsEnc = IntBlockCodec.encodeNullable(tsSlice, tsValidSlice, PhysicalIntType.I64)
     var mn = Long.MaxValue; var mx = Long.MinValue
+    var any = false
+    val distinct = new java.util.TreeSet[java.lang.Long]()
     var i = 0
-    while (i < tsN) { if (ts(i) < mn) mn = ts(i); if (ts(i) > mx) mx = ts(i); i += 1 }
-    if (tsN == 0) { mn = 0L; mx = 0L }
+    while (i < tsN) {
+      if (tsValid(i)) {
+        val v = ts(i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        any = true
+        if (distinct.size <= IntDictCap) distinct.add(v)
+      }
+      i += 1
+    }
+    val intDict =
+      if (any && distinct.size <= IntDictCap) {
+        val out = new Array[Long](distinct.size)
+        val it = distinct.iterator()
+        var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        Some(out)
+      } else None
 
     Seq(
-      strBlock("url", urls),
+      strBlock("url", urls, textual = true),
       BlockRow(partId, seq, "warc_ts", "i64", IntBlockCodec.info(tsEnc).codecName, tsN,
-        mn, mx, tsN.toLong * 8, tsEnc.length.toLong, tsEnc),
-      strBlock("html", htmls),
-      strBlock("text", texts),
-      strBlock("lang", langs))
+        if (any) Some(mn) else None, if (any) Some(mx) else None, intDict,
+        None, None, None, tsN.toLong * 8, tsEnc.length.toLong, tsEnc),
+      strBlock("html", htmls, textual = false),
+      strBlock("text", texts, textual = true),
+      strBlock("lang", langs, textual = true))
   }
 
-  /** Kernel row: raw UTF-8 bytes and epoch micros — no Timestamp, no String
-    * re-materialization (UTF8String -> String -> getBytes showed up hot). */
-  type EncRow = (Int, Array[Byte], Long, Array[Byte], Array[Byte], Array[Byte])
+  /** Kernel row: raw UTF-8 bytes and epoch micros (+ validity for null warc_ts) —
+    * no Timestamp, no String re-materialization (UTF8String -> String -> getBytes
+    * showed up hot). Null byte arrays stay null end-to-end (null != ""). */
+  type EncRow = (Int, Array[Byte], Long, Boolean, Array[Byte], Array[Byte], Array[Byte])
 
   /** The mapPartitions kernel: rows arrive sorted by (part_id, url). */
   def encodePartition(rows: Iterator[EncRow]): Iterator[BlockRow] = new Iterator[BlockRow] {
@@ -152,12 +226,13 @@ object EncodeJob {
     private val texts = new java.util.ArrayList[Array[Byte]](BlockSize)
     private val langs = new java.util.ArrayList[Array[Byte]](BlockSize)
     private val ts = new Array[Long](BlockSize)
+    private val tsValid = new Array[Boolean](BlockSize)
     private var n = 0
 
     private def flush(): Seq[BlockRow] = {
       if (n == 0) Seq.empty
       else {
-        val res = flushBlock(curPart, blockSeq, urls, ts, n, htmls, texts, langs)
+        val res = flushBlock(curPart, blockSeq, urls, ts, tsValid, n, htmls, texts, langs)
         urls.clear(); htmls.clear(); texts.clear(); langs.clear()
         n = 0; blockSeq += 1
         res
@@ -166,15 +241,16 @@ object EncodeJob {
 
     override def hasNext: Boolean = {
       while (!out.hasNext && rows.hasNext) {
-        val (pid, url, tsUs, html, text, lang) = rows.next()
+        val (pid, url, tsUs, tsOk, html, text, lang) = rows.next()
         var flushed: Seq[BlockRow] = Seq.empty
         if (pid != curPart) { flushed = flush(); curPart = pid; blockSeq = 0 }
         else if (n == BlockSize) flushed = flush()
-        urls.add(if (url == null) Array.emptyByteArray else url)
-        htmls.add(if (html == null) Array.emptyByteArray else html)
-        texts.add(if (text == null) Array.emptyByteArray else text)
-        langs.add(if (lang == null) Array.emptyByteArray else lang)
+        urls.add(url)
+        htmls.add(html)
+        texts.add(text)
+        langs.add(lang)
         ts(n) = tsUs
+        tsValid(n) = tsOk
         n += 1
         if (flushed.nonEmpty) out = flushed.iterator
       }
@@ -208,7 +284,8 @@ object EncodeJob {
       (partOffset + EncodeJob.partIdForBroadcast(bBoundaries.value, url)).toInt)
     val withPart = pages.toDF()
       .select(partIdUdf(col("url")).as("part_id"), col("url"),
-        unix_micros(col("warc_ts").cast("timestamp")).as("ts_us"),
+        coalesce(unix_micros(col("warc_ts").cast("timestamp")), lit(0L)).as("ts_us"),
+        col("warc_ts").isNotNull.as("ts_valid"),
         col("html"), col("text"), col("lang"))
 
     // RESUME: drop work units already committed (anti-join against the manifest —
@@ -234,7 +311,7 @@ object EncodeJob {
         .repartition(math.max(group.size, 1), $"part_id")
         .sortWithinPartitions($"part_id", $"url")
         .select(col("part_id"), col("url").cast("binary").as("url"), col("ts_us"),
-          col("html"), col("text").cast("binary").as("text"),
+          col("ts_valid"), col("html"), col("text").cast("binary").as("text"),
           col("lang").cast("binary").as("lang"))
         .as[EncRow]
         .mapPartitions(encodePartition)
@@ -244,13 +321,22 @@ object EncodeJob {
       blocks.write.mode(SaveMode.Overwrite).parquet(absDir)
       jobSecs += (System.nanoTime() - jt0) / 1e9
 
-      // lineage + metrics rollup from the staged files (no recompute, no driver loops)
+      // lineage + metrics rollup from the staged files (no recompute, no driver
+      // loops). Two-level: first per (part_id, column) — a multi-block part can
+      // pick DIFFERENT codecs for the same column per block, so codecs must be
+      // deduped per column BEFORE map_from_entries (a duplicate map key throws
+      // DUPLICATED_MAP_KEY at runtime and would abort the wave after staging)
       val staged = spark.read.parquet(absDir)
-      val perPart = staged.groupBy($"part_id").agg(
-        sum(when($"column" === "url", $"n").otherwise(0L)).as("n_rows"),
-        sum($"orig_bytes").as("orig_bytes"),
-        sum($"enc_bytes").as("enc_bytes"),
-        to_json(map_from_entries(collect_set(struct($"column", $"codec")))).as("codecs"))
+      val perColumn = staged.groupBy($"part_id", $"column").agg(
+        sum($"n").as("col_n"),
+        sum($"orig_bytes").as("col_orig"),
+        sum($"enc_bytes").as("col_enc"),
+        array_join(array_sort(collect_set($"codec")), "+").as("codec"))
+      val perPart = perColumn.groupBy($"part_id").agg(
+        max(when($"column" === "url", $"col_n").otherwise(0L)).as("n_rows"),
+        sum($"col_orig").as("orig_bytes"),
+        sum($"col_enc").as("enc_bytes"),
+        to_json(map_from_entries(collect_list(struct($"column", $"codec")))).as("codecs"))
         .collect()
 
       val entries = perPart.map { r =>
@@ -266,8 +352,10 @@ object EncodeJob {
       totalEntries.map(_.origBytes).sum, totalEntries.map(_.encBytes).sum, jobSecs)
   }
 
-  // broadcast-friendly binary search (avoids capturing the job object)
-  def partIdForBroadcast(boundaries: Array[String], url: String): Int = partIdFor(url, boundaries)
+  // broadcast-friendly binary search (avoids capturing the job object);
+  // null urls sort first (range-bucket 0), matching a null-first sort order
+  def partIdForBroadcast(boundaries: Array[String], url: String): Int =
+    partIdFor(if (url == null) "" else url, boundaries)
 
   /** spark-submit main: generate webtext and encode it into a snapshot store. */
   def main(args: Array[String]): Unit = {

@@ -22,13 +22,18 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
-  /** Normalized word shingles of size n as an array column. */
+  /**
+   * Normalized word shingles of size n as an array column. Zero-shingle documents
+   * (fewer than n words) yield an empty array — without the guard, `sequence(0, -1)`
+   * steps backwards and `slice(words, 0, n)` throws INVALID_PARAMETER_VALUE.START.
+   */
   def shingles(textCol: Column, n: Int): Column = {
     val words = split(lower(trim(textCol)), "\\s+")
     // sliding n-grams via transform over word indexes
     val cnt = greatest(size(words) - (n - 1), lit(0))
-    transform(sequence(lit(0), cnt - 1),
-      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    when(cnt === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
   }
 
   // ---- JVM kernels (one pass per document; the declarative higher-order-function
@@ -118,7 +123,8 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
+                   shingleSize: Int = 5, threshold: Double = 0.8,
+                   maxBucket: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
@@ -133,15 +139,27 @@ object Dedup {
         struct(b.as("band"), xxhash64(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
       .select($"id", $"sig", $"bb.band", $"bb.bucket")
 
+    // mega-cluster guard: a boilerplate bucket of B members contributes B^2/2
+    // candidate pairs; skip buckets over the cap (bounded recall loss, logged
+    // via the bucket-size aggregate, which shares the self-join's partitioning)
+    val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
+
     // candidates: pairs sharing any (band, bucket); verify map-side, THEN dedup on
     // the narrow (a, b) pair — never shuffle signature arrays through a distinct
-    val a = banded.select($"band", $"bucket", $"id".as("a"), $"sig".as("sig_a"))
-    val b = banded.select($"band", $"bucket", $"id".as("b"), $"sig".as("sig_b"))
+    val a = bounded.select($"band", $"bucket", $"id".as("a"), $"sig".as("sig_a"))
+    val b = bounded.select($"band", $"bucket", $"id".as("b"), $"sig".as("sig_b"))
     val agree = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
     a.join(b, Seq("band", "bucket")).where($"a" < $"b")
       .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
       .where($"est_jaccard" >= threshold)
       .groupBy($"a", $"b").agg(max($"est_jaccard").as("est_jaccard"))
+  }
+
+  /** Drop rows in LSH buckets larger than `cap` (quadratic-blowup guard). */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    if (cap <= 0 || cap == Int.MaxValue) return banded
+    val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+    banded.join(sizes.where(col("bucket_n") <= cap), keys).drop("bucket_n")
   }
 
   /**
@@ -152,6 +170,16 @@ object Dedup {
   /** One-pass 64-bit simhash kernel over word shingles. */
   def simhash64(text: String, shingleSize: Int): Long = {
     val toks = tokenHashes(text)
+    if (toks.length < shingleSize) {
+      // degenerate short doc: hash the whole token sequence as one shingle (the
+      // minhash path does the same). With a single shingle every bit vote comes
+      // from that hash, so the simhash IS the mixed hash — distinct short docs
+      // get distinct simhashes instead of all colliding at 0.
+      var h = 0L
+      var i = 0
+      while (i < toks.length) { h = h * 0x9E3779B97F4A7C15L + toks(i); i += 1 }
+      return mix64(h)
+    }
     val counts = new Array[Int](64)
     var i = 0
     val last = toks.length - shingleSize
@@ -186,9 +214,15 @@ object Dedup {
       .toDF(idCols.head, "simhash")
   }
 
-  /** Near-duplicate pairs by simhash banding + exact Hamming verify. */
+  /**
+   * Near-duplicate pairs by simhash banding + exact Hamming verify. Pigeonhole:
+   * with 4 x 16-bit bands any pair within Hamming 3 matches on >= 1 whole band.
+   * The Hamming filter runs map-side BEFORE the pair dedup, so only verified
+   * pairs reach the final (a, b) shuffle; `maxBucket` guards the 65,536-buckets-
+   * per-band ceiling against degenerate mega-buckets at high n.
+   */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = withSimhash(df.select(col(idCol), col(textCol)), textCol)
@@ -198,12 +232,13 @@ object Dedup {
         shiftright($"simhash", b * 16).bitwiseAND(lit(0xffffL)).as("key")))
     val banded = sh.select($"id", $"simhash", explode(array(bandStructs: _*)).as("bk"))
       .select($"id", $"simhash", $"bk.band", $"bk.key")
-    val a = banded.select($"band", $"key", $"id".as("a"), $"simhash".as("h_a"))
-    val b = banded.select($"band", $"key", $"id".as("b"), $"simhash".as("h_b"))
+    val bounded = capBuckets(banded, Seq("band", "key"), maxBucket)
+    val a = bounded.select($"band", $"key", $"id".as("a"), $"simhash".as("h_a"))
+    val b = bounded.select($"band", $"key", $"id".as("b"), $"simhash".as("h_b"))
     a.join(b, Seq("band", "key")).where($"a" < $"b")
       .select($"a", $"b", bit_count($"h_a".bitwiseXOR($"h_b")).as("hamming"))
-      .distinct()
-      .where($"hamming" <= maxHamming)
+      .where($"hamming" <= maxHamming) // verify first: the pair dedup shuffles only hits
+      .groupBy($"a", $"b").agg(min($"hamming").as("hamming"))
   }
 
   /** Exact n-gram Jaccard similarity between two text columns (verification UDF-free). */
@@ -216,20 +251,44 @@ object Dedup {
   }
 
   /**
-   * Embedding cosine near-duplicate pairs: coarse LSH bucket on sign bits of a few
-   * fixed pseudo-random hyperplanes, exact cosine verify inside buckets.
+   * Embedding cosine near-duplicate pairs: banded sign-LSH (like [[minhashPairs]])
+   * with exact cosine verify inside buckets.
+   *
+   * `bands` x `bandBits` hyperplanes; a pair is a candidate when ANY band's sign
+   * bits match exactly. At cosine c two vectors agree per sign bit with
+   * p = 1 - acos(c)/pi (~0.9 at c=0.95), so recall ~ 1-(1-p^bandBits)^bands
+   * (~0.96 at the 8x16 default) while each band offers 2^bandBits buckets —
+   * raise bandBits with n to keep buckets sparse (24 bits at 10^9+). The plane
+   * matrix is built once per partition in a typed kernel (one multiply-add pass),
+   * and `maxBucket` caps within-bucket self-join blowup from degenerate clusters.
+   * Multiplicative/scale perturbations preserve all sign bits, so true near-dups
+   * always collide in every band.
    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        planes: Int = 8, minCosine: Double = 0.95): DataFrame = {
+                        bands: Int = 8, bandBits: Int = 16,
+                        minCosine: Double = 0.95, maxBucket: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val key = Similarity.lshBucket(col(vecCol), planes)
-    val withKey = df.select(col(idCol).as("id"), col(vecCol).as("v"), key.as("bucket"))
-    val a = withKey.select($"bucket", $"id".as("a"), $"v".as("v_a"))
-    val b = withKey.select($"bucket", $"id".as("b"), $"v".as("v_b"))
-    a.join(b, Seq("bucket")).where($"a" < $"b")
+    val keyed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val buf = it.buffered
+          val m = Similarity.planeMatrix(bands * bandBits, buf.head._2.length)
+          buf.map { case (id, v) =>
+            (id, v, Array.tabulate(bands)(b => Similarity.signBits(v, m, b * bandBits, bandBits)))
+          }
+        }
+      }
+      .toDF("id", "v", "keys")
+      .select($"id", $"v", posexplode($"keys").as(Seq("band", "key")))
+    val bounded = capBuckets(keyed, Seq("band", "key"), maxBucket)
+    val a = bounded.select($"band", $"key", $"id".as("a"), $"v".as("v_a"))
+    val b = bounded.select($"band", $"key", $"id".as("b"), $"v".as("v_b"))
+    a.join(b, Seq("band", "key")).where($"a" < $"b")
       .withColumn("cosine", Similarity.cosine($"v_a", $"v_b"))
-      .where($"cosine" >= minCosine)
-      .select($"a", $"b", $"cosine")
+      .where($"cosine" >= minCosine) // verify map-side; only hits reach the pair dedup
+      .groupBy($"a", $"b").agg(max($"cosine").as("cosine"))
   }
 }

@@ -1,13 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Approximate-nearest-neighbor search over an embedding column (array<float>).
  * Brute-force cosine is the exact baseline (one scan, no shuffle until top-k);
- * the LSH-bucketed variant is the 10^12-row scale path (bucket prune, then exact
- * rerank inside candidate buckets only).
+ * the persisted LSH-bucketed index is the 10^12-row scale path: the bucket is a
+ * hive partition column, so a probe reads only the matching bucket directories
+ * (partition pruning — no full scan per query).
  */
 object Similarity {
 
@@ -22,22 +23,84 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
-  /**
-   * Deterministic pseudo-random hyperplane component for (plane p, dim i):
-   * a fixed hash mapped to [-1, 1). Pure function — every executor derives the same
-   * planes with no broadcast state.
-   */
-  private def planeComponent(p: Column, i: Column): Column =
-    (xxhash64(p, i).cast("double") / lit(Long.MaxValue.toDouble))
+  // ---------------- deterministic hyperplanes (JVM kernel side) ----------------
 
-  /** Sign-LSH bucket id from `planes` hyperplanes (bit p = sign of dot(v, plane_p)). */
-  def lshBucket(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(lit(p), i)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(s > 0.0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /**
+   * planes x dim pseudo-random hyperplane matrix in [-1, 1) — a pure function of
+   * (seed, plane, dim index), so every executor derives identical planes with no
+   * broadcast state. Materialized ONCE per partition and reused across rows; the
+   * previous Column-tree form re-hashed (plane, i) per row x plane x dim, the same
+   * 30x higher-order-function trap documented for minhash.
+   */
+  def planeMatrix(planes: Int, dim: Int, seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, i) =>
+      mix64(seed ^ (p.toLong << 32) ^ i.toLong).toDouble / Long.MaxValue.toDouble
+    }
+
+  /** Sign bits of vec against plane rows [from, from+bits), packed LSB-first. */
+  def signBits(vec: Array[Double], m: Array[Array[Double]], from: Int, bits: Int): Long = {
+    var key = 0L
+    var p = 0
+    while (p < bits) {
+      val plane = m(from + p)
+      val n = math.min(vec.length, plane.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec(i) * plane(i); i += 1 }
+      if (s > 0.0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+
+  /**
+   * (id, vec, bucket) with one `planes`-bit sign-LSH bucket per vector. Typed
+   * mapPartitions kernel: the plane matrix is built once per partition (from the
+   * first row's dimensionality) and reused — one multiply-add pass per row.
+   */
+  def withBucket(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val buf = it.buffered
+          val m = planeMatrix(planes, buf.head._2.length)
+          buf.map { case (id, v) => (id, v, signBits(v, m, 0, planes)) }
+        }
+      }
+      .toDF(idCol, vecCol, "bucket")
+  }
+
+  /**
+   * Build the persisted ANN index ONCE: bucket each vector, repartition so each
+   * bucket is one file, and write with `bucket` as a hive partition column. Probes
+   * then scan only the matching bucket directories (partition pruning) — at 10^12
+   * rows this is the difference between a per-query full scan and reading
+   * ~n/2^planes rows. Pick `planes` so 2^planes ~ n / desired_bucket_rows.
+   */
+  def buildIndex(df: DataFrame, idCol: String, vecCol: String,
+                 planes: Int, path: String): Unit = {
+    withBucket(df, idCol, vecCol, planes)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** The query's own bucket plus all Hamming-1 neighbors (multi-probe recall). */
+  def probeBuckets(query: Array[Double], planes: Int, dim: Int): Seq[Long] = {
+    val m = planeMatrix(planes, dim)
+    val qBucket = signBits(query, m, 0, planes)
+    qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+  }
 
   /**
    * Exact brute-force top-k by cosine against one query vector.
@@ -54,22 +117,18 @@ object Similarity {
   }
 
   /**
-   * ANN top-k: probe the query's LSH bucket (plus all buckets within Hamming 1 for
-   * recall), exact cosine rerank inside candidates only. At 10^12 rows the bucketed
-   * table is the precomputed index (written once, reused per query batch).
+   * ANN top-k against a persisted index built by [[buildIndex]]: read ONLY the
+   * query's bucket partition plus Hamming-1 neighbors (<= planes+1 of 2^planes
+   * partition dirs), exact cosine rerank inside those candidates.
    */
-  def annTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int, planes: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val indexed = df.withColumn("bucket", lshBucket(transform(col(vecCol), _.cast("double")), planes))
-    val qDf = spark.range(1).select(typedLit(query.map(_.toDouble)).as("qv"))
-      .withColumn("bucket", lshBucket($"qv", planes))
-    val qBucket = qDf.select($"bucket").as[Long].head()
-    val probe = qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
-    val q = typedLit(query.map(_.toDouble))
-    indexed.where($"bucket".isin(probe: _*))
-      .select(col(idCol), cosine(transform(col(vecCol), _.cast("double")), q).as("cosine"))
+  def annTopK(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, planes: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probe = probeBuckets(qd, planes, query.length)
+    val q = typedLit(qd)
+    spark.read.parquet(indexPath)
+      .where(col("bucket").isin(probe: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }

@@ -16,15 +16,47 @@ class GolombCliSpec extends AnyFunSuite {
     Files.write(in, data)
     val enc = tmp("cli-enc"); val dec = tmp("cli-dec")
 
-    // default -eu8 -k0 (reference default: util/golomb.cpp:327-329)
-    GolombCli.main(Array("-e", "-k0", in.toString, enc.toString))
-    GolombCli.main(Array("-d", "-k0", enc.toString, dec.toString))
+    // no options at all = the reference default -eu8 -k0 (util/golomb.cpp:327-329)
+    GolombCli.main(Array(in.toString, enc.toString))
+    GolombCli.main(Array("-du8", "-k0", enc.toString, dec.toString))
     assert(Files.readAllBytes(dec).toSeq == data.toSeq)
 
-    // i16 adaptive
+    // i16 adaptive, attached option values
     GolombCli.main(Array("-ei16", "-k2", "-a2", in.toString, enc.toString))
     GolombCli.main(Array("-di16", "-k2", "-a2", enc.toString, dec.toString))
     assert(Files.readAllBytes(dec).toSeq == data.toSeq)
+  }
+
+  test("cli option grammar matches the reference options reader (util/golomb.cpp:57-106)") {
+    val in = tmp("cli-in2")
+    Files.write(in, Array.tabulate(64)(_.toByte))
+    val enc = tmp("cli-enc2"); val dec = tmp("cli-dec2")
+
+    // detached option values: '-k 2', '-e i32' consume the next argv element
+    GolombCli.main(Array("-e", "i32", "-k", "2", in.toString, enc.toString))
+    GolombCli.main(Array("-d", "i32", "-k", "2", enc.toString, dec.toString))
+    assert(Files.readAllBytes(dec).toSeq == Files.readAllBytes(in).toSeq)
+
+    // '-e -k0 ...' consumes '-k0' as the FORMAT argument -> invalid (reference quirk)
+    intercept[GolombCli.CliArgumentException] {
+      GolombCli.main(Array("-e", "-k0", in.toString, enc.toString))
+    }
+    // unrecognized options are an error, not silently treated as filenames
+    intercept[GolombCli.CliArgumentException] {
+      GolombCli.main(Array("-x", in.toString, enc.toString))
+    }
+    // invalid format strings are an error
+    intercept[GolombCli.CliArgumentException] {
+      GolombCli.main(Array("-ei9", in.toString, enc.toString))
+    }
+    // missing operands are an error
+    intercept[GolombCli.CliArgumentException] { GolombCli.main(Array(in.toString)) }
+    // '--' ends the option list; following operands may start with '-'
+    val dashed = java.nio.file.Paths.get(enc.getParent.toString, "-dashed.bin")
+    GolombCli.main(Array("-k1", "--", in.toString, dashed.toString))
+    GolombCli.main(Array("-du8", "-k1", dashed.toString, dec.toString))
+    assert(Files.readAllBytes(dec).toSeq == Files.readAllBytes(in).toSeq)
+    Files.deleteIfExists(dashed)
   }
 
   test("truncated/corrupt blocks raise CorruptBlockException, not raw index errors") {

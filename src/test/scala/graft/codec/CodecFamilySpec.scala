@@ -151,6 +151,46 @@ class CodecFamilySpec extends AnyFunSuite {
     }
   }
 
+  test("nullable int blocks: validity bitmap round-trips, all-valid stays byte-identical") {
+    val rnd = new scala.util.Random(7)
+    for (t <- intTypes) {
+      val n = 300 + rnd.nextInt(200)
+      val values = Array.tabulate(n)(i => inRange(t, rnd.nextLong()))
+      val valid = Array.tabulate(n)(i => i % 7 != 0 && rnd.nextInt(5) != 0)
+      val block = IntBlockCodec.encodeNullable(values, valid, t)
+      val (dv, dok) = IntBlockCodec.decodeNullable(block)
+      assert(dok.toSeq == valid.toSeq, s"type=${t.name}")
+      for (i <- 0 until n if valid(i)) assert(dv(i) == values(i), s"type=${t.name} i=$i")
+      // decode() refuses nullable blocks rather than conflating null with 0
+      intercept[IllegalArgumentException] { IntBlockCodec.decode(block) }
+
+      // all-valid input must produce the exact null-free bytes (format stability)
+      val allValid = IntBlockCodec.encodeNullable(values, Array.fill(n)(true), t)
+      assert(allValid.toSeq == IntBlockCodec.encode(values, t).toSeq)
+      // edge: every value null
+      val (ev, eok) = IntBlockCodec.decodeNullable(
+        IntBlockCodec.encodeNullable(values, Array.fill(n)(false), t))
+      assert(eok.forall(!_) && ev.length == n)
+    }
+  }
+
+  test("nullable string blocks: null is preserved and distinct from empty string") {
+    val values = Array[String]("a", null, "", "bb", null, "a", "", null)
+    val decoded = StringBlockCodec.decodeStrings(StringBlockCodec.encodeStrings(values))
+    assert(decoded.toSeq == values.toSeq)
+    // all-valid input unchanged vs null-free format
+    val dense = Array("x", "", "yy")
+    assert(StringBlockCodec.encodeStrings(dense).toSeq ==
+      StringBlockCodec.encode(dense.map(_.getBytes("UTF-8"))).toSeq)
+    // large mixed block exercises dict/fsst paths under the validity wrapper
+    val rnd = new scala.util.Random(11)
+    val big = Array.tabulate(5000)(i =>
+      if (i % 13 == 0) null else s"lang-${i % 5}")
+    val bigDec = StringBlockCodec.decodeStrings(StringBlockCodec.encodeStrings(big))
+    assert(bigDec.toSeq == big.toSeq)
+    assert(StringBlockCodec.codecName(StringBlockCodec.encodeStrings(big)) == "str_dict")
+  }
+
   test("fsst handles 8-byte symbols without key collisions (regression)") {
     // urls with long shared prefixes train 8-byte symbols; a length tag packed into
     // the top bits of the 64-bit key made distinct 8-byte symbols collide

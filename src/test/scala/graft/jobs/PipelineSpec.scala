@@ -27,6 +27,13 @@ class PipelineSpec extends AnyFunSuite {
   private def freshRoot(): String =
     Files.createTempDirectory("graft-store-").toString
 
+  /** getOrCreate may hand back another suite's session (no GraftExtensions), so
+    * inject the rule the same way the driver-facing queries do. */
+  private def ensurePruneRule(): Unit =
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BlockMinMaxPruneRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BlockMinMaxPruneRule
+
   test("encode -> snapshot -> decode round-trips 20k pages byte-identically") {
     val root = freshRoot()
     val n = 20000L
@@ -67,6 +74,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(decoded.count() == n, "no dupes, no gaps")
     assert(decoded.select("url").distinct().count() == n)
     assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 8), decoded) == 0L)
+  }
+
+  test("null columns survive encode -> decode: null != empty, null warc_ts preserved") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = Webtext.generate(spark, 3000, 4)
+    val withNulls = base.map { p =>
+      val h = math.abs(p.url.hashCode)
+      p.copy(
+        warc_ts = if (h % 5 == 0) null else p.warc_ts,
+        text = if (h % 7 == 0) null else if (h % 7 == 1) "" else p.text,
+        lang = if (h % 3 == 0) null else p.lang,
+        html = if (h % 11 == 0) null else p.html)
+    }
+    EncodeJob.run(spark, withNulls, root, parts = 4)
+    val decoded = DecodeJob.decode(spark, root)
+    assert(decoded.count() == 3000)
+    // exact field-level comparison including nulls and empty-vs-null distinction
+    val mismatches = withNulls.toDF("url", "warc_ts", "html", "text", "lang")
+      .join(decoded.toDF("url", "d_ts", "d_html", "d_text", "d_lang"), Seq("url"))
+      .where(!(col("warc_ts") <=> col("d_ts")) ||
+        !(col("text") <=> col("d_text")) ||
+        !(col("lang") <=> col("d_lang")) ||
+        !(col("html") <=> col("d_html")))
+      .count()
+    assert(mismatches == 0L, s"$mismatches rows lost nulls or conflated null with empty")
+  }
+
+  test("encode job emits block metadata and the prune rule fires on a REAL store") {
+    import spark.implicits._
+    val root = freshRoot()
+    val pages = Webtext.generate(spark, 30000, 8)
+    EncodeJob.run(spark, pages, root, parts = 8)
+    val blocks = DecodeJob.blocks(spark, root)
+
+    // metadata emission: int bounds + dict on warc_ts... dict only when card <= 256,
+    // string bounds on textual columns, dict on low-cardinality lang
+    val ts = blocks.where($"column" === "warc_ts")
+    assert(ts.where($"block_min".isNull || $"block_max".isNull).count() == 0)
+    val lang = blocks.where($"column" === "lang")
+    assert(lang.where($"block_str_dict".isNull).count() == 0,
+      "lang blocks must carry dictionary metadata")
+    assert(lang.where($"block_str_min".isNull || $"block_str_max".isNull).count() == 0)
+    assert(blocks.where($"column" === "html" && $"block_str_min".isNotNull).count() == 0,
+      "binary html must not get string bounds")
+
+    // prune rule on the real store: warc_ts range filter reaches the parquet scan
+    ensurePruneRule()
+    GraftFunctions.registerAll(spark)
+    val mn = ts.agg(min($"block_min")).as[Long].head()
+    val q = ts.where(array_contains(GraftFunctions.graft_decode($"encoded"), lit(mn)))
+      .select($"part_id", $"block_seq")
+    val physical = q.queryExecution.executedPlan.toString()
+    assert(physical.contains("PushedFilters: [") && physical.contains("block_min"),
+      s"metadata filter not pushed to scan over the job-written store:\n$physical")
+    assert(q.count() >= 1)
+
+    // string dict membership conjunct appears for lang filters
+    val ql = lang.where(array_contains(GraftFunctions.graft_decode_str($"encoded"), lit("zz")))
+    assert(ql.queryExecution.optimizedPlan.toString().contains("block_str_dict"),
+      "string dict conjunct missing")
+    assert(ql.count() == 0, "no block contains lang 'zz'")
   }
 
   test("catalyst expressions: sql eg round-trip, graft auto codec, zigzag codegen") {
@@ -111,6 +180,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("block min/max pruning rule rewrites decode-filters onto metadata") {
+    ensurePruneRule()
     GraftFunctions.registerAll(spark)
     import spark.implicits._
     // a blocks table with FoR metadata columns

@@ -79,9 +79,16 @@ class OperatorsSpec extends AnyFunSuite {
     val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", base, 2)
       .collect().map(_.getLong(0)).toSet
     assert(top == Set(1L, 2L))
-    val ann = Similarity.annTopK(df, "vec_id", "embedding", base, 2, planes = 4)
-      .collect().map(_.getLong(0)).toSet
+    // persisted index: probe must read only matching bucket partitions
+    val idx = java.nio.file.Files.createTempDirectory("ann-idx-").toString
+    Similarity.buildIndex(df, "vec_id", "embedding", planes = 4, idx)
+    val annQ = Similarity.annTopK(spark, idx, "vec_id", "embedding", base, 2, planes = 4)
+    val ann = annQ.collect().map(_.getLong(0)).toSet
     assert(ann.contains(1L) || ann.contains(2L), "ANN must recall a same-direction vector")
+    // partition pruning evidence: the scan reads <= planes+1 of the bucket dirs
+    val scan = annQ.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("PartitionFilters") || scan.contains("bucket"),
+      s"probe should prune on the bucket partition column:\n$scan")
   }
 
   test("embedding near-dups finds the scaled twin") {
@@ -92,10 +99,53 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, base), (2L, base.map(_ * 1.0001)),
       (3L, Array.fill(dim)(r.nextDouble() * 2 - 1))).toDF("id", "v")
-    val pairs = Dedup.embeddingNearDups(df, "id", "v", planes = 4, minCosine = 0.99)
+    val pairs = Dedup.embeddingNearDups(df, "id", "v", bands = 4, bandBits = 4, minCosine = 0.99)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("degenerate docs: empty/short texts don't crash shingles, simhash, or pair mining") {
+    import spark.implicits._
+    // empty doc + one-word doc + normal docs (ADVICE: sequence(0,-1)/slice(start=0)
+    // threw INVALID_PARAMETER_VALUE.START on any corpus with a short document)
+    val df = Seq(
+      (1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, "a normal sentence with enough words to shingle properly"),
+      (5L, "a normal sentence with enough words to shingle properly"))
+      .toDF("doc_id", "text")
+    val j = df.select(Dedup.ngramJaccard(col("text"), concat(col("text"), lit(" t")), 3).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(j.length == 5 && j.forall(v => v >= 0.0 && v <= 1.0))
+    assert(df.select(Dedup.shingles(col("text"), 3)).collect().length == 5)
+
+    // short docs get DISTINCT simhashes (not all 0 -> no quadratic hamming-0 bucket)
+    assert(Dedup.simhash64("one", 2) != Dedup.simhash64("two", 2))
+    assert(Dedup.simhash64("", 2) != Dedup.simhash64("one", 2))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 5L)), "exact dup must pair")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)),
+      "distinct short docs must not pair as hamming-0")
+    // minhash pair mining survives the same corpus
+    Dedup.minhashPairs(df, "doc_id", "text", numHashes = 16, bands = 8,
+      shingleSize = 3, threshold = 0.9).collect()
+  }
+
+  test("LSH bucket caps bound the within-bucket self-join (mega-cluster guard)") {
+    import spark.implicits._
+    // 40 identical docs = one bucket of 40 -> 780 pairs uncapped; cap 10 drops it
+    val boiler = (1L to 40L).map(i => (i, "the same boilerplate page text repeated everywhere"))
+    val df = (boiler :+ ((100L, "another unique document entirely different content here"))
+      :+ ((101L, "another unique document entirely different content here")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)), "small-bucket pairs survive the cap")
+    assert(!capped.exists(p => p._1 <= 40L), "mega-bucket pairs are dropped by the cap")
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .count()
+    assert(uncapped == 40L * 39 / 2 + 1)
   }
 
   test("text analysis: token counts, quality, lang id, fingerprints") {
