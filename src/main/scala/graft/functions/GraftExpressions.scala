@@ -185,6 +185,53 @@ case class GraftDecodeStr(child: Expression) extends UnaryExpression with Codege
   override def prettyName: String = "graft_decode_str"
 }
 
+/**
+ * range_bucket(url) -> int: binary search of a string against sorted range
+ * boundaries (+offset), the encode job's work-unit id. Implements doGenCode so the
+ * pre-shuffle projection stays inside whole-stage codegen — the previous Scala UDF
+ * forced a codegen break and blocked pushdown through the projection. Null sorts
+ * first (bucket 0). The boundary array rides in the task binary via
+ * `ctx.addReferenceObj` (broadcast once per stage, like any plan constant).
+ */
+case class RangeBucketId(child: Expression, boundaries: Array[String], offset: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    offset + RangeBucketId.bucket(boundaries, if (v == null) null else v.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val bRef = ctx.addReferenceObj("boundaries", boundaries, "java.lang.String[]")
+    val childGen = child.genCode(ctx)
+    val call =
+      s"int ${ev.value} = $offset + graft.functions.RangeBucketId$$.MODULE$$.bucket(" +
+      s"$bRef, ${childGen.isNull} ? null : ${childGen.value}.toString());"
+    ev.copy(code = childGen.code + code"$call", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "range_bucket"
+}
+
+object RangeBucketId {
+  /** Boundary binary search; bucket i holds urls in [boundaries(i-1), boundaries(i)). */
+  def bucket(boundaries: Array[String], url0: String): Int = {
+    val url = if (url0 == null) "" else url0
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (url.compareTo(boundaries(mid)) < 0) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+}
+
 /** zigzag_encode(bigint) -> bigint, codegen-capable (src/golomb.h:118-129 for i64). */
 case class ZigZagEncode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -276,14 +276,17 @@ object EncodeJob {
     import spark.implicits._
     Files.createDirectories(Paths.get(root))
     val boundaries = loadOrCreateBoundaries(root, pages, parts)
-    val bBoundaries = spark.sparkContext.broadcast(boundaries)
 
     // narrow projection before the exchange: epoch micros instead of Timestamp,
-    // no case-class re-materialization — less shuffle IO and no per-row boxing
-    val partIdUdf = udf((url: String) =>
-      (partOffset + EncodeJob.partIdForBroadcast(bBoundaries.value, url)).toInt)
+    // no case-class re-materialization — less shuffle IO and no per-row boxing.
+    // part_id is a codegen'd Catalyst binary-search expression (a Scala UDF here
+    // broke whole-stage codegen in the hottest projection)
+    val partIdCol = org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.RangeBucketId(
+        org.apache.spark.sql.graftshim.Shim.expression(col("url")),
+        boundaries, partOffset.toInt))
     val withPart = pages.toDF()
-      .select(partIdUdf(col("url")).as("part_id"), col("url"),
+      .select(partIdCol.as("part_id"), col("url"),
         coalesce(unix_micros(col("warc_ts").cast("timestamp")), lit(0L)).as("ts_us"),
         col("warc_ts").isNotNull.as("ts_valid"),
         col("html"), col("text"), col("lang"))

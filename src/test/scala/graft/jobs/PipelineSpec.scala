@@ -138,6 +138,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ql.count() == 0, "no block contains lang 'zz'")
   }
 
+  test("part-id expression stays in whole-stage codegen (no UDF in encode projection)") {
+    import spark.implicits._
+    val pages = Webtext.generate(spark, 1000, 4)
+    val b = EncodeJob.computeBoundaries(pages, 4)
+    val partIdCol = org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.RangeBucketId(
+        org.apache.spark.sql.graftshim.Shim.expression(col("url")), b, 0))
+    val df = pages.toDF().select(partIdCol.as("part_id"), col("url"))
+    assert(!df.queryExecution.executedPlan.toString.contains("UDF"),
+      "encode projection must not contain a codegen-breaking UDF")
+    // with fallback disabled the generated Java MUST compile (no silent interpret)
+    val old = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val counts = df.groupBy($"part_id").count().collect()
+      assert(counts.map(_.getLong(1)).sum == 1000L)
+      assert(counts.length == 4)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+    // expression output matches the JVM binary search (and handles null as bucket 0)
+    df.collect().foreach(r => assert(r.getInt(0) == EncodeJob.partIdFor(r.getString(1), b)))
+    assert(graft.functions.RangeBucketId.bucket(b, null) == 0)
+  }
+
   test("catalyst expressions: sql eg round-trip, graft auto codec, zigzag codegen") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
