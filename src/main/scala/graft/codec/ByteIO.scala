@@ -25,6 +25,18 @@ final class ByteWriter(initialCapacity: Int = 256) {
 
   def length: Int = len
   def toByteArray: Array[Byte] = Arrays.copyOf(buf, len)
+
+  // ---- bulk-writer escape hatch: reserve capacity once, write with a local
+  // cursor (no per-byte ensure), then commit. Used by hot codec inner loops. ----
+  /** Ensure `extra` writable bytes and return the current write offset. */
+  def reserve(extra: Int): Int = { ensure(extra); len }
+  /** The backing array (valid until the next growth; use with reserve). */
+  def rawBuffer: Array[Byte] = buf
+  /** Commit bulk writes up to absolute offset `newLen`. */
+  def advanceTo(newLen: Int): Unit = {
+    require(newLen >= len && newLen <= buf.length, "advanceTo out of reserved range")
+    len = newLen
+  }
 }
 
 /** Sequential big-endian cursor over a byte array. */

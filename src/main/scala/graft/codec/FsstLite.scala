@@ -19,10 +19,25 @@ object FsstLite {
   val MaxSymbolLen = 8
   private val MaxSymbols = 255
 
+  private val LongBE = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+    classOf[Array[Long]], java.nio.ByteOrder.BIG_ENDIAN)
+
   /** A trained table: symbols(code) = byte sequence. */
   final class Table(val symbols: Array[Array[Byte]]) extends Serializable {
     private[FsstLite] val code1 = Array.fill[Int](256)(-1)
     private[FsstLite] val code2 = Array.fill[Int](65536)(-1)
+    // symbol bytes left-aligned into a big-endian long + a length mask, so one
+    // XOR+AND compares a whole candidate against 8 loaded input bytes (the
+    // byte-at-a-time `matches` loop was a top-3 encode hotspot)
+    private[FsstLite] val symPacked: Array[Long] = symbols.map { s =>
+      var v = 0L
+      var j = 0
+      while (j < s.length) { v |= (s(j) & 0xffL) << (56 - 8 * j); j += 1 }
+      v
+    }
+    private[FsstLite] val symMask: Array[Long] =
+      symbols.map(s => -1L << (64 - 8 * s.length))
+    private[FsstLite] val symLen: Array[Int] = symbols.map(_.length)
     // codes of symbols with len >= 3, grouped by their first-2-byte prefix,
     // each group sorted longest-first for greedy longest match
     private[FsstLite] val longCands: Array[Array[Int]] = {
@@ -174,7 +189,14 @@ object FsstLite {
     val code1 = table.code1
     val code2 = table.code2
     val longCands = table.longCands
+    val symPacked = table.symPacked
+    val symMask = table.symMask
+    val symLen = table.symLen
     val n = s.length
+    // worst case 2 bytes out per byte in (all escapes): reserve once, write with
+    // a local cursor — the per-byte ensure() was measurable in the hot loop
+    var o = out.reserve(2 * n)
+    val ob = out.rawBuffer
     var i = 0
     while (i < n) {
       val b0 = s(i) & 0xff
@@ -183,31 +205,50 @@ object FsstLite {
         val p = (b0 << 8) | (s(i + 1) & 0xff)
         val cands = longCands(p)
         if (cands != null && i + 2 < n) {
-          var ci = 0
-          while (!emitted && ci < cands.length) {
-            val c = cands(ci)
-            val sym = symbols(c)
-            if (i + sym.length <= n && matches(s, i, sym)) {
-              out.u8(c)
-              i += sym.length
-              emitted = true
+          if (i + 8 <= n) {
+            // fast path: one 8-byte load, one XOR+AND per candidate
+            val sl = LongBE.get(s, i).asInstanceOf[Long]
+            var ci = 0
+            while (!emitted && ci < cands.length) {
+              val c = cands(ci)
+              if (((sl ^ symPacked(c)) & symMask(c)) == 0L) {
+                ob(o) = c.toByte; o += 1
+                i += symLen(c)
+                emitted = true
+              }
+              ci += 1
             }
-            ci += 1
+          } else {
+            var ci = 0
+            while (!emitted && ci < cands.length) {
+              val c = cands(ci)
+              val sym = symbols(c)
+              if (i + sym.length <= n && matches(s, i, sym)) {
+                ob(o) = c.toByte; o += 1
+                i += sym.length
+                emitted = true
+              }
+              ci += 1
+            }
           }
         }
-        if (!emitted && code2(p) >= 0) {
-          out.u8(code2(p))
-          i += 2
-          emitted = true
+        if (!emitted) {
+          val c2 = code2(p)
+          if (c2 >= 0) {
+            ob(o) = c2.toByte; o += 1
+            i += 2
+            emitted = true
+          }
         }
       }
       if (!emitted) {
         val c1 = code1(b0)
-        if (c1 >= 0) out.u8(c1)
-        else { out.u8(Escape); out.u8(b0) }
+        if (c1 >= 0) { ob(o) = c1.toByte; o += 1 }
+        else { ob(o) = Escape.toByte; ob(o + 1) = b0.toByte; o += 2 }
         i += 1
       }
     }
+    out.advanceTo(o)
   }
 
   /** Decompress `compressedLen` bytes at `off` into a fresh array. */

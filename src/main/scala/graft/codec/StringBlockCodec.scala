@@ -49,18 +49,45 @@ object StringBlockCodec {
     out.toByteArray
   }
 
+  private val LongBE = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+    classOf[Array[Long]], java.nio.ByteOrder.BIG_ENDIAN)
+
+  /** 8-bytes-at-a-time content hash for the cardinality probe. */
+  @inline private def hash64(bs: Array[Byte]): Long = {
+    var h = 0x9E3779B97F4A7C15L ^ bs.length
+    var i = 0
+    val n8 = bs.length - 7
+    while (i < n8) {
+      val v = LongBE.get(bs, i).asInstanceOf[Long]
+      h = java.lang.Long.rotateLeft(h ^ (v * 0x9E3779B97F4A7C15L), 27) * 0xBF58476D1CE4E5B9L
+      i += 8
+    }
+    while (i < bs.length) { h = (h ^ bs(i)) * 0x100000001B3L; i += 1 }
+    h
+  }
+
   /** Auto-choose: dict for low cardinality, FSST when the sample compresses, else plain. */
   private def encodeDense(values: Array[Array[Byte]]): Array[Byte] = {
     val n = values.length
     val totalBytes = values.foldLeft(0L)(_ + _.length)
-    val distinct = new java.util.HashSet[String]()
-    var card = 0
-    var i = 0
-    while (i < n && card <= 4096) {
-      if (distinct.add(new String(values(i), StandardCharsets.ISO_8859_1))) card += 1
-      i += 1
+    // cardinality probe by 64-bit content hash (no per-value String copy) with
+    // early exit at the dict viability bound: high-cardinality text blocks used to
+    // hash+copy EVERY value before giving up — this was the #1 encode hotspot.
+    // A hash collision can only undercount, which at worst picks a slightly
+    // suboptimal dict encode (still exact: ID_DICT rebuilds true distinct values).
+    // long-value blocks (avg > 256B) are never worth a dictionary and the probe
+    // itself would hash a quarter of the block — go straight to FSST/plain
+    if (n > 0 && totalBytes / n <= 256) {
+      val cardCap = math.min(4096L, n.toLong / 4).toInt
+      val distinct = new java.util.HashSet[java.lang.Long]()
+      var card = 0
+      var i = 0
+      while (i < n && card <= cardCap) {
+        if (distinct.add(hash64(values(i)))) card += 1
+        i += 1
+      }
+      if (card <= cardCap) return encodeAs(values, ID_DICT)
     }
-    if (card <= 4096 && card.toLong * 4 <= n.toLong) return encodeAs(values, ID_DICT)
     if (totalBytes >= 4096) {
       // train once on a strided sample; reuse the same table for the real encode
       val stride = math.max(1, values.length / 64)

@@ -153,8 +153,12 @@ object EncodeJob {
           if (v != null) {
             if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
             if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
-            if (dict != null && dict.size <= StrDictCap)
-              dict.add(new String(v, StandardCharsets.UTF_8))
+            // dict metadata is for short low-cardinality columns (lang); a long
+            // value disqualifies the block and stops the per-value String copies
+            if (dict != null) {
+              if (v.length > 128 || dict.size > StrDictCap) dict = null
+              else dict.add(new String(v, StandardCharsets.UTF_8))
+            }
           }
           i += 1
         }
