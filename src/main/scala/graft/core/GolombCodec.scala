@@ -87,8 +87,10 @@ object GolombCodec {
 
   /**
    * Decode at most `limit` values (limit < 0 = no limit) from a byte range.
-   * Fused hot loop (accumulator state in locals, output preallocated when the count
-   * is known) — same semantics as the reference decoder incl. zero_overflow skip and
+   * Fused hot loop over an MSB-ALIGNED accumulator: the next unread bits live in
+   * the TOP of `acc` (bits below `navail` are always zero), so the zero scan is a
+   * bare numberOfLeadingZeros with no masking, and consuming bits is a shift.
+   * Same semantics as the reference decoder incl. zero_overflow skip and
    * done-mid-value truncation (src/golomb.h:517-595, :644-662).
    */
   def decodeRange(bytes: Array[Byte], offset: Int, length: Int,
@@ -98,49 +100,64 @@ object GolombCodec {
     val widthMask = t.widthMask
     val end = offset + length
     var pos = offset
-    var acc = 0L
+    var acc = 0L    // unread bits left-aligned; bits below navail are 0
     var navail = 0
     val outArr: Array[Long] = if (limit >= 0) new Array[Long](limit) else null
     val builder = if (limit < 0) new ArrayBuilder.ofLong else null
     var n = 0
     var running = true
     while (running && (limit < 0 || n < limit)) {
-      while (navail <= 56 && pos < end) { acc = (acc << 8) | (bytes(pos) & 0xffL); navail += 8; pos += 1 }
+      while (navail <= 56 && pos < end) {
+        acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+      }
       if (navail == 0) running = false
       else {
-        // zero-scan a whole window at a time (src/golomb.h:527-542)
+        // zero-scan whole windows at a time (src/golomb.h:527-542); acc == 0 means
+        // every available bit is zero (low bits are zero by invariant)
         var zeros = 0L
-        var window = acc & maskL(navail)
         var exhausted = false
-        while (window == 0L && !exhausted) {
+        while (acc == 0L && !exhausted) {
           zeros += navail
           navail = 0
-          while (navail <= 56 && pos < end) { acc = (acc << 8) | (bytes(pos) & 0xffL); navail += 8; pos += 1 }
+          while (navail <= 56 && pos < end) {
+            acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+          }
           if (navail == 0) exhausted = true
-          else window = acc & maskL(navail)
         }
         if (exhausted) running = false // trailing pad zeros -> done
         else {
-          val bw = 64 - java.lang.Long.numberOfLeadingZeros(window)
-          zeros += navail - bw
-          navail = bw - 1 // consume the terminating 1
+          val z = java.lang.Long.numberOfLeadingZeros(acc) // < navail (bit is in window)
+          zeros += z
+          acc = (acc << z) << 1 // consume zeros + terminating 1 (two shifts: z+1 can be 64)
+          navail -= z + 1
           val digits = zeros + k
           if (digits > w) {
             // zero_overflow (src/golomb.h:548-554): skip; stream stays aligned
           } else {
-            var dleft = digits.toInt
             var buf = 0L
             var ok = true
-            while (dleft > 0 && ok) {
-              if (navail == 0) {
-                while (navail <= 56 && pos < end) { acc = (acc << 8) | (bytes(pos) & 0xffL); navail += 8; pos += 1 }
-                if (navail == 0) ok = false
+            var d = digits.toInt
+            if (d <= navail) { // fast path: whole payload already buffered
+              if (d > 0) {
+                buf = acc >>> (64 - d)
+                acc = (acc << (d - 1)) << 1
+                navail -= d
               }
-              if (ok) {
-                val tb = if (dleft < navail) dleft else navail
-                buf = (buf << tb) | ((acc >>> (navail - tb)) & maskL(tb))
-                navail -= tb
-                dleft -= tb
+            } else {
+              while (d > 0 && ok) {
+                if (navail == 0) {
+                  while (navail <= 56 && pos < end) {
+                    acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+                  }
+                  if (navail == 0) ok = false
+                }
+                if (ok) {
+                  val tb = if (d < navail) d else navail
+                  buf = (buf << tb) | (acc >>> (64 - tb))
+                  acc = (acc << (tb - 1)) << 1
+                  navail -= tb
+                  d -= tb
+                }
               }
             }
             if (!ok) running = false // done mid-value: value dropped
