@@ -160,7 +160,18 @@ object StringBlockCodec {
     case other => s"unknown($other)"
   }
 
-  def decode(block: Array[Byte]): Array[Array[Byte]] = {
+  def decode(block: Array[Byte]): Array[Array[Byte]] =
+    try decodeImpl(block)
+    catch {
+      case e: ArrayIndexOutOfBoundsException =>
+        throw new IntBlockCodec.CorruptBlockException(
+          s"truncated or corrupt string block (${block.length} bytes)", e)
+      case e: NegativeArraySizeException =>
+        throw new IntBlockCodec.CorruptBlockException(
+          s"corrupt string block lengths (${block.length} bytes)", e)
+    }
+
+  private def decodeImpl(block: Array[Byte]): Array[Array[Byte]] = {
     val c = new ByteCursor(block)
     require(c.u8() == MAGIC0 && c.u8() == MAGIC1, "bad string block magic")
     val codecId = c.u8()

@@ -78,6 +78,20 @@ object GolombCodec {
   }
 
   /**
+   * Encode with a multi-byte output word (the reference's `OutputDataT` = u16/u32/u64,
+   * src/golomb.h:167): bits pack into words MSB-first and words serialize big-endian
+   * (src/golomb.h:76-114), so the byte stream equals the canonical u8 stream with the
+   * flush zero-padding extended to the word size (verified against tests/test.cpp:93-182
+   * word literals in GolombGoldenSpec). Decode is [[decode]] unchanged — trailing pad
+   * zeros yield `done` and are dropped regardless of word width.
+   */
+  def encodeWords(values: Array[Long], k: Int, t: PhysicalIntType, wordBytes: Int): Array[Byte] = {
+    require(wordBytes == 1 || wordBytes == 2 || wordBytes == 4 || wordBytes == 8,
+      s"word width must be 1/2/4/8 bytes, got $wordBytes")
+    BitWriter.padToWordBytes(encode(values, k, t), wordBytes)
+  }
+
+  /**
    * Decode a byte stream to logical values. Trailing pad zeros yield "done" and are
    * dropped; zero_overflow results are skipped (reference: src/golomb.h:644-662).
    */

@@ -66,5 +66,11 @@ class GolombCliSpec extends AnyFunSuite {
     }
     val bad = block.clone(); bad(0) = 'X'
     intercept[IllegalArgumentException] { IntBlockCodec.decode(bad) }
+
+    // string blocks: same typed failure, including under the validity wrapper
+    val sb = graft.codec.StringBlockCodec.encodeStrings(Array("aa", null, "bbb", ""))
+    intercept[IntBlockCodec.CorruptBlockException] {
+      graft.codec.StringBlockCodec.decode(java.util.Arrays.copyOf(sb, 9))
+    }
   }
 }

@@ -53,6 +53,12 @@ class GolombGoldenSpec extends AnyFunSuite {
     val enc = GolombCodec.encode(values, 0, U8)
     assert(toWords(enc, 4).toSeq == Seq(0x10204080L, 0x01020408L, 0x20408000L, 0x00000010L))
     assert(GolombCodec.decode(enc, 0, U8).toSeq == values.toSeq)
+    // engine option for OutputDataT = u32 (src/golomb.h:167): word-padded stream,
+    // same bits, decode round-trips across the pad
+    val enc32 = GolombCodec.encodeWords(values, 0, U8, 4)
+    assert(enc32.length % 4 == 0)
+    assert(enc32.toSeq == BitWriter.padToWordBytes(enc, 4).toSeq)
+    assert(GolombCodec.decode(enc32, 0, U8).toSeq == values.toSeq)
   }
 
   test("encode_narrow_to_wide_k4: u8 values into u16 words (test.cpp:127-155)") {
