@@ -458,6 +458,42 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // IVF variant of the ANN scale path: deterministic sample-trained coarse
+    // quantizer, cell as partition column, probe = nProbe nearest cells. The
+    // planted scaled copies of the query are its exact top-10 and sit in (or
+    // adjacent to) the query's cell, well inside the 4-of-16 probe set.
+    "q_knn_ivf" -> ((s, d) => {
+      val planted = s.range(10).select(
+        (col("id") + 3000000L).as("vec_id"),
+        transform(typedLit(knnQueryVec),
+          x => x * (lit(1.0f) + col("id").cast("float") / lit(1000.0f))).as("embedding"))
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = Files.createTempDirectory("graft-ivf-idx-").toString
+      Similarity.buildIvfIndex(base.union(planted), "vec_id", "embedding", k = 16, idx)
+      Similarity.ivfTopK(s, idx, "vec_id", "embedding", knnQueryVec, 10, nProbe = 4)
+        .select(col("vec_id"))
+    }),
+
+    // watermarked event-time windowed aggregation over a bounded stream (complete
+    // mode -> memory sink); hour buckets reduced to epoch seconds so the oracle
+    // is pure integer arithmetic (no timezone coupling)
+    "q_stream_window" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-streamw-").toString
+      val src = s"$tmp/src"
+      val pages = docsAsPages(s, d)
+      pages.write.mode("overwrite").parquet(src)
+      val counts = StreamingEncode.windowedLangCounts(
+        s.readStream.schema(pages.schema).parquet(src))
+      val q = counts.writeStream
+        .format("memory").queryName("q_stream_window_sink")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_window_sink")
+        .select(expr("unix_micros(ws) div 1000000").as("ws_s"), col("lang"), col("cnt"))
+    }),
+
     "q_embedding_neardups" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val shifted = e.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -627,6 +663,9 @@ object SparkEntry {
     "q_embedding_neardups" -> ("SELECT CAST(vec_id AS BIGINT) AS a, " +
       "CAST(vec_id + 1000000 AS BIGINT) AS b FROM embeddings"),
     "q_knn_ann" -> "SELECT CAST(2000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",
+    "q_knn_ivf" -> "SELECT CAST(3000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",
+    "q_stream_window" -> ("SELECT (1600000000 + (doc_id // 50) * 3600) // 3600 * 3600 AS ws_s, " +
+      "lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2"),
     "q_knn_brute" -> knnBruteOracle)
 
   /** Brute-force kNN oracle: same cosine ranking computed by DuckDB list lambdas. */

@@ -132,4 +132,109 @@ object Similarity {
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
+
+  // ---------------- IVF (inverted-file) ANN index ----------------
+
+  @inline private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Index of the nearest centroid (euclidean). */
+  def nearestCell(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = sqDist(v, centroids(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * Deterministic Lloyd's k-means on a driver-side sample — the standard IVF
+   * coarse-quantizer training shape (train on a bounded sample, assign the full
+   * table distributed). Init = k evenly strided sample points; fixed iteration
+   * count; no RNG, so the same input always yields the same centroids.
+   */
+  def trainCentroids(sample: Array[Array[Double]], k: Int, iters: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty centroid training sample")
+    val kk = math.min(k, sample.length)
+    var centroids = Array.tabulate(kk)(c => sample((c.toLong * sample.length / kk).toInt).clone())
+    for (_ <- 0 until iters) {
+      val dim = sample(0).length
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c) // keep empty cells stable
+        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
+      }
+    }
+    centroids
+  }
+
+  /**
+   * Build the persisted IVF index: train centroids on a deterministic sample
+   * (lowest `sampleSize` ids), assign every vector to its nearest cell in one
+   * mapPartitions pass, write with `cell` as a hive partition column, and persist
+   * the centroids next to the data. At 10^12 rows pick k so each cell holds
+   * ~n/k rows; probes read only nProbe of k cell directories.
+   */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, path: String, sampleSize: Int = 4096): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val sample = typed.orderBy(col(idCol)).limit(sampleSize).collect().map(_._2)
+    val centroids = trainCentroids(sample, k)
+    val bc = spark.sparkContext.broadcast(centroids)
+    typed
+      .mapPartitions(_.map { case (id, v) => (id, v, nearestCell(v, bc.value)) })
+      .toDF(idCol, vecCol, "cell")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_centroids.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    centroids
+  }
+
+  def loadCentroids(path: String): Array[Array[Double]] = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_centroids.json")), java.nio.charset.StandardCharsets.UTF_8)
+    json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.toDouble))
+  }
+
+  /**
+   * IVF probe: rank cells by centroid distance to the query, scan ONLY the
+   * `nProbe` nearest cell partitions (partition pruning), exact cosine rerank.
+   */
+  def ivfTopK(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val centroids = loadCentroids(indexPath)
+    val cells = centroids.indices
+      .sortBy(c => sqDist(qd, centroids(c)))
+      .take(nProbe)
+      .map(Int.box)
+    val q = typedLit(qd)
+    spark.read.parquet(indexPath)
+      .where(col("cell").isin(cells: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
 }

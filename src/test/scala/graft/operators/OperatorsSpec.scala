@@ -91,6 +91,31 @@ class OperatorsSpec extends AnyFunSuite {
       s"probe should prune on the bucket partition column:\n$scan")
   }
 
+  test("IVF index: deterministic centroids, cell-partition probe recalls planted vectors") {
+    import spark.implicits._
+    val dim = 16
+    val r = new scala.util.Random(5)
+    val base = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+    val vecs = (1L to 200L).map(id => (id, Array.fill(dim)(r.nextFloat() * 2 - 1))) ++
+      Seq((900L, base), (901L, base.map(_ * 1.001f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idx-").toString
+    val cents = Similarity.buildIvfIndex(df, "vec_id", "embedding", k = 8, idx)
+    // determinism: same data -> same centroids
+    val cents2 = Similarity.trainCentroids(
+      df.orderBy($"vec_id").limit(4096).select(expr("cast(embedding as array<double>)"))
+        .as[Array[Double]].collect(), 8)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    assert(Similarity.loadCentroids(idx).map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    val top = Similarity.ivfTopK(spark, idx, "vec_id", "embedding", base, 2, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(900L, 901L), s"IVF probe must recall the planted twins, got $top")
+    // probe reads only the selected cell partitions
+    val scan = Similarity.ivfTopK(spark, idx, "vec_id", "embedding", base, 2, nProbe = 3)
+      .queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("PartitionFilters") || scan.contains("cell"), scan)
+  }
+
   test("embedding near-dups finds the scaled twin") {
     import spark.implicits._
     val dim = 16
