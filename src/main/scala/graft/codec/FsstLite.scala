@@ -85,7 +85,7 @@ object FsstLite {
    * as concatenations of proven shorter ones instead of raw n-gram guesses.
    */
   def train(sample: Iterator[Array[Byte]]): Table = {
-    val budget = 16 * 1024
+    val budget = 32 * 1024
     var used = 0
     val buf = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     while (sample.hasNext && used < budget) {
