@@ -59,14 +59,47 @@ object GolombCodec {
     else 2 * (64 - java.lang.Long.numberOfLeadingZeros(data)) - k - 1
   }
 
-  /** Encode a slice of logical values into `out` (no flush — caller flushes). */
+  /** Encode a slice of logical values into `out` (no flush — caller flushes).
+    * Two specialized loops (w == 64 vs narrower) with the type parameters hoisted
+    * to locals, so the hot path carries no per-value dispatch or redundant masks. */
   def encodeInto(out: BitWriter, values: Array[Long], from: Int, until: Int,
                  k0: Int, t: PhysicalIntType): Unit = {
-    val k = clampK(k0, t.width)
+    val w = t.width
+    val k = clampK(k0, w)
+    val widthMask = t.widthMask
+    val signed = t.signed
+    val twoK = 1L << k
     var i = from
-    while (i < until) {
-      pushUnsigned(out, t.toUnsigned(values(i)), k, t)
-      i += 1
+    if (w == 64) {
+      while (i < until) {
+        val v = values(i)
+        val u = if (signed) (v << 1) ^ (v >> 63) else v
+        val data = u + twoK
+        if (java.lang.Long.compareUnsigned(data, u) < 0) {
+          out.writeZeros(64 - k); out.writeBit1(); out.writeBits(data, 64)
+        } else {
+          val nb = 64 - java.lang.Long.numberOfLeadingZeros(data)
+          val total = 2 * nb - k - 1
+          if (total <= 56) out.writeBits(data, total)
+          else { out.writeZeros(nb - k - 1); out.writeBits(data, nb) }
+        }
+        i += 1
+      }
+    } else {
+      while (i < until) {
+        val v = values(i)
+        val u = (if (signed) (v << 1) ^ (v >> 63) else v) & widthMask
+        val data = (u + twoK) & widthMask
+        if (data < u) {
+          out.writeZeros(w - k); out.writeBit1(); out.writeBits(data, w)
+        } else {
+          val nb = 64 - java.lang.Long.numberOfLeadingZeros(data)
+          val total = 2 * nb - k - 1
+          if (total <= 56) out.writeBits(data, total)
+          else { out.writeZeros(nb - k - 1); out.writeBits(data, nb) }
+        }
+        i += 1
+      }
     }
   }
 
