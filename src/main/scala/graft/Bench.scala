@@ -72,16 +72,19 @@ object Bench {
     val inputBytes = n.toLong * 4
     // warm up JIT
     GolombCodec.decode(GolombCodec.encode(values.take(1 << 20), 0, PhysicalIntType.I32), 0, PhysicalIntType.I32)
-    var enc: Array[Byte] = null
-    val t0 = System.nanoTime()
-    enc = GolombCodec.encode(values, 0, PhysicalIntType.I32)
-    val t1 = System.nanoTime()
-    val dec = GolombCodec.decode(enc, 0, PhysicalIntType.I32)
-    val t2 = System.nanoTime()
-    require(dec.length == n)
-    val encMbps = inputBytes / 1e6 / ((t1 - t0) / 1e9)
-    val decMbps = inputBytes / 1e6 / ((t2 - t1) / 1e9)
-    (encMbps, decMbps, inputBytes.toDouble / enc.length)
+    // min of 3: single-shot numbers are hostage to this host's minute-scale noise
+    val enc = GolombCodec.encode(values, 0, PhysicalIntType.I32)
+    var encSecs = Double.MaxValue
+    var decSecs = Double.MaxValue
+    for (_ <- 0 until 3) {
+      var t0 = System.nanoTime()
+      require(GolombCodec.encode(values, 0, PhysicalIntType.I32).length == enc.length)
+      encSecs = math.min(encSecs, (System.nanoTime() - t0) / 1e9)
+      t0 = System.nanoTime()
+      require(GolombCodec.decode(enc, 0, PhysicalIntType.I32).length == n)
+      decSecs = math.min(decSecs, (System.nanoTime() - t0) / 1e9)
+    }
+    (inputBytes / 1e6 / encSecs, inputBytes / 1e6 / decSecs, inputBytes.toDouble / enc.length)
   }
 
   /** tmpfs scratch so the measurement reflects compute, not sandbox disk noise. */
@@ -148,7 +151,14 @@ object Bench {
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
 
     val (encMbps, decMbps, egRatio) = microBench()
-    val (hwEff28, hwEff832) = weakScalingCalibration()
+    // calibration gates everything: when raw threads can't weak-scale, neither can
+    // Spark. In a degraded co-tenant window (< 0.7), wait and re-sample once.
+    var (hwEff28, hwEff832) = weakScalingCalibration()
+    if (hwEff28 < 0.7) {
+      Thread.sleep(60000)
+      val (c28, c832) = weakScalingCalibration()
+      if (c28 > hwEff28) { hwEff28 = c28; hwEff832 = c832 }
+    }
 
     // materialize identical webtext input once (on tmpfs) + JIT warmup encode
     val prep = newSession(cpus)
@@ -167,7 +177,7 @@ object Bench {
     // N -> 4N evidence: local[2] vs local[8] stays on distinct physical cores;
     // 8 -> 32 additionally reported, but 32 vCPUs share 16 physical cores here
     // (measured weak-scaling ceiling ~0.62), so 2->8 is the honest 4x criterion.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     val runs = scalingRuns(Seq(2, 8, 32), pagesParquet, rounds)
     val (t2, j2, _, _) = runs(2)
     val (t8, j8, origBytes, _) = runs(8)
@@ -183,6 +193,12 @@ object Bench {
     // 0.2-0.6) — flag it invalid below 0.6 so round-over-round comparisons
     // measure code, not host weather
     val eff832Valid = hwEff832 >= 0.6
+    // efficiency relative to what the HARDWARE allowed in the same window: a job
+    // at raw eff e when pure-compute threads only reach ceiling c is e/min(c,1)
+    // of attainable (capped at 1). Raw, ceiling, and normalized are all reported.
+    val eff28Normalized =
+      math.min(1.0, eff28Raw / math.min(math.max(hwEff28, 1e-9), 1.0))
+    val eff28HwLimited = hwEff28 < 0.8
     val gbps8 = origBytes / 1e9 / j8
     val gbps32 = origBytes / 1e9 / j32
 
@@ -212,6 +228,6 @@ object Bench {
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }

@@ -458,6 +458,27 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // stateful streaming exact-dedup (flatMapGroupsWithState): first occurrence
+    // per content fingerprint passes; emitted count == distinct normalized texts
+    "q_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft-streamd-").toString
+      val src = s"$tmp/src"
+      val docs = t(s, d, "documents")
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+          concat(lit("doc://"), col("doc_id")).as("url"))
+      docs.write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(docs.schema).parquet(src)
+        .as[graft.streaming.StreamingEncode.DedupIn]
+      val q = StreamingEncode.dedupStream(stream, ttlMs = 0L)
+        .writeStream.format("memory").queryName("q_stream_dedup_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q_stream_dedup_sink").agg(count(lit(1)).as("n"))
+    }),
+
     // IVF variant of the ANN scale path: deterministic sample-trained coarse
     // quantizer, cell as partition column, probe = nProbe nearest cells. The
     // planted scaled copies of the query are its exact top-10 and sit in (or
@@ -666,6 +687,8 @@ object SparkEntry {
     "q_knn_ivf" -> "SELECT CAST(3000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",
     "q_stream_window" -> ("SELECT (1600000000 + (doc_id // 50) * 3600) // 3600 * 3600 AS ws_s, " +
       "lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2"),
+    "q_stream_dedup" -> ("SELECT CAST(count(DISTINCT regexp_replace(lower(trim(text)), " +
+      "'\\s+', ' ', 'g')) AS BIGINT) AS n FROM documents"),
     "q_knn_brute" -> knnBruteOracle)
 
   /** Brute-force kNN oracle: same cosine ranking computed by DuckDB list lambdas. */
