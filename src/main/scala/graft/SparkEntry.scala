@@ -132,12 +132,17 @@ object SparkEntry {
 
     "rt_str_lang" -> ((s, d) => rtString(t(s, d, "documents"), "lang")),
 
-    // u64 raw-bit round trip over a full-range (sign-bit-setting) mixer that DuckDB
-    // can reproduce with xor/<<
+    // u64 raw-bit round trip: odd keys map into the top half of the u64 domain
+    // (bit 63 set — true unsigned-range values), even keys spread via shift.
+    // Overflow-free in BOTH engines (DuckDB's << and Spark ANSI arithmetic are
+    // overflow-checked; subtracting MaxValue then 1 never leaves the Long range
+    // for non-negative keys)
     "rt_u64" -> ((s, d) => rtLong(
       t(s, d, "orders").select(
-        shiftleft(col("o_orderkey"), 40).bitwiseXOR(shiftleft(col("o_orderkey"), 13))
-          .bitwiseXOR(col("o_orderkey")).as("h"), col("o_orderkey")), "h")(vs =>
+        when(pmod(col("o_orderkey"), lit(2)) === 1,
+          col("o_orderkey") - lit(Long.MaxValue) - lit(1L))
+          .otherwise(shiftleft(col("o_orderkey"), 13)).as("h"),
+        col("o_orderkey")), "h")(vs =>
       IntBlockCodec.decode(IntBlockCodec.encode(vs, PhysicalIntType.U64)))),
 
     // nullable round-trips: validity bitmaps must preserve null (and null != "")
@@ -415,9 +420,11 @@ object SparkEntry {
         array_distinct(Dedup.shingles(col("text"), 3)).as("s"))
       val sa = sh.select(col("doc_id").as("a"), col("s").as("s_a"))
       val sb = sh.select(col("doc_id").as("b"), col("s").as("s_b"))
+      // mining convention (matches the oracle): two zero-shingle docs are NOT
+      // near-dups (0/greatest(union,1) = 0), unlike ngramJaccard's 1.0 identity
       val union = size(array_union(col("s_a"), col("s_b")))
-      val j = when(union === 0, lit(1.0)).otherwise(
-        size(array_intersect(col("s_a"), col("s_b"))).cast("double") / union.cast("double"))
+      val j = size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+        greatest(union, lit(1)).cast("double")
       cand.join(sa, "a").join(sb, "b")
         .where(j >= 0.6)
         .select(col("a"), col("b"))
@@ -519,7 +526,11 @@ object SparkEntry {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val shifted = e.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+      // recall check on the planted relation (like q_simhash_pairs): genuine
+      // corpus near-dup pairs, should the data ever contain them, are filtered
+      // out because the oracle cannot enumerate them
       Dedup.embeddingNearDups(e.union(shifted), "vec_id", "embedding")
+        .where(col("b") - col("a") === 1000000L)
         .select(col("a"), col("b"))
     }))
 
@@ -532,7 +543,8 @@ object SparkEntry {
     "rt_str_lang" -> "SELECT lang AS v FROM documents",
     "rt_expr_sql" -> "SELECT l_suppkey AS v FROM lineitem",
     "rt_expr_str" -> "SELECT lang AS v FROM documents",
-    "rt_u64" -> ("SELECT xor(xor(o_orderkey << 40, o_orderkey << 13), o_orderkey) AS v " +
+    "rt_u64" -> ("SELECT CASE WHEN o_orderkey % 2 = 1 " +
+      "THEN o_orderkey - 9223372036854775807 - 1 ELSE o_orderkey << 13 END AS v " +
       "FROM orders"),
     "rt_nulls_i64" -> ("SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_orderkey END " +
       "AS v FROM lineitem"),

@@ -103,15 +103,11 @@ object EncodeJob {
     }
   }
 
-  /** part_id = range bucket of url (pure function of url + persisted boundaries). */
-  def partIdFor(url: String, boundaries: Array[String]): Int = {
-    var lo = 0; var hi = boundaries.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (url.compareTo(boundaries(mid)) < 0) hi = mid else lo = mid + 1
-    }
-    lo
-  }
+  /** part_id = range bucket of url (pure function of url + persisted boundaries).
+    * Single source of truth: [[graft.functions.RangeBucketId.bucket]] — the same
+    * search the codegen'd expression runs, so the invariant cannot drift. */
+  def partIdFor(url: String, boundaries: Array[String]): Int =
+    graft.functions.RangeBucketId.bucket(boundaries, url)
 
   // ---------------- encode kernel ----------------
 
@@ -358,11 +354,6 @@ object EncodeJob {
     RunResult(lastSnap, totalEntries.size, totalEntries.map(_.nRows).sum,
       totalEntries.map(_.origBytes).sum, totalEntries.map(_.encBytes).sum, jobSecs)
   }
-
-  // broadcast-friendly binary search (avoids capturing the job object);
-  // null urls sort first (range-bucket 0), matching a null-first sort order
-  def partIdForBroadcast(boundaries: Array[String], url: String): Int =
-    partIdFor(if (url == null) "" else url, boundaries)
 
   /** spark-submit main: generate webtext and encode it into a snapshot store. */
   def main(args: Array[String]): Unit = {

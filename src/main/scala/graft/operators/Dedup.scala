@@ -283,6 +283,7 @@ object Dedup {
       }
       .toDF("id", "v", "keys")
       .select($"id", $"v", posexplode($"keys").as(Seq("band", "key")))
+      .cache() // the plane-projection kernel feeds the cap aggregate + both join sides
     val bounded = capBuckets(keyed, Seq("band", "key"), maxBucket)
     val a = bounded.select($"band", $"key", $"id".as("a"), $"v".as("v_a"))
     val b = bounded.select($"band", $"key", $"id".as("b"), $"v".as("v_b"))

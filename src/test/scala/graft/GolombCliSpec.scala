@@ -51,6 +51,10 @@ class GolombCliSpec extends AnyFunSuite {
     }
     // missing operands are an error
     intercept[GolombCli.CliArgumentException] { GolombCli.main(Array(in.toString)) }
+    // an empty argv element is an operand terminator, not a crash (reference
+    // reads its first byte as '\0'); the empty operand itself is skipped by
+    // read_argument, so only one real operand remains -> missing-output error
+    intercept[GolombCli.CliArgumentException] { GolombCli.main(Array("", in.toString)) }
     // '--' ends the option list; following operands may start with '-'
     val dashed = java.nio.file.Paths.get(enc.getParent.toString, "-dashed.bin")
     GolombCli.main(Array("-k1", "--", in.toString, dashed.toString))
