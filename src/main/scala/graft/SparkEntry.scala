@@ -203,6 +203,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
+    // ---------------- store round-trip: the north-rule per-row invariant ----------------
+    // encode documents into the snapshot store, decode the committed blocks back into
+    // pages, and return EVERY reassembled row — hash-matched against the original
+    // table, so "byte-identical extracted text per url" (BASELINE.json input_hint)
+    // is driver-verified with a DuckDB oracle, not only sbt-tested
+    "q_store_roundtrip" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      DecodeJob.decode(s, root).toDF()
+        .select(col("url"), unix_seconds(col("warc_ts")).as("ts_s"),
+          col("text"), col("lang"))
+    }),
+
     // ---------------- streaming: exactly-once encode with restart ----------------
     "q_stream_encode" -> ((s, d) => {
       import s.implicits._
@@ -555,6 +567,9 @@ object SparkEntry {
       "WHERE doc_id // 50 = 7"),
     "q_prune_lang" -> ("SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents " +
       "WHERE lang = 'en'"),
+    "q_store_roundtrip" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600 AS ts_s, text, lang " +
+      "FROM documents"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q_frames" -> ("SELECT media_id, CAST(f AS BIGINT) AS frame_ts_ms FROM (" +
       "SELECT CAST(doc_id AS BIGINT) AS media_id, " +
