@@ -39,6 +39,21 @@ final class ByteWriter(initialCapacity: Int = 256) {
   }
 }
 
+/** Primitive byte-array loads for codec hot loops. */
+object BytePack {
+  /**
+   * Unboxed big-endian 8-byte load. NOT a VarHandle: Scala compiles the
+   * signature-polymorphic `VarHandle.get(...)` with an Object return, so every
+   * call boxes a Long — profiled at ~5% of encode-job CPU. Plain shifts stay
+   * allocation-free and JIT-friendly.
+   */
+  @inline def loadLongBE(s: Array[Byte], i: Int): Long =
+    ((s(i) & 0xffL) << 56) | ((s(i + 1) & 0xffL) << 48) |
+    ((s(i + 2) & 0xffL) << 40) | ((s(i + 3) & 0xffL) << 32) |
+    ((s(i + 4) & 0xffL) << 24) | ((s(i + 5) & 0xffL) << 16) |
+    ((s(i + 6) & 0xffL) << 8) | (s(i + 7) & 0xffL)
+}
+
 /** Sequential big-endian cursor over a byte array. */
 final class ByteCursor(val buf: Array[Byte], private var pos: Int) {
   def this(buf: Array[Byte]) = this(buf, 0)

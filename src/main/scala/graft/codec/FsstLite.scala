@@ -19,13 +19,15 @@ object FsstLite {
   val MaxSymbolLen = 8
   private val MaxSymbols = 255
 
-  private val LongBE = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
-    classOf[Array[Long]], java.nio.ByteOrder.BIG_ENDIAN)
-
   /** A trained table: symbols(code) = byte sequence. */
   final class Table(val symbols: Array[Array[Byte]]) extends Serializable {
-    private[FsstLite] val code1 = Array.fill[Int](256)(-1)
-    private[FsstLite] val code2 = Array.fill[Int](65536)(-1)
+    // plain new + Arrays.fill: Array.fill evaluates its closure per element
+    // (65536 calls for code2), which showed up in the encode-job profile —
+    // tables are rebuilt per training generation per block
+    private[FsstLite] val code1 = new Array[Int](256)
+    private[FsstLite] val code2 = new Array[Int](65536)
+    java.util.Arrays.fill(code1, -1)
+    java.util.Arrays.fill(code2, -1)
     // symbol bytes left-aligned into a big-endian long + a length mask, so one
     // XOR+AND compares a whole candidate against 8 loaded input bytes (the
     // byte-at-a-time `matches` loop was a top-3 encode hotspot)
@@ -77,6 +79,62 @@ object FsstLite {
   }
 
   /**
+   * Open-addressing counter keyed by a (left-aligned big-endian packed bytes, len)
+   * symbol candidate. The String-keyed HashMap it replaces allocated a String per
+   * sample position per generation — a top-5 encode-job hotspot at small blocks.
+   * Key order (packed unsigned, then len) equals the old ISO-8859-1 string order
+   * (zero-padding only ties when one candidate prefixes another, broken by len),
+   * so selection tiebreaks are unchanged.
+   */
+  private final class CandCounter(capPow2: Int) {
+    private val mask = capPow2 - 1
+    val packed = new Array[Long](capPow2)
+    val lens = new Array[Byte](capPow2) // 0 = empty slot
+    val counts = new Array[Long](capPow2)
+    var size = 0
+
+    @inline private def slot(p: Long, len: Int): Int = {
+      var h = (java.lang.Long.rotateLeft(p * 0x9E3779B97F4A7C15L, 27) ^ len).toInt & mask
+      while (lens(h) != 0 && (lens(h) != len || packed(h) != p)) h = (h + 1) & mask
+      h
+    }
+    def add(p: Long, len: Int, inc: Long): Unit = {
+      val h = slot(p, len)
+      if (lens(h) == 0) { packed(h) = p; lens(h) = len.toByte; counts(h) = inc; size += 1 }
+      else counts(h) += inc
+    }
+    def max(p: Long, len: Int, v: Long): Unit = {
+      val h = slot(p, len)
+      if (lens(h) == 0) { packed(h) = p; lens(h) = len.toByte; counts(h) = v; size += 1 }
+      else if (v > counts(h)) counts(h) = v
+    }
+    def clear(): Unit = {
+      java.util.Arrays.fill(lens, 0.toByte)
+      size = 0
+    }
+  }
+
+  @inline private def packLeftBE(s: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var j = 0
+    while (j < len) { v |= (s(off + j) & 0xffL) << (56 - 8 * j); j += 1 }
+    v
+  }
+
+  @inline private def unpackBE(p: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var j = 0
+    while (j < len) { out(j) = (p >>> (56 - 8 * j)).toByte; j += 1 }
+    out
+  }
+
+  /** (packed, len) candidate order == old ISO-8859-1 lexicographic symbol order. */
+  @inline private def keyCompare(pa: Long, la: Int, pb: Long, lb: Int): Int = {
+    val c = java.lang.Long.compareUnsigned(pa, pb)
+    if (c != 0) c else Integer.compare(la, lb)
+  }
+
+  /**
    * Train a table on sample strings (bounded byte budget) with the FSST paper's
    * iterative scheme: start from single bytes, then for a few generations greedily
    * encode the sample with the current table, count symbol usage and adjacent-symbol
@@ -98,14 +156,16 @@ object FsstLite {
       var i = 0
       while (i < s.length) { byteFreq(s(i) & 0xff) += 1; i += 1 }
     }
-    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
     val seenSingles = (0 until 256).filter(byteFreq(_) > 0).map(b => Array(b.toByte))
     var table = new Table(seenSingles.take(MaxSymbols).toArray)
 
+    // 2^17 slots comfortably holds the <=32K distinct pairs of a 32KB sample
+    val pairCount = new CandCounter(1 << 17)
+    val cand = new CandCounter(1 << 17)
     val generations = 4
     for (_ <- 0 until generations) {
       val symCount = new Array[Long](table.symbols.length)
-      val pairCount = new java.util.HashMap[String, Long]()
+      pairCount.clear()
       for (s <- buf) {
         var prev = -1
         var i = 0
@@ -131,44 +191,60 @@ object FsstLite {
           if (code < 0) { code = table.code1(s(i) & 0xff); len = 1 }
           if (code >= 0) symCount(code) += 1
           if (prev >= 0 && code >= 0) {
-            val concatLen = table.symbols(prev).length + len
-            if (concatLen <= MaxSymbolLen) {
-              pairCount.merge(new String(s, i - table.symbols(prev).length, concatLen, iso), 1L, _ + _)
-            }
+            val prevLen = table.symbols(prev).length
+            val concatLen = prevLen + len
+            if (concatLen <= MaxSymbolLen)
+              pairCount.add(packLeftBE(s, i - prevLen, concatLen), concatLen, 1L)
           }
           prev = code
           i += len
         }
       }
       // candidates: current symbols + adjacent concatenations, scored by bytes saved
-      val cand = new java.util.HashMap[String, Long]()
+      cand.clear()
       var c = 0
       while (c < table.symbols.length) {
         val sym = table.symbols(c)
         val gain =
           if (sym.length == 1) byteFreq(sym(0) & 0xff) // escape avoidance: 1B saved/occurrence
           else symCount(c) * (sym.length - 1)
-        if (gain > 0) cand.merge(new String(sym, iso), gain, math.max)
+        if (gain > 0) cand.max(table.symPacked(c), sym.length, gain)
         c += 1
       }
-      pairCount.forEach { (g, f) =>
-        val gain = f * (g.length - 1)
-        if (gain > 8) cand.merge(g, gain, math.max)
+      var h = 0
+      while (h < pairCount.lens.length) {
+        val len = pairCount.lens(h)
+        if (len != 0) {
+          val gain = pairCount.counts(h) * (len - 1)
+          if (gain > 8) cand.max(pairCount.packed(h), len, gain)
+        }
+        h += 1
       }
-      // top 255 by gain (deterministic tiebreak on the bytes)
-      val heap = new java.util.PriorityQueue[(String, Long)](MaxSymbols + 1,
-        (a: (String, Long), b: (String, Long)) => {
-          val cc = java.lang.Long.compare(a._2, b._2)
-          if (cc != 0) cc else b._1.compareTo(a._1)
+      // top 255 by gain; min-heap evicts (lower gain, then LARGER key) first, so
+      // among equal gains the lexicographically smaller symbols survive — the same
+      // deterministic tiebreak as the previous string-keyed implementation
+      val heap = new java.util.PriorityQueue[Array[Long]](MaxSymbols + 1,
+        (a: Array[Long], b: Array[Long]) => {
+          val cc = java.lang.Long.compare(a(2), b(2))
+          if (cc != 0) cc else keyCompare(b(0), b(1).toInt, a(0), a(1).toInt)
         })
-      cand.forEach { (g, gain) =>
-        heap.offer((g, gain))
-        if (heap.size() > MaxSymbols) heap.poll()
+      h = 0
+      while (h < cand.lens.length) {
+        if (cand.lens(h) != 0) {
+          heap.offer(Array(cand.packed(h), cand.lens(h).toLong, cand.counts(h)))
+          if (heap.size() > MaxSymbols) heap.poll()
+        }
+        h += 1
       }
-      val chosen = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-      while (!heap.isEmpty) chosen += heap.poll()
-      table = new Table(chosen.sortBy { case (g, gain) => (-gain, g) }
-        .map(_._1.getBytes(iso)).toArray)
+      val chosen = new Array[Array[Long]](heap.size())
+      var ci = 0
+      while (!heap.isEmpty) { chosen(ci) = heap.poll(); ci += 1 }
+      // gain desc, then key asc — identical final ordering to the old sortBy
+      java.util.Arrays.sort(chosen, (a: Array[Long], b: Array[Long]) => {
+        val cc = java.lang.Long.compare(b(2), a(2))
+        if (cc != 0) cc else keyCompare(a(0), a(1).toInt, b(0), b(1).toInt)
+      })
+      table = new Table(chosen.map(e => unpackBE(e(0), e(1).toInt)))
     }
     table
   }
@@ -207,7 +283,7 @@ object FsstLite {
         if (cands != null && i + 2 < n) {
           if (i + 8 <= n) {
             // fast path: one 8-byte load, one XOR+AND per candidate
-            val sl = LongBE.get(s, i).asInstanceOf[Long]
+            val sl = BytePack.loadLongBE(s, i)
             var ci = 0
             while (!emitted && ci < cands.length) {
               val c = cands(ci)

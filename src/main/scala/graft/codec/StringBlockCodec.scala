@@ -49,16 +49,13 @@ object StringBlockCodec {
     out.toByteArray
   }
 
-  private val LongBE = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
-    classOf[Array[Long]], java.nio.ByteOrder.BIG_ENDIAN)
-
   /** 8-bytes-at-a-time content hash for the cardinality probe. */
   @inline private def hash64(bs: Array[Byte]): Long = {
     var h = 0x9E3779B97F4A7C15L ^ bs.length
     var i = 0
     val n8 = bs.length - 7
     while (i < n8) {
-      val v = LongBE.get(bs, i).asInstanceOf[Long]
+      val v = BytePack.loadLongBE(bs, i)
       h = java.lang.Long.rotateLeft(h ^ (v * 0x9E3779B97F4A7C15L), 27) * 0xBF58476D1CE4E5B9L
       i += 8
     }
