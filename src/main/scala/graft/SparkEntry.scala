@@ -215,6 +215,14 @@ object SparkEntry {
           col("text"), col("lang"))
     }),
 
+    // projected decode: only the url+lang blocks are read (the `column` filter is
+    // a pushed parquet In-filter — text/html blocks never leave the row groups)
+    "q_decode_projection" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      DecodeJob.decodeColumns(s, root, Seq("url", "lang"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    }),
+
     // ---------------- streaming: exactly-once encode with restart ----------------
     "q_stream_encode" -> ((s, d) => {
       import s.implicits._
@@ -570,6 +578,8 @@ object SparkEntry {
     "q_store_roundtrip" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600 AS ts_s, text, lang " +
       "FROM documents"),
+    "q_decode_projection" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM documents GROUP BY lang"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q_frames" -> ("SELECT media_id, CAST(f AS BIGINT) AS frame_ts_ms FROM (" +
       "SELECT CAST(doc_id AS BIGINT) AS media_id, " +

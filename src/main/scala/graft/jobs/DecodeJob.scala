@@ -60,6 +60,55 @@ object DecodeJob {
   }
 
   /**
+   * Projected decode: reassemble ONLY the requested columns. The blocks scan
+   * filters on `column`, which reaches parquet as a pushed `In` filter — row
+   * groups holding unwanted columns (e.g. multi-KB text/html blocks when only
+   * url+lang are asked for) are skipped by statistics before any IO-decompression,
+   * the columnar-store read-path benefit at 100-TB scale.
+   *
+   * Output schema: one field per requested column in request order — `warc_ts`
+   * as nullable epoch-micros LongType, everything else StringType (html decodes
+   * as its UTF-8 string form).
+   */
+  def decodeColumns(spark: SparkSession, root: String, wanted: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    import spark.implicits._
+    require(wanted.nonEmpty, "no columns requested")
+    val schema = StructType(wanted.map {
+      case "warc_ts" => StructField("warc_ts", LongType, nullable = true)
+      case c => StructField(c, StringType, nullable = true)
+    })
+    val rowEnc = Encoders.row(schema)
+    val order = wanted.toArray
+    blocks(spark, root)
+      .where($"column".isin(wanted: _*))
+      .select($"part_id", $"block_seq", $"column", $"encoded")
+      .as[(Int, Int, String, Array[Byte])]
+      .groupByKey { case (pid, seq, _, _) => (pid, seq) }
+      .flatMapGroups { (_: (Int, Int), it: Iterator[(Int, Int, String, Array[Byte])]) =>
+        val cols = it.map { case (_, _, col, enc) => col -> enc }.toMap
+        val strCols: Map[String, Array[Array[Byte]]] =
+          order.iterator.filter(c => c != "warc_ts" && cols.contains(c))
+            .map(c => c -> StringBlockCodec.decode(cols(c))).toMap
+        val ts: (Array[Long], Array[Boolean]) =
+          if (cols.contains("warc_ts")) IntBlockCodec.decodeNullable(cols("warc_ts")) else null
+        val n = strCols.headOption.map(_._2.length)
+          .orElse(Option(ts).map(_._1.length)).getOrElse(0)
+        (0 until n).iterator.map { i =>
+          Row.fromSeq(order.toSeq.map {
+            case "warc_ts" =>
+              if (ts != null && ts._2(i)) java.lang.Long.valueOf(ts._1(i)) else null
+            case c =>
+              val vs = strCols.getOrElse(c, null)
+              if (vs == null || vs(i) == null) null
+              else new String(vs(i), StandardCharsets.UTF_8)
+          })
+        }
+      }(rowEnc)
+  }
+
+  /**
    * Verify decoded pages against an original dataset: equi-join on url, compare every
    * column (text compared byte-exact). Returns mismatch count (0 == pass).
    */

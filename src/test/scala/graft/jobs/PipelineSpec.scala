@@ -138,6 +138,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ql.count() == 0, "no block contains lang 'zz'")
   }
 
+  test("projected decode reads only the requested columns' blocks (pushed In filter)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val n = 5000L
+    val pages = Webtext.generate(spark, n, 4)
+    EncodeJob.run(spark, pages, root, parts = 4)
+
+    val proj = DecodeJob.decodeColumns(spark, root, Seq("url", "lang", "warc_ts"))
+    // the column filter must reach the parquet scan so unwanted (text/html) blocks
+    // are pruned by row-group stats before any decompression
+    val physical = proj.queryExecution.executedPlan.toString()
+    assert(physical.contains("PushedFilters: [In(column"),
+      s"column projection filter not pushed to the blocks scan:\n$physical")
+
+    assert(proj.count() == n)
+    // values match the full decode on every projected column (micros == timestamp)
+    val full = DecodeJob.decode(spark, root).toDF()
+      .select($"url", $"lang", unix_micros($"warc_ts").as("warc_ts"))
+    assert(proj.select($"url", $"lang", $"warc_ts").exceptAll(full).count() == 0)
+    assert(full.exceptAll(proj.select($"url", $"lang", $"warc_ts")).count() == 0)
+  }
+
   test("part-id expression stays in whole-stage codegen (no UDF in encode projection)") {
     import spark.implicits._
     val pages = Webtext.generate(spark, 1000, 4)
