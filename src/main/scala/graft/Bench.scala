@@ -87,6 +87,33 @@ object Bench {
     (inputBytes / 1e6 / encSecs, inputBytes / 1e6 / decSecs, inputBytes.toDouble / enc.length)
   }
 
+  /**
+   * Single-thread string-block codec throughput on deterministic webtext text
+   * (auto codec picks FSST here) — the encode job's hottest kernel, tracked
+   * per round like the exp-Golomb numbers.
+   */
+  private def strMicroBench(): (Double, Double) = {
+    val texts = Array.tabulate(20000)(i =>
+      sources.Webtext.page(i.toLong).text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var bytes = 0L
+    texts.foreach(bytes += _.length)
+    // JIT warmup on a slice
+    graft.codec.StringBlockCodec.decode(
+      graft.codec.StringBlockCodec.encode(java.util.Arrays.copyOfRange(texts, 0, 2000)))
+    var encSecs = Double.MaxValue
+    var decSecs = Double.MaxValue
+    var enc: Array[Byte] = null
+    for (_ <- 0 until 3) {
+      var t0 = System.nanoTime()
+      enc = graft.codec.StringBlockCodec.encode(texts)
+      encSecs = math.min(encSecs, (System.nanoTime() - t0) / 1e9)
+      t0 = System.nanoTime()
+      require(graft.codec.StringBlockCodec.decode(enc).length == texts.length)
+      decSecs = math.min(decSecs, (System.nanoTime() - t0) / 1e9)
+    }
+    (bytes / 1e6 / encSecs, bytes / 1e6 / decSecs)
+  }
+
   /** tmpfs scratch so the measurement reflects compute, not sandbox disk noise. */
   private val scratch: String = {
     val base = if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
@@ -151,6 +178,7 @@ object Bench {
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
 
     val (encMbps, decMbps, egRatio) = microBench()
+    val (strEncMbps, strDecMbps) = strMicroBench()
     // calibration gates everything: when raw threads can't weak-scale, neither can
     // Spark. In a degraded co-tenant window (< 0.7), wait and re-sample once.
     var (hwEff28, hwEff832) = weakScalingCalibration()
@@ -228,6 +256,6 @@ object Bench {
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }

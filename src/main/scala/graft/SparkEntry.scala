@@ -425,6 +425,7 @@ object SparkEntry {
     // documents ∪ ' tail'-perturbed copies; the data's own near-dup clusters
     // (min true-pair j = 0.75, max non-pair j = 0.07 — wide margin) are found too.
     "q_minhash_pairs" -> ((s, d) => {
+      import s.implicits._
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.union(docs.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" tail")).as("text")))
@@ -435,9 +436,16 @@ object SparkEntry {
       val cand = Dedup.minhashPairs(corpus, "doc_id", "text",
         numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.3,
         maxBucket = Int.MaxValue)
-      // shingle SETS computed once per doc (not once per candidate pair)
-      val sh = corpus.select(col("doc_id"),
-        array_distinct(Dedup.shingles(col("text"), 3)).as("s"))
+      // shingle SETS via the one-pass kernel, computed once per doc and CACHED so
+      // the two join sides don't re-shingle (the declarative regex-split tree ran
+      // twice and dominated this query's profile)
+      val sh = corpus.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, tx) =>
+          (id, Dedup.distinctShingles(if (tx == null) "" else tx, 3))
+        })
+        .toDF("doc_id", "s")
+        .cache()
       val sa = sh.select(col("doc_id").as("a"), col("s").as("s_a"))
       val sb = sh.select(col("doc_id").as("b"), col("s").as("s_b"))
       // mining convention (matches the oracle): two zero-shingle docs are NOT

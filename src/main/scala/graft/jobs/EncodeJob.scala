@@ -321,7 +321,11 @@ object EncodeJob {
 
       val (relDir, absDir) = SnapshotStore.newDataDir(root)
       val jt0 = System.nanoTime()
-      blocks.write.mode(SaveMode.Overwrite).parquet(absDir)
+      // the dominant column is `encoded` — already codec-compressed, high-entropy
+      // bytes; running snappy over it again costs CPU in every task for ~0 size
+      // win, so the block table is written uncompressed
+      blocks.write.mode(SaveMode.Overwrite)
+        .option("compression", "uncompressed").parquet(absDir)
       jobSecs += (System.nanoTime() - jt0) / 1e9
 
       // lineage + metrics rollup from the staged files (no recompute, no driver

@@ -118,8 +118,11 @@ object Dedup {
    * with exact signature agreement >= `threshold` (estimated Jaccard).
    *
    * Scale: bucket sizes are bounded by near-duplicate cluster sizes; the
-   * self-join inside a bucket happens on grouped arrays, never a cartesian across
-   * buckets. Dedup of pairs found in multiple bands is one distinct on (a, b).
+   * self-join inside a bucket happens on grouped ids, never a cartesian across
+   * buckets. Only ids ride the banded shuffle — a true near-dup collides in
+   * MANY bands, so attaching the 64-long signature arrays before the (a, b)
+   * dedup multiplied shuffle bytes by bands x 512B (measured 40% of the query);
+   * instead candidates dedup narrow and signatures join once per distinct pair.
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
@@ -131,28 +134,30 @@ object Dedup {
     val signed = withMinhashSignature(df.select(col(idCol), col(textCol)), textCol,
       numHashes, shingleSize)
       .withColumnRenamed(idCol, "id")
-      .cache() // sig is reused by both join sides and the verify
+      .cache() // sig is reused by the banding pass and both verify joins
 
     val banded = signed.select(
-      $"id", $"sig",
+      $"id",
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"), xxhash64(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
-      .select($"id", $"sig", $"bb.band", $"bb.bucket")
+      .select($"id", $"bb.band", $"bb.bucket")
 
     // mega-cluster guard: a boilerplate bucket of B members contributes B^2/2
     // candidate pairs; skip buckets over the cap (bounded recall loss, logged
     // via the bucket-size aggregate, which shares the self-join's partitioning)
     val bounded = capBuckets(banded, Seq("band", "bucket"), maxBucket)
 
-    // candidates: pairs sharing any (band, bucket); verify map-side, THEN dedup on
-    // the narrow (a, b) pair — never shuffle signature arrays through a distinct
-    val a = bounded.select($"band", $"bucket", $"id".as("a"), $"sig".as("sig_a"))
-    val b = bounded.select($"band", $"bucket", $"id".as("b"), $"sig".as("sig_b"))
+    val a = bounded.select($"band", $"bucket", $"id".as("a"))
+    val b = bounded.select($"band", $"bucket", $"id".as("b"))
+    val pairs = a.join(b, Seq("band", "bucket")).where($"a" < $"b")
+      .select($"a", $"b").distinct()
     val agree = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
-    a.join(b, Seq("band", "bucket")).where($"a" < $"b")
+    pairs
+      .join(signed.select($"id".as("a"), $"sig".as("sig_a")), Seq("a"))
+      .join(signed.select($"id".as("b"), $"sig".as("sig_b")), Seq("b"))
       .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
       .where($"est_jaccard" >= threshold)
-      .groupBy($"a", $"b").agg(max($"est_jaccard").as("est_jaccard"))
+      .select($"a", $"b", $"est_jaccard")
   }
 
   /** Drop rows in LSH buckets larger than `cap` (quadratic-blowup guard). */
@@ -241,6 +246,40 @@ object Dedup {
       .groupBy($"a", $"b").agg(min($"hamming").as("hamming"))
   }
 
+  /**
+   * Distinct word n-gram shingles as a one-pass JVM kernel: manual whitespace
+   * scanning + per-token lowercase, no regex. Equivalent to
+   * `array_distinct(shingles(text, n))` (and the DuckDB regexp_split form) for
+   * ASCII whitespace-separated text; the Catalyst regex-split/ICU-lowercase tree
+   * it replaces dominated the exact-verify profile (UTF8String.split + Pattern
+   * match were the top frames of q_minhash_pairs).
+   */
+  def distinctShingles(text: String, n: Int): Array[String] = {
+    val len = text.length
+    val words = new java.util.ArrayList[String](len / 6 + 4)
+    @inline def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(text.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(text.charAt(i))) i += 1
+      if (i > start) words.add(text.substring(start, i).toLowerCase(java.util.Locale.ROOT))
+    }
+    val m = words.size - n + 1
+    if (m <= 0) return Array.empty
+    val set = new java.util.LinkedHashSet[String](m * 2)
+    var j = 0
+    while (j < m) {
+      val sb = new java.lang.StringBuilder(32)
+      var k = 0
+      while (k < n) { if (k > 0) sb.append(' '); sb.append(words.get(j + k)); k += 1 }
+      set.add(sb.toString)
+      j += 1
+    }
+    set.toArray(new Array[String](set.size))
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns (verification UDF-free). */
   def ngramJaccard(t1: Column, t2: Column, n: Int): Column = {
     val s1 = array_distinct(shingles(t1, n))
@@ -282,14 +321,21 @@ object Dedup {
         }
       }
       .toDF("id", "v", "keys")
-      .select($"id", $"v", posexplode($"keys").as(Seq("band", "key")))
-      .cache() // the plane-projection kernel feeds the cap aggregate + both join sides
-    val bounded = capBuckets(keyed, Seq("band", "key"), maxBucket)
-    val a = bounded.select($"band", $"key", $"id".as("a"), $"v".as("v_a"))
-    val b = bounded.select($"band", $"key", $"id".as("b"), $"v".as("v_b"))
-    a.join(b, Seq("band", "key")).where($"a" < $"b")
+      .cache() // the plane-projection kernel feeds the banding pass + both verify joins
+    // ids-only through the banded self-join (a near-dup collides in every band —
+    // carrying vectors would multiply shuffle bytes by bands x vector size);
+    // vectors attach once per DISTINCT candidate pair for the exact-cosine verify
+    val banded = keyed.select($"id", posexplode($"keys").as(Seq("band", "key")))
+    val bounded = capBuckets(banded, Seq("band", "key"), maxBucket)
+    val a = bounded.select($"band", $"key", $"id".as("a"))
+    val b = bounded.select($"band", $"key", $"id".as("b"))
+    val pairs = a.join(b, Seq("band", "key")).where($"a" < $"b")
+      .select($"a", $"b").distinct()
+    pairs
+      .join(keyed.select($"id".as("a"), $"v".as("v_a")), Seq("a"))
+      .join(keyed.select($"id".as("b"), $"v".as("v_b")), Seq("b"))
       .withColumn("cosine", Similarity.cosine($"v_a", $"v_b"))
-      .where($"cosine" >= minCosine) // verify map-side; only hits reach the pair dedup
-      .groupBy($"a", $"b").agg(max($"cosine").as("cosine"))
+      .where($"cosine" >= minCosine)
+      .select($"a", $"b", $"cosine")
   }
 }
