@@ -19,14 +19,19 @@ object QueryTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
-    val times = (0 until reps).map { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"run $i: $s%.3f s")
-      s
+    if (reps == 0) { // explain mode: dump the formatted physical plan
+      println(s"== $name ==")
+      fn(spark, sfDir).explain("formatted")
+    } else {
+      val times = (0 until reps).map { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"run $i: $s%.3f s")
+        s
+      }
+      println(f"$name min=${times.min}%.3f s over $reps runs")
     }
-    println(f"$name min=${times.min}%.3f s over $reps runs")
     spark.stop()
   }
 }
