@@ -42,12 +42,18 @@ object Bench {
    * measured ceiling contextualizes the Spark job's 8->32 efficiency.
    */
   private def weakScalingCalibration(): (Double, Double) = {
+    // the workload mirrors the encode job's actual codec mix (exp-Golomb ints +
+    // FSST-heavy string blocks) — a pure cache-resident integer loop overstates
+    // the ceiling for the memory-heavier string path
+    val calTexts = Array.tabulate(3000)(i =>
+      sources.Webtext.page(i.toLong).text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def work(): Long = {
-      val vs = Array.tabulate(1 << 19)(i => (i * 2654435761L) % 100000)
+      val vs = Array.tabulate(1 << 18)(i => (i * 2654435761L) % 100000)
       var total = 0L
       for (_ <- 0 until 6) {
         val e = GolombCodec.encode(vs, 3, PhysicalIntType.I64)
         total += GolombCodec.decode(e, 3, PhysicalIntType.I64).length
+        total += graft.codec.StringBlockCodec.encode(calTexts).length
       }
       total
     }
@@ -227,6 +233,8 @@ object Bench {
     val eff28Normalized =
       math.min(1.0, eff28Raw / math.min(math.max(hwEff28, 1e-9), 1.0))
     val eff28HwLimited = hwEff28 < 0.8
+    val eff832Normalized =
+      math.min(1.0, eff832Raw / math.min(math.max(hwEff832, 1e-9), 1.0))
     val gbps8 = origBytes / 1e9 / j8
     val gbps32 = origBytes / 1e9 / j32
 
@@ -256,6 +264,6 @@ object Bench {
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_efficiency_8_to_32_hw_normalized":$eff832Normalized%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }

@@ -63,6 +63,14 @@ object EncodeJob {
 
   val BlockSize = 65536
 
+  /**
+   * Byte bound on one buffered block: 64Ki fat rows (multi-KB web pages) would
+   * otherwise hold 100s of MB per in-flight task — 32 concurrent tasks × that is
+   * an executor OOM at real page sizes. Blocks flush at whichever bound hits
+   * first; the formats are self-describing, so variable block sizes cost nothing.
+   */
+  val MaxBlockBytes: Long = 64L << 20
+
   // ---------------- range boundaries (deterministic, persisted) ----------------
 
   /**
@@ -217,7 +225,8 @@ object EncodeJob {
   type EncRow = (Int, Array[Byte], Long, Boolean, Array[Byte], Array[Byte], Array[Byte])
 
   /** The mapPartitions kernel: rows arrive sorted by (part_id, url). */
-  def encodePartition(rows: Iterator[EncRow]): Iterator[BlockRow] = new Iterator[BlockRow] {
+  def encodePartition(rows: Iterator[EncRow],
+                      maxBlockBytes: Long = MaxBlockBytes): Iterator[BlockRow] = new Iterator[BlockRow] {
     private var out: Iterator[BlockRow] = Iterator.empty
     private var curPart = -1
     private var blockSeq = 0
@@ -228,13 +237,16 @@ object EncodeJob {
     private val ts = new Array[Long](BlockSize)
     private val tsValid = new Array[Boolean](BlockSize)
     private var n = 0
+    private var bufBytes = 0L
+
+    @inline private def lenOf(bs: Array[Byte]): Int = if (bs == null) 0 else bs.length
 
     private def flush(): Seq[BlockRow] = {
       if (n == 0) Seq.empty
       else {
         val res = flushBlock(curPart, blockSeq, urls, ts, tsValid, n, htmls, texts, langs)
         urls.clear(); htmls.clear(); texts.clear(); langs.clear()
-        n = 0; blockSeq += 1
+        n = 0; bufBytes = 0L; blockSeq += 1
         res
       }
     }
@@ -244,7 +256,7 @@ object EncodeJob {
         val (pid, url, tsUs, tsOk, html, text, lang) = rows.next()
         var flushed: Seq[BlockRow] = Seq.empty
         if (pid != curPart) { flushed = flush(); curPart = pid; blockSeq = 0 }
-        else if (n == BlockSize) flushed = flush()
+        else if (n == BlockSize || bufBytes >= maxBlockBytes) flushed = flush()
         urls.add(url)
         htmls.add(html)
         texts.add(text)
@@ -252,6 +264,7 @@ object EncodeJob {
         ts(n) = tsUs
         tsValid(n) = tsOk
         n += 1
+        bufBytes += lenOf(url) + lenOf(html) + lenOf(text) + lenOf(lang) + 16L
         if (flushed.nonEmpty) out = flushed.iterator
       }
       if (!out.hasNext && !rows.hasNext && n > 0) out = flush().iterator
@@ -317,7 +330,7 @@ object EncodeJob {
           col("ts_valid"), col("html"), col("text").cast("binary").as("text"),
           col("lang").cast("binary").as("lang"))
         .as[EncRow]
-        .mapPartitions(encodePartition)
+        .mapPartitions(it => encodePartition(it))
 
       val (relDir, absDir) = SnapshotStore.newDataDir(root)
       val jt0 = System.nanoTime()

@@ -138,6 +138,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(ql.count() == 0, "no block contains lang 'zz'")
   }
 
+  test("byte-bounded block flush splits fat-row runs without losing rows") {
+    // 300 rows x ~10KB text with a 64KB cap -> many small blocks, same data back
+    val rows = (0 until 300).iterator.map { i =>
+      val fat = ("w" + (i % 7) + " ") * 2500 // ~10KB
+      (1, s"u$i".getBytes, 1000L + i, true,
+        fat.getBytes, fat.getBytes, "en".getBytes): EncodeJob.EncRow
+    }
+    val blocks = EncodeJob.encodePartition(rows, maxBlockBytes = 64 * 1024).toSeq
+    val urlBlocks = blocks.filter(_.column == "url")
+    assert(urlBlocks.length > 10, s"cap must split the run, got ${urlBlocks.length} blocks")
+    assert(urlBlocks.map(_.n).sum == 300, "no rows lost across flushes")
+    assert(urlBlocks.map(_.block_seq).sorted == urlBlocks.indices.toSeq, "contiguous seqs")
+    val decoded = urlBlocks.sortBy(_.block_seq)
+      .flatMap(b => graft.codec.StringBlockCodec.decode(b.encoded))
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+    assert(decoded == (0 until 300).map(i => s"u$i"))
+  }
+
   test("projected decode reads only the requested columns' blocks (pushed In filter)") {
     import spark.implicits._
     val root = freshRoot()
