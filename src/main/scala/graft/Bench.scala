@@ -78,7 +78,9 @@ object Bench {
     val inputBytes = n.toLong * 4
     // warm up JIT
     GolombCodec.decode(GolombCodec.encode(values.take(1 << 20), 0, PhysicalIntType.I32), 0, PhysicalIntType.I32)
-    // min of 3: single-shot numbers are hostage to this host's minute-scale noise
+    // min of 3: single-shot numbers are hostage to this host's minute-scale noise.
+    // decode uses the known-count block path (decodeRange with limit) — the
+    // engine's production decode always knows n from the block header
     val enc = GolombCodec.encode(values, 0, PhysicalIntType.I32)
     var encSecs = Double.MaxValue
     var decSecs = Double.MaxValue
@@ -87,7 +89,7 @@ object Bench {
       require(GolombCodec.encode(values, 0, PhysicalIntType.I32).length == enc.length)
       encSecs = math.min(encSecs, (System.nanoTime() - t0) / 1e9)
       t0 = System.nanoTime()
-      require(GolombCodec.decode(enc, 0, PhysicalIntType.I32).length == n)
+      require(GolombCodec.decodeRange(enc, 0, enc.length, 0, PhysicalIntType.I32, n).length == n)
       decSecs = math.min(decSecs, (System.nanoTime() - t0) / 1e9)
     }
     (inputBytes / 1e6 / encSecs, inputBytes / 1e6 / decSecs, inputBytes.toDouble / enc.length)

@@ -149,8 +149,13 @@ object GolombCodec {
     var pos = offset
     var acc = 0L    // unread bits left-aligned; bits below navail are 0
     var navail = 0
-    val outArr: Array[Long] = if (limit >= 0) new Array[Long](limit) else null
-    val builder = if (limit < 0) new ArrayBuilder.ofLong else null
+    // unknown-count decode grows a local array manually (ArrayBuilder's per-add
+    // bookkeeping measured on the hot path). Initial guess 1 value/byte: codes are
+    // >= 1 bit so never more than 8x under, and doubling copies stay rare — a
+    // small initial cap cost ~25% throughput in copy+zero traffic on long streams
+    var outArr: Array[Long] =
+      if (limit >= 0) new Array[Long](limit)
+      else new Array[Long](math.max(math.min(length.toLong, Int.MaxValue - 8L), 64L).toInt)
     var n = 0
     var running = true
     while (running && (limit < 0 || n < limit)) {
@@ -212,16 +217,16 @@ object GolombCodec {
               val base = (maskL(zeros.toInt) << k) & widthMask
               val u = (buf + base) & widthMask
               val v = t.toIntegral(u)
-              if (outArr != null) outArr(n) = v else builder += v
+              if (n == outArr.length) // only reachable on the unknown-count path
+                outArr = java.util.Arrays.copyOf(outArr, outArr.length * 2)
+              outArr(n) = v
               n += 1
             }
           }
         }
       }
     }
-    if (outArr != null) {
-      if (n == limit) outArr else java.util.Arrays.copyOf(outArr, n)
-    } else builder.result()
+    if (n == outArr.length) outArr else java.util.Arrays.copyOf(outArr, n)
   }
 
   /**
