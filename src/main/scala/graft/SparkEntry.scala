@@ -215,6 +215,23 @@ object SparkEntry {
           col("text"), col("lang"))
     }),
 
+    // snapshot time travel: two-wave encode leaves two committed snapshots; the
+    // older one must stay readable (strict subset of rows), and the latest —
+    // read through the time-travel API — must reproduce the full table. The
+    // subset property is asserted in-query; the full-set is the DuckDB oracle.
+    "q_time_travel" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-tt-").toString
+      EncodeJob.run(s, docsAsPages(s, d).as(Encoders.product[WebPage]), root,
+        parts = 4, waves = 2)
+      val ids = SnapshotStore.snapshotIds(root)
+      require(ids.size == 2, s"two waves must commit two snapshots, got $ids")
+      val nOld = DecodeJob.decodeAt(s, root, ids.head).count()
+      val latest = DecodeJob.decodeAt(s, root, ids.last)
+      require(nOld > 0 && nOld < latest.count(),
+        s"snapshot ${ids.head} must be a non-empty strict subset (got $nOld rows)")
+      latest.toDF().select(col("url"))
+    }),
+
     // projected decode: only the url+lang blocks are read (the `column` filter is
     // a pushed parquet In-filter — text/html blocks never leave the row groups)
     "q_decode_projection" -> ((s, d) => {
@@ -586,6 +603,8 @@ object SparkEntry {
     "q_store_roundtrip" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600 AS ts_s, text, lang " +
       "FROM documents"),
+    "q_time_travel" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url FROM documents"),
     "q_decode_projection" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +
       "FROM documents GROUP BY lang"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",

@@ -26,6 +26,13 @@ object DecodeJob {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Time travel: read the blocks visible at a specific committed snapshot. */
+  def blocksAt(spark: SparkSession, root: String, snapshotId: Long) = {
+    val dirs = SnapshotStore.dataDirsAt(root, snapshotId)
+    require(dirs.nonEmpty, s"snapshot $snapshotId has no data under $root")
+    spark.read.parquet(dirs: _*)
+  }
+
   private def tsFromMicros(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
     t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
@@ -33,9 +40,17 @@ object DecodeJob {
   }
 
   /** Decode the full snapshot back into pages. */
-  def decode(spark: SparkSession, root: String): Dataset[WebPage] = {
+  def decode(spark: SparkSession, root: String): Dataset[WebPage] =
+    reassemble(spark, blocks(spark, root))
+
+  /** Time travel: decode the pages visible at a specific committed snapshot. */
+  def decodeAt(spark: SparkSession, root: String, snapshotId: Long): Dataset[WebPage] =
+    reassemble(spark, blocksAt(spark, root, snapshotId))
+
+  private def reassemble(spark: SparkSession,
+                         blocksDf: org.apache.spark.sql.DataFrame): Dataset[WebPage] = {
     import spark.implicits._
-    blocks(spark, root)
+    blocksDf
       .select($"part_id", $"block_seq", $"column", $"encoded")
       .as[(Int, Int, String, Array[Byte])]
       .groupByKey { case (pid, seq, _, _) => (pid, seq) }

@@ -71,11 +71,35 @@ object SnapshotStore {
   def currentEntries(root: String): Seq[PartEntry] =
     currentSnapshotId(root) match {
       case None => Seq.empty
-      case Some(id) =>
-        val mf = Paths.get(root, "manifests", s"$id.jsonl")
-        Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
-          .filter(_.nonEmpty).map(parseEntry)
+      case Some(id) => entriesAt(root, id)
     }
+
+  /**
+   * Entries of a SPECIFIC committed snapshot (time travel). Manifests are
+   * immutable and retained per snapshot id, so any historical commit stays
+   * readable: its data dirs are never rewritten, only newer dirs are added.
+   */
+  def entriesAt(root: String, snapshotId: Long): Seq[PartEntry] = {
+    val mf = Paths.get(root, "manifests", s"$snapshotId.jsonl")
+    require(Files.exists(mf), s"no committed snapshot $snapshotId under $root")
+    Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(parseEntry)
+  }
+
+  /** All committed snapshot ids, oldest first. */
+  def snapshotIds(root: String): Seq[Long] = {
+    val dir = Paths.get(root, "manifests")
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".jsonl"))
+      .map(_.stripSuffix(".jsonl").toLong)
+      .toSeq.sorted
+  }
+
+  /** Data dirs visible at a specific snapshot (time-travel read set). */
+  def dataDirsAt(root: String, snapshotId: Long): Seq[String] =
+    entriesAt(root, snapshotId).map(_.dataDir).distinct.map(d => Paths.get(root, d).toString)
 
   /** part_ids already committed — the resume anti-join's build side. */
   def committedPartIds(root: String): Set[Int] = currentEntries(root).map(_.partId).toSet

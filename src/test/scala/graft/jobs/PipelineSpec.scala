@@ -138,6 +138,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(ql.count() == 0, "no block contains lang 'zz'")
   }
 
+  test("time travel: every committed snapshot stays readable and is a prefix of the next") {
+    import spark.implicits._
+    val root = freshRoot()
+    val pages = Webtext.generate(spark, 6000, 8)
+    EncodeJob.run(spark, pages, root, parts = 8, waves = 4)
+    val ids = SnapshotStore.snapshotIds(root)
+    assert(ids.size == 4, s"4 waves -> 4 snapshots, got $ids")
+    assert(SnapshotStore.currentSnapshotId(root).contains(ids.last))
+    // monotone growth + old snapshots still decodable
+    val counts = ids.map(id => DecodeJob.decodeAt(spark, root, id).count())
+    assert(counts == counts.sorted && counts.distinct == counts, s"not monotone: $counts")
+    assert(counts.last == 6000L)
+    // each snapshot's urls are a subset of the next (append-only isolation)
+    val urlsAt = ids.map(id => DecodeJob.decodeAt(spark, root, id)
+      .map(_.url).collect().toSet)
+    urlsAt.sliding(2).foreach { case Seq(a, b) => assert(a.subsetOf(b)) }
+  }
+
   test("byte-bounded block flush splits fat-row runs without losing rows") {
     // 300 rows x ~10KB text with a 64KB cap -> many small blocks, same data back
     val rows = (0 until 300).iterator.map { i =>
