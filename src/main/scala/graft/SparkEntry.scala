@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.codec.{IntBlockCodec, StringBlockCodec}
 import graft.core.{GolombCodec, PhysicalIntType}
 import graft.functions.GraftFunctions
-import graft.jobs.{DecodeJob, EncodeJob}
+import graft.jobs.{CompactJob, DecodeJob, EncodeJob}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{SnapshotStore, WebPage}
 import graft.streaming.StreamingEncode
@@ -213,6 +213,26 @@ object SparkEntry {
       DecodeJob.decode(s, root).toDF()
         .select(col("url"), unix_seconds(col("warc_ts")).as("ts_s"),
           col("text"), col("lang"))
+    }),
+
+    // compaction: a multi-batch stream fragments the store into many small parts
+    // (one namespace per micro-batch); CompactJob merges them into full parts and
+    // commits a REPLACING manifest. In-query asserts prove parts shrank; the
+    // oracle hash-matches the post-compaction decode against the full table.
+    "q_compact" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-compact-").toString
+      val src = s"$tmp/src"; val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+      val pages = docsAsPages(s, d)
+      pages.repartition(4).write.mode("overwrite").parquet(src)
+      StreamingEncode.encodeStream(
+        s.readStream.option("maxFilesPerTrigger", 1).schema(pages.schema).parquet(src),
+        store, parts = 2, ckpt).awaitTermination()
+      val before = SnapshotStore.currentEntries(store).size
+      val res = CompactJob.run(s, store)
+      val after = SnapshotStore.currentEntries(store).size
+      require(res.partsCompacted >= 2 && after < before,
+        s"compaction must merge parts (before=$before after=$after, $res)")
+      DecodeJob.decode(s, store).toDF().select(col("url"), col("lang"))
     }),
 
     // snapshot time travel: two-wave encode leaves two committed snapshots; the
@@ -605,6 +625,8 @@ object SparkEntry {
       "FROM documents"),
     "q_time_travel" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url FROM documents"),
+    "q_compact" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents"),
     "q_decode_projection" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +
       "FROM documents GROUP BY lang"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",

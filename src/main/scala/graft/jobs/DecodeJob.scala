@@ -47,6 +47,12 @@ object DecodeJob {
   def decodeAt(spark: SparkSession, root: String, snapshotId: Long): Dataset[WebPage] =
     reassemble(spark, blocksAt(spark, root, snapshotId))
 
+  /** Decode only the given parts (compaction input; the id list is driver-sized —
+    * bounded by the number of committed work units, not by data volume). */
+  def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] =
+    reassemble(spark, blocks(spark, root)
+      .where(org.apache.spark.sql.functions.col("part_id").isin(partIds.map(Int.box): _*)))
+
   private def reassemble(spark: SparkSession,
                          blocksDf: org.apache.spark.sql.DataFrame): Dataset[WebPage] = {
     import spark.implicits._

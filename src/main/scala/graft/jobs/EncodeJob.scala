@@ -278,6 +278,70 @@ object EncodeJob {
   final case class RunResult(snapshotId: Long, partsEncoded: Int, nRows: Long,
       origBytes: Long, encBytes: Long, jobSecs: Double)
 
+  /** Narrow pre-shuffle projection with codegen'd range-bucket part ids: epoch
+    * micros instead of Timestamp, no case-class re-materialization — less shuffle
+    * IO and no per-row boxing (a Scala UDF here broke whole-stage codegen). */
+  def withPartIds(pages: DataFrame, boundaries: Array[String], offset: Int): DataFrame = {
+    val partIdCol = org.apache.spark.sql.graftshim.Shim.column(
+      graft.functions.RangeBucketId(
+        org.apache.spark.sql.graftshim.Shim.expression(col("url")), boundaries, offset))
+    pages.select(partIdCol.as("part_id"), col("url"),
+      coalesce(unix_micros(col("warc_ts").cast("timestamp")), lit(0L)).as("ts_us"),
+      col("warc_ts").isNotNull.as("ts_valid"),
+      col("html"), col("text"), col("lang"))
+  }
+
+  /**
+   * Shuffle-once encode of a prepared narrow frame (part_id, url, ts_us, ts_valid,
+   * html, text, lang) into a fresh STAGED data dir plus per-part lineage entries —
+   * no commit; callers commit (append for waves, replace for compaction).
+   * Returns (relative data dir, entries, seconds in the distributed write).
+   */
+  def stageEncode(spark: SparkSession, prepared: DataFrame, numParts: Int,
+                  root: String): (String, Seq[SnapshotStore.PartEntry], Double) = {
+    import spark.implicits._
+    // one exchange: co-locate each work unit, order inside for block locality
+    val blocks = prepared
+      .repartition(math.max(numParts, 1), $"part_id")
+      .sortWithinPartitions($"part_id", $"url")
+      .select(col("part_id"), col("url").cast("binary").as("url"), col("ts_us"),
+        col("ts_valid"), col("html"), col("text").cast("binary").as("text"),
+        col("lang").cast("binary").as("lang"))
+      .as[EncRow]
+      .mapPartitions(it => encodePartition(it))
+
+    val (relDir, absDir) = SnapshotStore.newDataDir(root)
+    val jt0 = System.nanoTime()
+    // the dominant column is `encoded` — already codec-compressed, high-entropy
+    // bytes; running snappy over it again costs CPU in every task for ~0 size win
+    blocks.write.mode(SaveMode.Overwrite)
+      .option("compression", "uncompressed").parquet(absDir)
+    val secs = (System.nanoTime() - jt0) / 1e9
+
+    // lineage + metrics rollup from the staged files (no recompute, no driver
+    // loops). Two-level: first per (part_id, column) — a multi-block part can
+    // pick DIFFERENT codecs for the same column per block, so codecs must be
+    // deduped per column BEFORE map_from_entries (a duplicate map key throws
+    // DUPLICATED_MAP_KEY at runtime and would abort the wave after staging)
+    val staged = spark.read.parquet(absDir)
+    val perColumn = staged.groupBy($"part_id", $"column").agg(
+      sum($"n").as("col_n"),
+      sum($"orig_bytes").as("col_orig"),
+      sum($"enc_bytes").as("col_enc"),
+      array_join(array_sort(collect_set($"codec")), "+").as("codec"))
+    val perPart = perColumn.groupBy($"part_id").agg(
+      max(when($"column" === "url", $"col_n").otherwise(0L)).as("n_rows"),
+      sum($"col_orig").as("orig_bytes"),
+      sum($"col_enc").as("enc_bytes"),
+      to_json(map_from_entries(collect_list(struct($"column", $"codec")))).as("codecs"))
+      .collect()
+    val entries = perPart.map { r =>
+      SnapshotStore.PartEntry(r.getAs[Int]("part_id"), relDir, r.getAs[Long]("n_rows"),
+        r.getAs[Long]("orig_bytes"), r.getAs[Long]("enc_bytes"), r.getAs[String]("codecs"))
+    }.toSeq
+    (relDir, entries, secs)
+  }
+
   /**
    * Encode all pending work units. `waves` splits the part range into that many
    * commit groups — each wave is one Spark job ending in an atomic manifest commit,
@@ -290,19 +354,7 @@ object EncodeJob {
     Files.createDirectories(Paths.get(root))
     val boundaries = loadOrCreateBoundaries(root, pages, parts)
 
-    // narrow projection before the exchange: epoch micros instead of Timestamp,
-    // no case-class re-materialization — less shuffle IO and no per-row boxing.
-    // part_id is a codegen'd Catalyst binary-search expression (a Scala UDF here
-    // broke whole-stage codegen in the hottest projection)
-    val partIdCol = org.apache.spark.sql.graftshim.Shim.column(
-      graft.functions.RangeBucketId(
-        org.apache.spark.sql.graftshim.Shim.expression(col("url")),
-        boundaries, partOffset.toInt))
-    val withPart = pages.toDF()
-      .select(partIdCol.as("part_id"), col("url"),
-        coalesce(unix_micros(col("warc_ts").cast("timestamp")), lit(0L)).as("ts_us"),
-        col("warc_ts").isNotNull.as("ts_valid"),
-        col("html"), col("text"), col("lang"))
+    val withPart = withPartIds(pages.toDF(), boundaries, partOffset.toInt)
 
     // RESUME: drop work units already committed (anti-join against the manifest —
     // broadcast; manifest rows ≪ data at any scale)
@@ -322,48 +374,8 @@ object EncodeJob {
         .join(broadcast(groupDf), Seq("part_id"), "left_semi")
         .join(broadcast(committedNow.toSeq.toDF("part_id")), Seq("part_id"), "left_anti")
 
-      // one exchange per wave: co-locate each work unit, order inside for block locality
-      val blocks = pending
-        .repartition(math.max(group.size, 1), $"part_id")
-        .sortWithinPartitions($"part_id", $"url")
-        .select(col("part_id"), col("url").cast("binary").as("url"), col("ts_us"),
-          col("ts_valid"), col("html"), col("text").cast("binary").as("text"),
-          col("lang").cast("binary").as("lang"))
-        .as[EncRow]
-        .mapPartitions(it => encodePartition(it))
-
-      val (relDir, absDir) = SnapshotStore.newDataDir(root)
-      val jt0 = System.nanoTime()
-      // the dominant column is `encoded` — already codec-compressed, high-entropy
-      // bytes; running snappy over it again costs CPU in every task for ~0 size
-      // win, so the block table is written uncompressed
-      blocks.write.mode(SaveMode.Overwrite)
-        .option("compression", "uncompressed").parquet(absDir)
-      jobSecs += (System.nanoTime() - jt0) / 1e9
-
-      // lineage + metrics rollup from the staged files (no recompute, no driver
-      // loops). Two-level: first per (part_id, column) — a multi-block part can
-      // pick DIFFERENT codecs for the same column per block, so codecs must be
-      // deduped per column BEFORE map_from_entries (a duplicate map key throws
-      // DUPLICATED_MAP_KEY at runtime and would abort the wave after staging)
-      val staged = spark.read.parquet(absDir)
-      val perColumn = staged.groupBy($"part_id", $"column").agg(
-        sum($"n").as("col_n"),
-        sum($"orig_bytes").as("col_orig"),
-        sum($"enc_bytes").as("col_enc"),
-        array_join(array_sort(collect_set($"codec")), "+").as("codec"))
-      val perPart = perColumn.groupBy($"part_id").agg(
-        max(when($"column" === "url", $"col_n").otherwise(0L)).as("n_rows"),
-        sum($"col_orig").as("orig_bytes"),
-        sum($"col_enc").as("enc_bytes"),
-        to_json(map_from_entries(collect_list(struct($"column", $"codec")))).as("codecs"))
-        .collect()
-
-      val entries = perPart.map { r =>
-        SnapshotStore.PartEntry(r.getAs[Int]("part_id"), relDir, r.getAs[Long]("n_rows"),
-          r.getAs[Long]("orig_bytes"), r.getAs[Long]("enc_bytes"), r.getAs[String]("codecs"))
-      }.toSeq
-
+      val (_, entries, secs) = stageEncode(spark, pending, group.size, root)
+      jobSecs += secs
       lastSnap = SnapshotStore.commit(root, entries)
       totalEntries ++= entries
     }

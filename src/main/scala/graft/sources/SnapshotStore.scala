@@ -121,8 +121,18 @@ object SnapshotStore {
    * snapshot file, then the SNAPSHOT pointer is swapped via tmp-write + ATOMIC_MOVE.
    * Idempotent per part: callers only pass parts not in the current snapshot.
    */
-  def commit(root: String, newEntries: Seq[PartEntry]): Long = synchronized {
-    val prev = currentEntries(root)
+  def commit(root: String, newEntries: Seq[PartEntry]): Long =
+    commitReplacing(root, newEntries, Set.empty)
+
+  /**
+   * Atomic commit that REPLACES the entries of `replaced` part ids with
+   * `newEntries` (compaction): the new manifest drops the replaced parts and adds
+   * the new ones. Old snapshots keep referencing the old data dirs — nothing is
+   * deleted, so time travel across a compaction still works.
+   */
+  def commitReplacing(root: String, newEntries: Seq[PartEntry],
+                      replaced: Set[Int]): Long = synchronized {
+    val prev = currentEntries(root).filterNot(e => replaced(e.partId))
     val nextId = currentSnapshotId(root).getOrElse(0L) + 1L
     val mfDir = Paths.get(root, "manifests")
     Files.createDirectories(mfDir)

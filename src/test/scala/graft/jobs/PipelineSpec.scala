@@ -156,6 +156,25 @@ class PipelineSpec extends AnyFunSuite {
     urlsAt.sliding(2).foreach { case Seq(a, b) => assert(a.subsetOf(b)) }
   }
 
+  test("compaction merges small parts; history and byte-identity survive") {
+    val root = freshRoot()
+    val pages = Webtext.generate(spark, 6000, 8)
+    EncodeJob.run(spark, pages, root, parts = 8, waves = 4)
+    val preSnap = SnapshotStore.currentSnapshotId(root).get
+    val res = CompactJob.run(spark, root)
+    assert(res.partsCompacted == 8 && res.partsCreated == 1 && res.nRows == 6000L)
+    val entries = SnapshotStore.currentEntries(root)
+    assert(entries.size == 1 && entries.head.partId < 0,
+      s"compacted part must live in the negative namespace: $entries")
+    val decoded = DecodeJob.decode(spark, root)
+    assert(decoded.count() == 6000)
+    assert(DecodeJob.verifyAgainst(Webtext.generate(spark, 6000, 8), decoded) == 0L)
+    // pre-compaction snapshot still readable (time travel across compaction)
+    assert(DecodeJob.decodeAt(spark, root, preSnap).count() == 6000)
+    // second run is a no-op: nothing small remains to merge
+    assert(CompactJob.run(spark, root).partsCompacted == 0)
+  }
+
   test("byte-bounded block flush splits fat-row runs without losing rows") {
     // 300 rows x ~10KB text with a 64KB cap -> many small blocks, same data back
     val rows = (0 until 300).iterator.map { i =>
