@@ -235,6 +235,21 @@ object SparkEntry {
       DecodeJob.decode(s, store).toDF().select(col("url"), col("lang"))
     }),
 
+    // snapshot expiry: compaction strands the pre-compaction wave dirs; expiring
+    // to keepLast=1 must reclaim them (removedBytes > 0) while the surviving
+    // snapshot still reproduces the full table (the oracle hash match)
+    "q_expire" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-expire-").toString
+      EncodeJob.run(s, docsAsPages(s, d).as(Encoders.product[WebPage]), root,
+        parts = 4, waves = 2)
+      CompactJob.run(s, root)
+      val res = SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0L)
+      require(res.removedSnapshots.nonEmpty && res.removedDataDirs.nonEmpty &&
+        res.removedBytes > 0, s"expire must reclaim post-compaction dirs: $res")
+      require(SnapshotStore.snapshotIds(root).size == 1, "only the head survives")
+      DecodeJob.decode(s, root).toDF().select(col("url"))
+    }),
+
     // snapshot time travel: two-wave encode leaves two committed snapshots; the
     // older one must stay readable (strict subset of rows), and the latest —
     // read through the time-travel API — must reproduce the full table. The
@@ -627,6 +642,8 @@ object SparkEntry {
       "AS url FROM documents"),
     "q_compact" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents"),
+    "q_expire" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url FROM documents"),
     "q_decode_projection" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +
       "FROM documents GROUP BY lang"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",

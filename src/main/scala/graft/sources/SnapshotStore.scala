@@ -124,6 +124,48 @@ object SnapshotStore {
   def commit(root: String, newEntries: Seq[PartEntry]): Long =
     commitReplacing(root, newEntries, Set.empty)
 
+  final case class ExpireResult(kept: Seq[Long], removedSnapshots: Seq[Long],
+      removedDataDirs: Seq[String], removedBytes: Long)
+
+  /**
+   * Iceberg-style `expire_snapshots` + orphan sweep: drop all but the last
+   * `keepLast` manifests, then delete data dirs that no KEPT manifest references.
+   * A dir shared with a kept snapshot survives (append-only commits reference old
+   * dirs forever; only compaction makes dirs expirable). The orphan sweep also
+   * removes staged dirs no manifest ever committed (crashed waves), but only ones
+   * older than `orphanGraceMs` — a live run's freshly staged dir must not be
+   * swept from under it.
+   */
+  def expireSnapshots(root: String, keepLast: Int = 1,
+                      orphanGraceMs: Long = 3600000L): ExpireResult = synchronized {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val ids = snapshotIds(root)
+    val (drop, keep) = ids.splitAt(math.max(ids.size - keepLast, 0))
+    val keptDirs = keep.flatMap(id => entriesAt(root, id).map(_.dataDir)).toSet
+    var removedBytes = 0L
+    def deleteTree(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteTree)
+      else removedBytes += Files.size(p)
+      Files.deleteIfExists(p)
+    }
+    // dirs referenced only by dropped manifests
+    val dropDirs = drop.flatMap(id => entriesAt(root, id).map(_.dataDir)).toSet -- keptDirs
+    // orphans: staged dirs no manifest (kept or dropped) ever referenced
+    val allRef = keptDirs ++ dropDirs
+    val dataRoot = Paths.get(root, "data")
+    val now = System.currentTimeMillis()
+    val orphans =
+      if (!Files.exists(dataRoot)) Seq.empty[String]
+      else Files.list(dataRoot).iterator().asScala
+        .filter(p => !allRef.contains(s"data/${p.getFileName}"))
+        .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+        .map(p => s"data/${p.getFileName}").toSeq
+    val removable = dropDirs.toSeq ++ orphans
+    removable.foreach(d => deleteTree(Paths.get(root, d)))
+    drop.foreach(id => Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl")))
+    ExpireResult(keep, drop, removable.sorted, removedBytes)
+  }
+
   /**
    * Atomic commit that REPLACES the entries of `replaced` part ids with
    * `newEntries` (compaction): the new manifest drops the replaced parts and adds

@@ -175,6 +175,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(CompactJob.run(spark, root).partsCompacted == 0)
   }
 
+  test("expire reclaims dirs only compaction freed; orphan sweep respects grace") {
+    val root = freshRoot()
+    EncodeJob.run(spark, Webtext.generate(spark, 4000, 8), root, parts = 8, waves = 2)
+    // an orphan staged dir from a "crashed" run — never committed
+    val (_, orphanAbs) = SnapshotStore.newDataDir(root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(orphanAbs))
+    java.nio.file.Files.write(java.nio.file.Paths.get(orphanAbs, "junk.parquet"),
+      Array.fill[Byte](128)(1))
+
+    // append-only history: expiring must delete NO data dirs (all still referenced)
+    val pre = SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = Long.MaxValue)
+    assert(pre.removedSnapshots == Seq(1L) && pre.removedDataDirs.isEmpty,
+      s"append-only dirs are shared with the kept snapshot: $pre")
+    assert(DecodeJob.decode(spark, root).count() == 4000)
+
+    // compaction strands the pre-compaction dirs; expire + orphan sweep reclaims
+    assert(CompactJob.run(spark, root).partsCompacted == 8)
+    val res = SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0L)
+    assert(res.removedDataDirs.size == 3, s"2 stranded wave dirs + 1 orphan: $res")
+    assert(res.removedBytes > 0)
+    assert(SnapshotStore.snapshotIds(root).size == 1)
+    assert(DecodeJob.decode(spark, root).count() == 4000)
+    assert(DecodeJob.verifyAgainst(Webtext.generate(spark, 4000, 8),
+      DecodeJob.decode(spark, root)) == 0L)
+  }
+
   test("byte-bounded block flush splits fat-row runs without losing rows") {
     // 300 rows x ~10KB text with a 64KB cap -> many small blocks, same data back
     val rows = (0 until 300).iterator.map { i =>
