@@ -235,6 +235,16 @@ object SparkEntry {
       DecodeJob.decode(s, store).toDF().select(col("url"), col("lang"))
     }),
 
+    // lineage/metrics surface: the manifest as a DataFrame — all 4 work units
+    // committed, row counts conserved, every part actually compressed
+    "q_lineage" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      SnapshotStore.lineage(s, root).agg(
+        count(lit(1)).as("parts"),
+        sum(col("nRows")).as("rows"),
+        min((col("encBytes") < col("origBytes")).cast("int")).as("all_compressed"))
+    }),
+
     // snapshot expiry: compaction strands the pre-compaction wave dirs; expiring
     // to keepLast=1 must reclaim them (removedBytes > 0) while the surviving
     // snapshot still reproduces the full table (the oracle hash match)
@@ -644,6 +654,8 @@ object SparkEntry {
       "AS url, lang FROM documents"),
     "q_expire" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url FROM documents"),
+    "q_lineage" -> ("SELECT CAST(4 AS BIGINT) AS parts, CAST(count(*) AS BIGINT) AS rows, " +
+      "CAST(1 AS INTEGER) AS all_compressed FROM documents"),
     "q_decode_projection" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +
       "FROM documents GROUP BY lang"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",

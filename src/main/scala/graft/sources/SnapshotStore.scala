@@ -124,6 +124,13 @@ object SnapshotStore {
   def commit(root: String, newEntries: Seq[PartEntry]): Long =
     commitReplacing(root, newEntries, Set.empty)
 
+  /** The current snapshot's per-partition lineage + codec metrics as a queryable
+    * DataFrame (the north-star "codec metrics written back to the table layer"):
+    * partId, dataDir, nRows, origBytes, encBytes, codecsJson. Manifest-sized —
+    * one row per committed work unit. */
+  def lineage(spark: org.apache.spark.sql.SparkSession, root: String): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(currentEntries(root))
+
   final case class ExpireResult(kept: Seq[Long], removedSnapshots: Seq[Long],
       removedDataDirs: Seq[String], removedBytes: Long)
 
