@@ -47,11 +47,19 @@ object DecodeJob {
   def decodeAt(spark: SparkSession, root: String, snapshotId: Long): Dataset[WebPage] =
     reassemble(spark, blocksAt(spark, root, snapshotId))
 
-  /** Decode only the given parts (compaction input; the id list is driver-sized —
-    * bounded by the number of committed work units, not by data volume). */
-  def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] =
-    reassemble(spark, blocks(spark, root)
-      .where(org.apache.spark.sql.functions.col("part_id").isin(partIds.map(Int.box): _*)))
+  /** Decode only the given parts (compaction input). Small lists become an `isin`
+    * (pushed to parquet as an In filter); large ones — a year of streaming batches
+    * can leave 100k+ small parts — use a broadcast semi-join instead of a
+    * 100k-literal expression tree. */
+  def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val b = blocks(spark, root)
+    val filtered =
+      if (partIds.size <= 256) b.where(col("part_id").isin(partIds.map(Int.box): _*))
+      else b.join(broadcast(partIds.toDF("part_id")), Seq("part_id"), "left_semi")
+    reassemble(spark, filtered)
+  }
 
   private def reassemble(spark: SparkSession,
                          blocksDf: org.apache.spark.sql.DataFrame): Dataset[WebPage] = {
