@@ -476,7 +476,9 @@ object SparkEntry {
     "q_quality" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"),
       TextAnalysis.punctRatio(col("text")).as("pr"),
-      TextAnalysis.meanWordLen(col("text")).as("mwl"))),
+      TextAnalysis.meanWordLen(col("text")).as("mwl"),
+      TextAnalysis.stopwordRatio(col("text")).as("swr"),
+      TextAnalysis.qualityScore(col("text")).as("qs"))),
 
     "q_langid" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"), TextAnalysis.langIdHeuristic(col("text")).as("lang_guess"))),
@@ -729,13 +731,22 @@ object SparkEntry {
     "q_token_count" -> ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
       "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) END AS tc FROM documents"),
 
-    "q_quality" -> ("SELECT doc_id, " +
+    "q_quality" -> ("SELECT doc_id, pr, mwl, swr, " +
+      "(least(len_d / 500.0, 1.0) + CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END + " +
+      "CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.0 END + " +
+      "CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) / 4.0 AS qs " +
+      "FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS len_d, " +
       "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
       "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) " +
       "/ CAST(length(text) AS DOUBLE) END AS pr, " +
       "CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE " +
       "CAST(length(replace(trim(text), ' ', '')) AS DOUBLE) / " +
-      "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) END AS mwl FROM documents"))
+      "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) END AS mwl, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE " +
+      "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+      "w -> w IN ('the','a','an','and','or','of','to','in','is','it','that','this'," +
+      "'for','on','with','as','at','by'))) * 1.0 / " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END AS swr FROM documents)"))
 
   private val extraOracles: Map[String, String] = Map(
     "q_stats_udaf" -> ("SELECT CAST(count(*) AS BIGINT) AS n, min(l_partkey) AS mn, " +
