@@ -62,6 +62,13 @@ object SnapshotStore {
 
   def snapshotPointer(root: String): Path = Paths.get(root, "SNAPSHOT")
 
+  /** Files.list with the stream closed (unclosed directory streams leak fds in a
+    * long-lived driver). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   def currentSnapshotId(root: String): Option[Long] = {
     val p = snapshotPointer(root)
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
@@ -90,7 +97,7 @@ object SnapshotStore {
   def snapshotIds(root: String): Seq[Long] = {
     val dir = Paths.get(root, "manifests")
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else listDir(dir).iterator
       .map(_.getFileName.toString)
       .filter(_.endsWith(".jsonl"))
       .map(_.stripSuffix(".jsonl").toLong)
@@ -151,7 +158,7 @@ object SnapshotStore {
     val keptDirs = keep.flatMap(id => entriesAt(root, id).map(_.dataDir)).toSet
     var removedBytes = 0L
     def deleteTree(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteTree)
+      if (Files.isDirectory(p)) listDir(p).foreach(deleteTree)
       else removedBytes += Files.size(p)
       Files.deleteIfExists(p)
     }
@@ -163,7 +170,7 @@ object SnapshotStore {
     val now = System.currentTimeMillis()
     val orphans =
       if (!Files.exists(dataRoot)) Seq.empty[String]
-      else Files.list(dataRoot).iterator().asScala
+      else listDir(dataRoot).iterator
         .filter(p => !allRef.contains(s"data/${p.getFileName}"))
         .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
         .map(p => s"data/${p.getFileName}").toSeq
