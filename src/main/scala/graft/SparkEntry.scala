@@ -128,6 +128,37 @@ object SparkEntry {
     "rt_auto_i64" -> ((s, d) => rtLong(t(s, d, "orders"), "o_custkey")(vs =>
       IntBlockCodec.decode(IntBlockCodec.encode(vs, PhysicalIntType.I64)))),
 
+    // every codec-tree node forced explicitly (the auto queries above only cover
+    // whatever the chooser picks for that data) — identity oracles each
+    "rt_bitpack" -> ((s, d) => rtLong(t(s, d, "lineitem"), "l_suppkey")(vs =>
+      IntBlockCodec.decode(IntBlockCodec.encodeAs(vs, PhysicalIntType.I64,
+        graft.codec.CodecSpec.BitPack)))),
+
+    "rt_rle" -> ((s, d) => rtLong(t(s, d, "lineitem"), "l_linenumber")(vs =>
+      IntBlockCodec.decode(IntBlockCodec.encodeAs(vs, PhysicalIntType.I64,
+        graft.codec.CodecSpec.Rle(graft.codec.CodecSpec.Eg(2), graft.codec.CodecSpec.Eg(0)))))
+      .select(col("v").cast("int").as("v"))),
+
+    "rt_for_eg" -> ((s, d) => rtLong(t(s, d, "lineitem"), "l_partkey")(vs =>
+      IntBlockCodec.decode(IntBlockCodec.encodeAs(vs, PhysicalIntType.I64,
+        graft.codec.CodecSpec.For(graft.codec.CodecSpec.Eg(3)))))),
+
+    "rt_delta_eg" -> ((s, d) => rtLong(t(s, d, "orders"), "o_orderkey")(vs =>
+      IntBlockCodec.decode(IntBlockCodec.encodeAs(vs, PhysicalIntType.I64,
+        graft.codec.CodecSpec.Delta(graft.codec.CodecSpec.Eg(2)))))),
+
+    "rt_dict_codec" -> ((s, d) => rtLong(t(s, d, "part"), "p_size")(vs =>
+      IntBlockCodec.decode(IntBlockCodec.encodeAs(vs, PhysicalIntType.I64,
+        graft.codec.CodecSpec.Dict(
+          graft.codec.CodecSpec.Delta(graft.codec.CodecSpec.Eg(0)),
+          graft.codec.CodecSpec.BitPack))))
+      .select(col("v").cast("int").as("v"))),
+
+    "rt_const" -> ((s, d) => rtLong(
+      t(s, d, "lineitem").select(lit(42L).as("c")), "c")(vs =>
+      IntBlockCodec.decode(IntBlockCodec.encodeAs(vs, PhysicalIntType.I64,
+        graft.codec.CodecSpec.Const)))),
+
     "rt_str_text" -> ((s, d) => rtString(t(s, d, "documents"), "text")),
 
     "rt_str_lang" -> ((s, d) => rtString(t(s, d, "documents"), "lang")),
@@ -631,6 +662,12 @@ object SparkEntry {
     "rt_eg_adaptive_i32" -> "SELECT l_linenumber AS v FROM lineitem",
     "rt_auto_ts" -> "SELECT epoch_us(l_shipdate) AS v FROM lineitem",
     "rt_auto_i64" -> "SELECT o_custkey AS v FROM orders",
+    "rt_bitpack" -> "SELECT l_suppkey AS v FROM lineitem",
+    "rt_rle" -> "SELECT l_linenumber AS v FROM lineitem",
+    "rt_for_eg" -> "SELECT l_partkey AS v FROM lineitem",
+    "rt_delta_eg" -> "SELECT o_orderkey AS v FROM orders",
+    "rt_dict_codec" -> "SELECT p_size AS v FROM part",
+    "rt_const" -> "SELECT CAST(42 AS BIGINT) AS v FROM lineitem",
     "rt_str_text" -> "SELECT text AS v FROM documents",
     "rt_str_lang" -> "SELECT lang AS v FROM documents",
     "rt_expr_sql" -> "SELECT l_suppkey AS v FROM lineitem",
