@@ -66,7 +66,16 @@ final class ByteCursor(val buf: Array[Byte], private var pos: Int) {
   }
   def i64(): Long = (i32().toLong << 32) | (i32().toLong & 0xffffffffL)
   def bytes(n: Int): Array[Byte] = { val v = Arrays.copyOfRange(buf, pos, pos + n); pos += n; v }
-  /** Read an int32-length-prefixed byte slice without copying: returns (offset, length). */
-  def sizedSlice(): (Int, Int) = { val n = i32(); val off = pos; pos += n; (off, n) }
+  /** Read an int32-length-prefixed byte slice without copying: returns (offset, length).
+    * The length is validated against the remaining buffer — a corrupt/bit-flipped
+    * length must throw, not drive a multi-GB allocation downstream
+    * (`Arrays.copyOfRange` silently zero-PADS past the source end). */
+  def sizedSlice(): (Int, Int) = {
+    val n = i32()
+    if (n < 0 || n > buf.length - pos)
+      throw new IllegalArgumentException(
+        s"corrupt sized field: $n bytes at offset $pos of ${buf.length}")
+    val off = pos; pos += n; (off, n)
+  }
   def position: Int = pos
 }

@@ -113,10 +113,13 @@ object IntBlockCodec {
         (out, h.valid)
       }
     } catch {
+      case e: CorruptBlockException => throw e
       case e: ArrayIndexOutOfBoundsException =>
         throw new CorruptBlockException(s"truncated or corrupt block (${block.length} bytes)", e)
       case e: NegativeArraySizeException =>
         throw new CorruptBlockException(s"corrupt block lengths (${block.length} bytes)", e)
+      case e: IllegalArgumentException =>
+        throw new CorruptBlockException(s"corrupt block: ${e.getMessage}", e)
     }
 
   private def encodeNode(out: ByteWriter, values: Array[Long], t: PhysicalIntType,
@@ -216,10 +219,13 @@ object IntBlockCodec {
       require(h.valid == null, "nullable block: use decodeNullable")
       decodeNode(h.c, h.nValid, h.t)
     } catch {
+      case e: CorruptBlockException => throw e
       case e: ArrayIndexOutOfBoundsException =>
         throw new CorruptBlockException(s"truncated or corrupt block (${block.length} bytes)", e)
       case e: NegativeArraySizeException =>
         throw new CorruptBlockException(s"corrupt block lengths (${block.length} bytes)", e)
+      case e: IllegalArgumentException =>
+        throw new CorruptBlockException(s"corrupt block: ${e.getMessage}", e)
     }
 
   def physicalType(block: Array[Byte]): PhysicalIntType = readHeader(block).t
@@ -233,12 +239,19 @@ object IntBlockCodec {
   private final case class Header(t: PhysicalIntType, n: Int, nValid: Int,
                                   valid: Array[Boolean], c: ByteCursor)
 
+  /** Upper bound on values per block: legit blocks hold <= 64Ki rows (EncodeJob)
+    * or SQL-array sizes; a corrupt header claiming 2^30 values must throw instead
+    * of driving an 8 GB allocation. */
+  val MaxBlockValues: Int = 1 << 26
+
   private def readHeader(block: Array[Byte]): Header = {
     val c = new ByteCursor(block)
     require(c.u8() == MAGIC0 && c.u8() == MAGIC1, "bad block magic")
     val tb = c.u8()
     val t = PhysicalIntType.fromId((tb & 0x7f).toByte)
     val n = c.i32()
+    if (n < 0 || n > MaxBlockValues)
+      throw new CorruptBlockException(s"implausible block value count $n", null)
     if ((tb & NullableFlag) == 0) Header(t, n, n, null, c)
     else {
       val (off, len) = c.sizedSlice()
@@ -315,6 +328,8 @@ object IntBlockCodec {
 
     case ID_RLE =>
       val nRuns = c.i32()
+      if (nRuns < 0 || nRuns > n)
+        throw new CorruptBlockException(s"corrupt RLE run count $nRuns for $n values", null)
       val rv = decodeNode(c, nRuns, t)
       val rl = decodeNode(c, nRuns, PhysicalIntType.U64)
       val out = new Array[Long](n)
@@ -329,6 +344,8 @@ object IntBlockCodec {
 
     case ID_DICT =>
       val card = c.i32()
+      if (card < 0 || card > math.max(n, 1))
+        throw new CorruptBlockException(s"corrupt dict cardinality $card for $n values", null)
       val dict = decodeNode(c, card, t)
       val codes = decodeNode(c, n, PhysicalIntType.U64)
       val out = new Array[Long](n)

@@ -160,12 +160,16 @@ object StringBlockCodec {
   def decode(block: Array[Byte]): Array[Array[Byte]] =
     try decodeImpl(block)
     catch {
+      case e: IntBlockCodec.CorruptBlockException => throw e
       case e: ArrayIndexOutOfBoundsException =>
         throw new IntBlockCodec.CorruptBlockException(
           s"truncated or corrupt string block (${block.length} bytes)", e)
       case e: NegativeArraySizeException =>
         throw new IntBlockCodec.CorruptBlockException(
           s"corrupt string block lengths (${block.length} bytes)", e)
+      case e: IllegalArgumentException =>
+        throw new IntBlockCodec.CorruptBlockException(
+          s"corrupt string block: ${e.getMessage}", e)
     }
 
   private def decodeImpl(block: Array[Byte]): Array[Array[Byte]] = {
@@ -173,6 +177,8 @@ object StringBlockCodec {
     require(c.u8() == MAGIC0 && c.u8() == MAGIC1, "bad string block magic")
     val codecId = c.u8()
     val n = c.i32()
+    if (n < 0 || n > IntBlockCodec.MaxBlockValues)
+      throw new IntBlockCodec.CorruptBlockException(s"implausible string block count $n", null)
     if ((codecId & NullableFlag) != 0) {
       val (voff, vlen) = c.sizedSlice()
       require(vlen >= (n + 7) / 8, "truncated validity bitmap")
@@ -191,12 +197,18 @@ object StringBlockCodec {
       case ID_PLAIN =>
         val (lo, ll) = c.sizedSlice()
         val lengths = IntBlockCodec.decode(java.util.Arrays.copyOfRange(c.buf, lo, lo + ll))
-        val (po, _) = c.sizedSlice()
+        val (po, plen) = c.sizedSlice()
         val out = new Array[Array[Byte]](n)
+        val payloadEnd = po + plen
         var off = po
         var i = 0
         while (i < n) {
           val len = lengths(i).toInt
+          // a corrupt length must throw, not zero-pad-allocate past the payload
+          // (Arrays.copyOfRange pads when `to` exceeds the source)
+          if (len < 0 || len > payloadEnd - off)
+            throw new IntBlockCodec.CorruptBlockException(
+              s"corrupt string length $len at payload offset ${off - po}", null)
           out(i) = java.util.Arrays.copyOfRange(c.buf, off, off + len)
           off += len
           i += 1
@@ -214,12 +226,16 @@ object StringBlockCodec {
         val table = FsstLite.deserializeTable(c)
         val (lo, ll) = c.sizedSlice()
         val compLens = IntBlockCodec.decode(java.util.Arrays.copyOfRange(c.buf, lo, lo + ll))
-        val (po, _) = c.sizedSlice()
+        val (po, plen) = c.sizedSlice()
         val out = new Array[Array[Byte]](n)
+        val payloadEnd = po + plen
         var off = po
         var i = 0
         while (i < n) {
           val len = compLens(i).toInt
+          if (len < 0 || len > payloadEnd - off)
+            throw new IntBlockCodec.CorruptBlockException(
+              s"corrupt compressed length $len at payload offset ${off - po}", null)
           out(i) = FsstLite.decompress(table, c.buf, off, len)
           off += len
           i += 1

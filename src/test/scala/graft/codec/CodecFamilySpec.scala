@@ -191,6 +191,41 @@ class CodecFamilySpec extends AnyFunSuite {
     assert(StringBlockCodec.codecName(StringBlockCodec.encodeStrings(big)) == "str_dict")
   }
 
+  test("bit-flip/truncation fuzz: corrupt blocks throw cleanly, bounded allocation") {
+    import graft.core.PhysicalIntType
+    val rnd = new scala.util.Random(42)
+    val vals = Array.tabulate(5000)(i => (i * 7919L) % 100000)
+    val blocks = Seq(
+      IntBlockCodec.encode(vals, PhysicalIntType.I64),
+      IntBlockCodec.encodeAs(vals, PhysicalIntType.I64,
+        CodecSpec.Rle(CodecSpec.Eg(2), CodecSpec.Eg(0))),
+      StringBlockCodec.encode(Array.tabulate(2000)(i =>
+        s"value-$i-${"x" * (i % 32)}".getBytes("UTF-8"))))
+    def tryDecode(b: Array[Byte]): Unit =
+      try {
+        if (b.length > 1 && b(1) == 'S') StringBlockCodec.decode(b)
+        else IntBlockCodec.decodeNullable(b)
+        ()
+      } catch {
+        // the ONLY acceptable failure: a typed corruption error (no raw index
+        // errors, no negative-size errors, and — by the size bounds — no
+        // multi-GB allocations from forged length fields)
+        case _: IntBlockCodec.CorruptBlockException => ()
+      }
+    for (b <- blocks) {
+      for (_ <- 0 until 400) { // random bit flips
+        val c = b.clone()
+        for (_ <- 0 to rnd.nextInt(3)) {
+          val p = rnd.nextInt(c.length)
+          c(p) = (c(p) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        tryDecode(c)
+      }
+      for (_ <- 0 until 100) // random truncations
+        tryDecode(java.util.Arrays.copyOf(b, rnd.nextInt(b.length)))
+    }
+  }
+
   test("fsst handles 8-byte symbols without key collisions (regression)") {
     // urls with long shared prefixes train 8-byte symbols; a length tag packed into
     // the top bits of the 64-bit key made distinct 8-byte symbols collide
