@@ -364,6 +364,27 @@ object SparkEntry {
       .rollup(col("lang"), col("source"))
       .agg(count(lit(1)).as("cnt"))),
 
+    // explicit grouping sets (finer than rollup/cube)
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("docs_gs")
+      s.sql("SELECT lang, source, count(*) AS cnt FROM docs_gs " +
+        "GROUP BY GROUPING SETS ((lang), (source), ())")
+    }),
+
+    // correlated scalar subquery (planned as an aggregated left outer join)
+    "q_scalar_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_sq")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_sq")
+      s.sql("SELECT o_orderkey, (SELECT max(l_linenumber) FROM lineitem_sq " +
+        "WHERE l_orderkey = o_orderkey) AS max_ln FROM orders_sq")
+    }),
+
+    // pivot with a fixed value list (static output schema)
+    "q_pivot" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("lang"))
+      .pivot("source", Seq("src0", "src1", "src2", "src3"))
+      .agg(count(lit(1)))),
+
     // salted two-phase aggregation (skew-safe heavy-hitter detection)
     "q_salted_topk_users" -> ((s, d) => {
       val e = t(s, d, "events")
@@ -715,6 +736,19 @@ object SparkEntry {
 
     "q_salted_topk_users" -> ("SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events " +
       "GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10"),
+
+    "q_grouping_sets" -> ("SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM documents GROUP BY GROUPING SETS ((lang), (source), ())"),
+
+    "q_scalar_subquery" -> ("SELECT o_orderkey, (SELECT max(l_linenumber) FROM lineitem " +
+      "WHERE l_orderkey = o_orderkey) AS max_ln FROM orders"),
+
+    "q_pivot" -> ("SELECT lang, " +
+      "CAST(sum(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT) AS src0, " +
+      "CAST(sum(CASE WHEN source = 'src1' THEN 1 END) AS BIGINT) AS src1, " +
+      "CAST(sum(CASE WHEN source = 'src2' THEN 1 END) AS BIGINT) AS src2, " +
+      "CAST(sum(CASE WHEN source = 'src3' THEN 1 END) AS BIGINT) AS src3 " +
+      "FROM documents GROUP BY lang"),
 
     "q_join_broadcast" -> ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt " +
       "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
