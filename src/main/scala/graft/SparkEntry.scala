@@ -441,6 +441,24 @@ object SparkEntry {
         .select(col("event_id"), col("gap_us"))
     }),
 
+    // explicit ROWS window frame (deterministic: total order via (ts, event_id))
+    "q_window_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      t(s, d, "events")
+        .withColumn("fsum", sum(length(col("event_type"))).over(w))
+        .select(col("event_id"), col("fsum"))
+    }),
+
+    // lateral explode: per-word counts over the corpus, deterministic top-20
+    "q_words_top" -> ((s, d) => t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("w"))
+      .limit(20)),
+
     // batch time-window aggregation (streaming-shaped plan)
     "q_time_window" -> ((s, d) => t(s, d, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -771,6 +789,14 @@ object SparkEntry {
 
     "q_time_window" -> ("SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, " +
       "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY ws, event_type"),
+
+    "q_window_frame" -> ("SELECT event_id, CAST(sum(length(event_type)) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS fsum FROM events"),
+
+    "q_words_top" -> ("SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "WHERE length(w) > 0 GROUP BY w ORDER BY cnt DESC, w LIMIT 20"),
 
     "q_setops_exceptall" -> ("SELECT user_id FROM events WHERE event_type = 'click' " +
       "EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'purchase'"),
