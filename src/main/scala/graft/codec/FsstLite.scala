@@ -88,6 +88,9 @@ object FsstLite {
    */
   private final class CandCounter(capPow2: Int) {
     private val mask = capPow2 - 1
+    // insertion stops at 3/4 load: linear probing needs free slots to terminate —
+    // a full table would turn slot()'s probe into an infinite loop for any new key
+    private val maxSize = capPow2 - (capPow2 >> 2)
     val packed = new Array[Long](capPow2)
     val lens = new Array[Byte](capPow2) // 0 = empty slot
     val counts = new Array[Long](capPow2)
@@ -100,12 +103,18 @@ object FsstLite {
     }
     def add(p: Long, len: Int, inc: Long): Unit = {
       val h = slot(p, len)
-      if (lens(h) == 0) { packed(h) = p; lens(h) = len.toByte; counts(h) = inc; size += 1 }
+      if (lens(h) == 0) {
+        if (size >= maxSize) return // drop new candidates at capacity, never hang
+        packed(h) = p; lens(h) = len.toByte; counts(h) = inc; size += 1
+      }
       else counts(h) += inc
     }
     def max(p: Long, len: Int, v: Long): Unit = {
       val h = slot(p, len)
-      if (lens(h) == 0) { packed(h) = p; lens(h) = len.toByte; counts(h) = v; size += 1 }
+      if (lens(h) == 0) {
+        if (size >= maxSize) return
+        packed(h) = p; lens(h) = len.toByte; counts(h) = v; size += 1
+      }
       else if (v > counts(h)) counts(h) = v
     }
     def clear(): Unit = {
@@ -147,7 +156,11 @@ object FsstLite {
     var used = 0
     val buf = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     while (sample.hasNext && used < budget) {
-      val s = sample.next()
+      // truncate to the REMAINING budget: a single multi-MB value (a whole html
+      // page as the first sample) used to be ingested whole, and its distinct
+      // <=8-byte candidates could overflow the fixed-capacity counters
+      val s0 = sample.next()
+      val s = if (s0.length <= budget - used) s0 else java.util.Arrays.copyOf(s0, budget - used)
       buf += s
       used += s.length
     }

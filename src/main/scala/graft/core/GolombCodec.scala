@@ -217,8 +217,15 @@ object GolombCodec {
               val base = (maskL(zeros.toInt) << k) & widthMask
               val u = (buf + base) & widthMask
               val v = t.toIntegral(u)
-              if (n == outArr.length) // only reachable on the unknown-count path
-                outArr = java.util.Arrays.copyOf(outArr, outArr.length * 2)
+              if (n == outArr.length) { // only reachable on the unknown-count path
+                // guarded doubling: int-arithmetic `len * 2` overflows negative past
+                // Int.MaxValue/2 and threw NegativeArraySizeException at callers
+                val grown = math.min(outArr.length.toLong * 2, (Int.MaxValue - 8).toLong).toInt
+                if (grown <= outArr.length)
+                  throw new IllegalStateException(
+                    s"decoded value count exceeds max array size (${outArr.length})")
+                outArr = java.util.Arrays.copyOf(outArr, grown)
+              }
               outArr(n) = v
               n += 1
             }

@@ -19,18 +19,38 @@ import graft.sources.{SnapshotStore, WebPage}
  */
 object DecodeJob {
 
-  /** Read the current snapshot's blocks as a DataFrame. */
+  /** Restrict a blocks scan to the given part ids. Small sets become an `isin`
+    * (pushed to parquet as an In filter); large ones a broadcast semi-join —
+    * both are shuffle-free and preserve per-partition row order. */
+  private def partsOnly(df: org.apache.spark.sql.DataFrame,
+                        partIds: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (partIds.size <= 256) df.where(col("part_id").isin(partIds.map(Int.box): _*))
+    else df.join(broadcast(partIds.toDF("part_id")), Seq("part_id"), "left_semi")
+  }
+
+  /**
+   * Read the current snapshot's blocks as a DataFrame, restricted to the
+   * manifest's LIVE part ids. The restriction is load-bearing, not belt-and-
+   * braces: a partial compaction replaces only some parts of a shared data dir,
+   * so the dir stays referenced via the kept parts — reading it whole would
+   * return the replaced parts' blocks from the old dir AND from the compacted
+   * copy (every such row decoded twice).
+   */
   def blocks(spark: SparkSession, root: String) = {
-    val dirs = SnapshotStore.dataDirs(root)
-    require(dirs.nonEmpty, s"no committed snapshot under $root")
-    spark.read.parquet(dirs: _*)
+    val entries = SnapshotStore.currentEntries(root)
+    require(entries.nonEmpty, s"no committed snapshot under $root")
+    partsOnly(spark.read.parquet(SnapshotStore.dataDirs(root): _*), entries.map(_.partId))
   }
 
   /** Time travel: read the blocks visible at a specific committed snapshot. */
   def blocksAt(spark: SparkSession, root: String, snapshotId: Long) = {
-    val dirs = SnapshotStore.dataDirsAt(root, snapshotId)
-    require(dirs.nonEmpty, s"snapshot $snapshotId has no data under $root")
-    spark.read.parquet(dirs: _*)
+    val entries = SnapshotStore.entriesAt(root, snapshotId)
+    require(entries.nonEmpty, s"snapshot $snapshotId has no data under $root")
+    partsOnly(spark.read.parquet(SnapshotStore.dataDirsAt(root, snapshotId): _*),
+      entries.map(_.partId))
   }
 
   private def tsFromMicros(us: Long): Timestamp = {
@@ -51,15 +71,8 @@ object DecodeJob {
     * (pushed to parquet as an In filter); large ones — a year of streaming batches
     * can leave 100k+ small parts — use a broadcast semi-join instead of a
     * 100k-literal expression tree. */
-  def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    import spark.implicits._
-    val b = blocks(spark, root)
-    val filtered =
-      if (partIds.size <= 256) b.where(col("part_id").isin(partIds.map(Int.box): _*))
-      else b.join(broadcast(partIds.toDF("part_id")), Seq("part_id"), "left_semi")
-    reassemble(spark, filtered)
-  }
+  def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] =
+    reassemble(spark, partsOnly(blocks(spark, root), partIds))
 
   private def reassemble(spark: SparkSession,
                          blocksDf: org.apache.spark.sql.DataFrame): Dataset[WebPage] = {

@@ -108,8 +108,31 @@ object SnapshotStore {
   def dataDirsAt(root: String, snapshotId: Long): Seq[String] =
     entriesAt(root, snapshotId).map(_.dataDir).distinct.map(d => Paths.get(root, d).toString)
 
-  /** part_ids already committed — the resume anti-join's build side. */
-  def committedPartIds(root: String): Set[Int] = currentEntries(root).map(_.partId).toSet
+  /**
+   * Tombstoned part ids visible at a snapshot: every source part id a compaction
+   * has REPLACED, accumulated across commits. Persisted as a sidecar per manifest
+   * (`manifests/<id>.tombstones`) because removal from the live entry list alone
+   * is not enough lineage: a resumed batch run (or a replayed streaming batch)
+   * that lands AFTER a compaction must still see its original parts as committed,
+   * or it would re-encode them and append duplicate rows.
+   */
+  def tombstonesAt(root: String, snapshotId: Long): Set[Int] = {
+    val p = Paths.get(root, "manifests", s"$snapshotId.tombstones")
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map(_.trim.toInt).toSet
+  }
+
+  def currentTombstones(root: String): Set[Int] =
+    currentSnapshotId(root) match {
+      case None => Set.empty
+      case Some(id) => tombstonesAt(root, id)
+    }
+
+  /** part_ids already committed — the resume anti-join's build side. Includes
+    * tombstoned (compacted-away) ids: their ROWS are committed, just re-homed. */
+  def committedPartIds(root: String): Set[Int] =
+    currentEntries(root).map(_.partId).toSet ++ currentTombstones(root)
 
   /** Absolute paths of all committed data dirs (the snapshot's readable file set). */
   def dataDirs(root: String): Seq[String] =
@@ -176,7 +199,11 @@ object SnapshotStore {
         .map(p => s"data/${p.getFileName}").toSeq
     val removable = dropDirs.toSeq ++ orphans
     removable.foreach(d => deleteTree(Paths.get(root, d)))
-    drop.foreach(id => Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl")))
+    drop.foreach { id =>
+      Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl"))
+      // kept snapshots carry the full accumulated tombstone set themselves
+      Files.deleteIfExists(Paths.get(root, "manifests", s"$id.tombstones"))
+    }
     ExpireResult(keep, drop, removable.sorted, removedBytes)
   }
 
@@ -196,6 +223,14 @@ object SnapshotStore {
     val content = (prev ++ newEntries).map(entryToJson).mkString("", "\n", "\n")
     Files.write(mf, content.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // tombstone lineage: carry every previously replaced id forward plus this
+    // commit's — written BEFORE the pointer swap so a crash between the two
+    // leaves the new snapshot invisible (manifest+tombstones are orphans)
+    val tombs = currentTombstones(root) ++ replaced
+    if (tombs.nonEmpty)
+      Files.write(mfDir.resolve(s"$nextId.tombstones"),
+        tombs.toSeq.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val tmp = Paths.get(root, s".SNAPSHOT.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, nextId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapshotPointer(root), StandardCopyOption.ATOMIC_MOVE,

@@ -234,4 +234,27 @@ class CodecFamilySpec extends AnyFunSuite {
     val decoded = StringBlockCodec.decode(block).map(new String(_, "UTF-8"))
     assert(decoded.toSeq == urls.toSeq)
   }
+
+  test("fsst training terminates on one huge high-entropy value (regression)") {
+    // a single multi-hundred-KB value used to be ingested whole (the 32KB budget
+    // was checked before adding), and its distinct <=8-byte pair candidates could
+    // fill the fixed-capacity candidate counter — whose linear probe then looped
+    // forever on any new key. Training must now (a) truncate the sample to the
+    // budget and (b) stop inserting at capacity instead of hanging.
+    var x = 0x243F6A8885A308D3L
+    val huge = Array.fill[Byte](512 * 1024) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 56).toByte
+    }
+    val table = FsstLite.train(Iterator(huge))
+    // the trained table still round-trips arbitrary data (including the huge value)
+    val out = new ByteWriter(huge.length * 2)
+    FsstLite.compress(table, huge, out)
+    val enc = out.toByteArray
+    assert(FsstLite.decompress(table, enc, 0, enc.length).toSeq == huge.toSeq)
+    // and the whole block path stays safe when such a value leads the block
+    val values = huge +: Array.tabulate(50)(i => s"regular text value $i".getBytes("UTF-8"))
+    val block = StringBlockCodec.encode(values)
+    assert(StringBlockCodec.decode(block).map(_.toSeq).toSeq == values.map(_.toSeq).toSeq)
+  }
 }

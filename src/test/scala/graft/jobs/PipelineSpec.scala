@@ -175,6 +175,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(CompactJob.run(spark, root).partsCompacted == 0)
   }
 
+  test("PARTIAL compaction of a shared data dir decodes each row exactly once") {
+    // regression: one wave stages all parts into ONE data dir; compacting only the
+    // smaller parts keeps that dir referenced via the surviving parts. The blocks
+    // scan must filter to the manifest's live part ids, or the replaced parts are
+    // decoded from the old dir AND from the compacted copy (duplicate rows).
+    val root = freshRoot()
+    val n = 8000L
+    val pages = Webtext.generate(spark, n, 8)
+    EncodeJob.run(spark, pages, root, parts = 8) // one wave -> one shared dir
+    val sizes = SnapshotStore.currentEntries(root).map(_.nRows)
+    val res = CompactJob.run(spark, root, minRows = sizes.max, targetRowsPerPart = n)
+    assert(res.partsCompacted >= 2, s"need a real partial compaction, sizes=$sizes")
+    val kept = SnapshotStore.currentEntries(root)
+    assert(kept.exists(_.partId >= 0) && kept.exists(_.partId < 0),
+      s"dir must be SHARED between kept and compacted parts: $kept")
+    val decoded = DecodeJob.decode(spark, root)
+    assert(decoded.count() == n, "replaced parts must not be decoded twice")
+    assert(decoded.select("url").distinct().count() == n)
+    assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 8), decoded) == 0L)
+    // pre-compaction snapshot unaffected (time travel still exact)
+    val preSnap = SnapshotStore.snapshotIds(root).head
+    assert(DecodeJob.decodeAt(spark, root, preSnap).count() == n)
+  }
+
+  test("a batch replayed AFTER compaction is still dropped (tombstone lineage)") {
+    // regression: commitReplacing removes the source part ids from the live entry
+    // list; without tombstones a resumed run (or replayed streaming batch) no
+    // longer sees them as committed and re-encodes them — duplicate rows.
+    val root = freshRoot()
+    val n = 4000L
+    val pages = Webtext.generate(spark, n, 8)
+    EncodeJob.run(spark, pages, root, parts = 4, waves = 2)
+    assert(CompactJob.run(spark, root, minRows = Long.MaxValue).partsCompacted == 4)
+    assert(SnapshotStore.committedPartIds(root).filter(_ >= 0) == (0 until 4).toSet,
+      "compacted source ids must stay visible as committed (tombstones)")
+    val replay = EncodeJob.run(spark, pages, root, parts = 4)
+    assert(replay.partsEncoded == 0, "replay after compaction must be a no-op")
+    val decoded = DecodeJob.decode(spark, root)
+    assert(decoded.count() == n)
+    assert(decoded.select("url").distinct().count() == n)
+  }
+
   test("expire reclaims dirs only compaction freed; orphan sweep respects grace") {
     val root = freshRoot()
     EncodeJob.run(spark, Webtext.generate(spark, 4000, 8), root, parts = 8, waves = 2)
@@ -230,7 +272,7 @@ class PipelineSpec extends AnyFunSuite {
     // the column filter must reach the parquet scan so unwanted (text/html) blocks
     // are pruned by row-group stats before any decompression
     val physical = proj.queryExecution.executedPlan.toString()
-    assert(physical.contains("PushedFilters: [In(column"),
+    assert(physical.contains("PushedFilters: [") && physical.contains("In(column"),
       s"column projection filter not pushed to the blocks scan:\n$physical")
 
     assert(proj.count() == n)
