@@ -3,7 +3,7 @@ package graft.jobs
 import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.codec.{IntBlockCodec, StringBlockCodec}
@@ -13,9 +13,12 @@ import graft.sources.{SnapshotStore, WebPage}
  * Decode job: read the committed snapshot's block files, reassemble pages, and verify
  * the per-url byte-identical `text` invariant (BASELINE.json input_hint).
  *
- * Reassembly groups the 5 column blocks of each (part_id, block_seq) with one
- * shuffle (`groupByKey(mapGroups)`); each group is one bounded block (≤64Ki rows ×
- * 5 columns), so executor memory stays flat at any table size.
+ * Reassembly is SHUFFLE-FREE on the primary path: a group's 5 column blocks are
+ * co-written consecutively by one encode task, so a mapPartitions kernel groups
+ * consecutive rows in place ([[hybridReassemble]]); only groups that straddle a
+ * file-split boundary (detected by a column-pruned key pre-scan) are repaired via
+ * a groupByKey shuffle. Each group is one bounded block (≤64Ki rows × 5 columns),
+ * so executor memory stays flat at any table size.
  */
 object DecodeJob {
 
@@ -74,32 +77,147 @@ object DecodeJob {
   def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] =
     reassemble(spark, partsOnly(blocks(spark, root), partIds))
 
-  private def reassemble(spark: SparkSession,
-                         blocksDf: org.apache.spark.sql.DataFrame): Dataset[WebPage] = {
-    import spark.implicits._
-    blocksDf
-      .select($"part_id", $"block_seq", $"column", $"encoded")
-      .as[(Int, Int, String, Array[Byte])]
-      .groupByKey { case (pid, seq, _, _) => (pid, seq) }
-      .flatMapGroups { (_: (Int, Int), it: Iterator[(Int, Int, String, Array[Byte])]) =>
-        val cols = it.map { case (_, _, col, enc) => col -> enc }.toMap
-        def str(bs: Array[Byte]): String =
-          if (bs == null) null else new String(bs, StandardCharsets.UTF_8)
-        val urls = StringBlockCodec.decode(cols("url"))
-        val (ts, tsValid) = IntBlockCodec.decodeNullable(cols("warc_ts"))
-        val htmls = StringBlockCodec.decode(cols("html"))
-        val texts = StringBlockCodec.decode(cols("text"))
-        val langs = StringBlockCodec.decode(cols("lang"))
-        urls.indices.iterator.map { i =>
-          WebPage(
-            str(urls(i)),
-            if (tsValid(i)) tsFromMicros(ts(i)) else null,
-            htmls(i),
-            str(texts(i)),
-            str(langs(i)))
+  // ---------------- reassembly (shuffle-free fast path + shuffle fallback) ----------------
+
+  private type RawBlock = (Int, Int, String, Array[Byte])
+  private val PageColumns = Set("url", "warc_ts", "html", "text", "lang")
+
+  /**
+   * When more than this many block groups need the shuffle fallback, the input is
+   * not grouped on disk (foreign/unsorted store) — reassemble everything through
+   * the shuffle instead of collecting an unbounded key list to the driver.
+   * `private[jobs]` var so tests can force the full-fallback branch.
+   */
+  private[jobs] var MaxFallbackGroups = 4096
+
+  /** Iterate consecutive same-(part_id, block_seq) runs as (pid, seq, column -> bytes). */
+  private def consecutiveRuns(it: Iterator[RawBlock])
+      : Iterator[(Int, Int, Map[String, Array[Byte]])] =
+    new Iterator[(Int, Int, Map[String, Array[Byte]])] {
+      private val buf = it.buffered
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): (Int, Int, Map[String, Array[Byte]]) = {
+        val (pid, seq, _, _) = buf.head
+        var m = Map.empty[String, Array[Byte]]
+        while (buf.hasNext && buf.head._1 == pid && buf.head._2 == seq) {
+          val r = buf.next()
+          m = m.updated(r._3, r._4)
         }
+        (pid, seq, m)
       }
+    }
+
+  /** Keys of consecutive runs whose column set is NOT exactly `expected`. */
+  private def incompleteRunKeys(it: Iterator[(Int, Int, String)],
+                                expected: Set[String]): Iterator[(Int, Int)] =
+    new Iterator[(Int, Int)] {
+      private val buf = it.buffered
+      private var pending: (Int, Int) = _
+      private def advance(): Unit =
+        while (pending == null && buf.hasNext) {
+          val (pid, seq, _) = buf.head
+          var cols = Set.empty[String]
+          while (buf.hasNext && buf.head._1 == pid && buf.head._2 == seq)
+            cols += buf.next()._3
+          if (cols != expected) pending = (pid, seq)
+        }
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): (Int, Int) = {
+        advance()
+        val r = pending; pending = null
+        if (r == null) throw new NoSuchElementException
+        r
+      }
+    }
+
+  /** The always-correct path: one wide exchange grouping every block by key. */
+  private def shuffleReassemble[T](raw: Dataset[RawBlock],
+      enc: org.apache.spark.sql.Encoder[T])(
+      decodeGroup: Map[String, Array[Byte]] => Iterator[T]): Dataset[T] =
+    raw.groupByKey { case (pid, seq, _, _) => (pid, seq) }(
+        org.apache.spark.sql.Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
+      .flatMapGroups { (_: (Int, Int), it: Iterator[RawBlock]) =>
+        decodeGroup(it.map(r => r._3 -> r._4).toMap)
+      }(enc)
+
+  /**
+   * Shuffle-free reassembly of co-written block groups. The encode kernel emits
+   * one group's column blocks consecutively into one task's parquet file, so at
+   * read time groups are already contiguous: a mapPartitions kernel groups
+   * consecutive rows with ZERO exchange — at table scale that removes a
+   * full-dataset shuffle (every encoded byte through disk+network) from the
+   * primary read path.
+   *
+   * Robustness: a parquet file bigger than `spark.sql.files.maxPartitionBytes`
+   * can be split mid-group. A column-pruned key-only pre-scan (parquet reads just
+   * part_id/block_seq/column — the multi-MB `encoded` column is never touched)
+   * finds groups that are not contiguous-and-complete within a partition; those
+   * few are re-read via a pushed-filter scan and repaired through the shuffle
+   * path. More than [[MaxFallbackGroups]] of them means the input simply is not
+   * grouped (foreign store) — everything falls back to the shuffle. Both scans
+   * derive from the same `blocksDf`, so Spark's deterministic size-based file
+   * partitioning gives them identical partition boundaries.
+   */
+  private def hybridReassemble[T](spark: SparkSession,
+      blocksDf: org.apache.spark.sql.DataFrame, expected: Set[String],
+      enc: org.apache.spark.sql.Encoder[T])(
+      decodeGroup: Map[String, Array[Byte]] => Iterator[T]): Dataset[T] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val raw = blocksDf.select(col("part_id"), col("block_seq"), col("column"), col("encoded"))
+      .as[RawBlock]
+    val exp = expected
+    val badRaw = blocksDf.select(col("part_id"), col("block_seq"), col("column"))
+      .as[(Int, Int, String)]
+      .mapPartitions(it => incompleteRunKeys(it, exp))
+      .take(MaxFallbackGroups + 1)
+    val badKeys = badRaw.distinct // a fragmented key can surface from two partitions
+    if (badKeys.length > MaxFallbackGroups) return shuffleReassemble(raw, enc)(decodeGroup)
+    val badSet = badKeys.toSet
+    val fast = raw.mapPartitions { it =>
+      consecutiveRuns(it).flatMap { case (pid, seq, cols) =>
+        if (cols.keySet == exp && !badSet((pid, seq))) decodeGroup(cols)
+        else Iterator.empty // boundary-straddling group: the fallback owns it
+      }
+    }(enc)
+    if (badSet.isEmpty) fast
+    else {
+      // re-fetch just the straddling groups: part_id/block_seq In-filters reach
+      // parquet (row-group pruning), the exact pair filter runs on what's left
+      val pids = badSet.map(_._1).toSeq.map(Int.box)
+      val seqs = badSet.map(_._2).toSeq.map(Int.box)
+      val leftover = blocksDf
+        .where(col("part_id").isin(pids: _*) && col("block_seq").isin(seqs: _*))
+        .select(col("part_id"), col("block_seq"), col("column"), col("encoded"))
+        .as[RawBlock]
+        .filter(r => badSet((r._1, r._2)))
+      fast.union(shuffleReassemble(leftover, enc)(decodeGroup))
+    }
   }
+
+  /** Decode one complete 5-column group into pages. */
+  private def decodePageGroup(cols: Map[String, Array[Byte]]): Iterator[WebPage] = {
+    def str(bs: Array[Byte]): String =
+      if (bs == null) null else new String(bs, StandardCharsets.UTF_8)
+    val urls = StringBlockCodec.decode(cols("url"))
+    val (ts, tsValid) = IntBlockCodec.decodeNullable(cols("warc_ts"))
+    val htmls = StringBlockCodec.decode(cols("html"))
+    val texts = StringBlockCodec.decode(cols("text"))
+    val langs = StringBlockCodec.decode(cols("lang"))
+    urls.indices.iterator.map { i =>
+      WebPage(
+        str(urls(i)),
+        if (tsValid(i)) tsFromMicros(ts(i)) else null,
+        htmls(i),
+        str(texts(i)),
+        str(langs(i)))
+    }
+  }
+
+  private[jobs] def reassemble(spark: SparkSession,
+                               blocksDf: org.apache.spark.sql.DataFrame): Dataset[WebPage] =
+    hybridReassemble(spark, blocksDf, PageColumns,
+      Encoders.product[WebPage])(decodePageGroup)
 
   /**
    * Projected decode: reassemble ONLY the requested columns. The blocks scan
@@ -114,40 +232,39 @@ object DecodeJob {
    */
   def decodeColumns(spark: SparkSession, root: String, wanted: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
-    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.Row
     import spark.implicits._
     require(wanted.nonEmpty, "no columns requested")
     val schema = StructType(wanted.map {
       case "warc_ts" => StructField("warc_ts", LongType, nullable = true)
+      case "html" => StructField("html", BinaryType, nullable = true)
       case c => StructField(c, StringType, nullable = true)
     })
     val rowEnc = Encoders.row(schema)
     val order = wanted.toArray
-    blocks(spark, root)
-      .where($"column".isin(wanted: _*))
-      .select($"part_id", $"block_seq", $"column", $"encoded")
-      .as[(Int, Int, String, Array[Byte])]
-      .groupByKey { case (pid, seq, _, _) => (pid, seq) }
-      .flatMapGroups { (_: (Int, Int), it: Iterator[(Int, Int, String, Array[Byte])]) =>
-        val cols = it.map { case (_, _, col, enc) => col -> enc }.toMap
-        val strCols: Map[String, Array[Array[Byte]]] =
-          order.iterator.filter(c => c != "warc_ts" && cols.contains(c))
-            .map(c => c -> StringBlockCodec.decode(cols(c))).toMap
-        val ts: (Array[Long], Array[Boolean]) =
-          if (cols.contains("warc_ts")) IntBlockCodec.decodeNullable(cols("warc_ts")) else null
-        val n = strCols.headOption.map(_._2.length)
-          .orElse(Option(ts).map(_._1.length)).getOrElse(0)
-        (0 until n).iterator.map { i =>
-          Row.fromSeq(order.toSeq.map {
-            case "warc_ts" =>
-              if (ts != null && ts._2(i)) java.lang.Long.valueOf(ts._1(i)) else null
-            case c =>
-              val vs = strCols.getOrElse(c, null)
-              if (vs == null || vs(i) == null) null
-              else new String(vs(i), StandardCharsets.UTF_8)
-          })
-        }
-      }(rowEnc)
+    def decodeGroup(cols: Map[String, Array[Byte]]): Iterator[Row] = {
+      val byteCols: Map[String, Array[Array[Byte]]] =
+        order.iterator.filter(c => c != "warc_ts" && cols.contains(c))
+          .map(c => c -> StringBlockCodec.decode(cols(c))).toMap
+      val ts: (Array[Long], Array[Boolean]) =
+        if (cols.contains("warc_ts")) IntBlockCodec.decodeNullable(cols("warc_ts")) else null
+      val n = byteCols.headOption.map(_._2.length)
+        .orElse(Option(ts).map(_._1.length)).getOrElse(0)
+      (0 until n).iterator.map { i =>
+        Row.fromSeq(order.toSeq.map {
+          case "warc_ts" =>
+            if (ts != null && ts._2(i)) java.lang.Long.valueOf(ts._1(i)) else null
+          case "html" => // opaque binary: no UTF-8 re-interpretation (lossless)
+            byteCols.get("html").map(_(i)).orNull
+          case c =>
+            val vs = byteCols.getOrElse(c, null)
+            if (vs == null || vs(i) == null) null
+            else new String(vs(i), StandardCharsets.UTF_8)
+        })
+      }
+    }
+    val filtered = blocks(spark, root).where($"column".isin(wanted: _*))
+    hybridReassemble(spark, filtered, wanted.toSet, rowEnc)(decodeGroup).toDF()
   }
 
   /**

@@ -298,7 +298,8 @@ object EncodeJob {
    * Returns (relative data dir, entries, seconds in the distributed write).
    */
   def stageEncode(spark: SparkSession, prepared: DataFrame, numParts: Int,
-                  root: String): (String, Seq[SnapshotStore.PartEntry], Double) = {
+                  root: String,
+                  maxBlockBytes: Long = MaxBlockBytes): (String, Seq[SnapshotStore.PartEntry], Double) = {
     import spark.implicits._
     // one exchange: co-locate each work unit, order inside for block locality
     val blocks = prepared
@@ -308,7 +309,7 @@ object EncodeJob {
         col("ts_valid"), col("html"), col("text").cast("binary").as("text"),
         col("lang").cast("binary").as("lang"))
       .as[EncRow]
-      .mapPartitions(it => encodePartition(it))
+      .mapPartitions(it => encodePartition(it, maxBlockBytes))
 
     val (relDir, absDir) = SnapshotStore.newDataDir(root)
     val jt0 = System.nanoTime()
@@ -349,7 +350,8 @@ object EncodeJob {
    * committed checkpoint. `maxWaves` exists for kill/resume tests.
    */
   def run(spark: SparkSession, pages: Dataset[WebPage], root: String, parts: Int,
-          waves: Int = 1, maxWaves: Int = Int.MaxValue, partOffset: Long = 0L): RunResult = {
+          waves: Int = 1, maxWaves: Int = Int.MaxValue, partOffset: Long = 0L,
+          maxBlockBytes: Long = MaxBlockBytes): RunResult = {
     import spark.implicits._
     Files.createDirectories(Paths.get(root))
     val boundaries = loadOrCreateBoundaries(root, pages, parts)
@@ -374,7 +376,7 @@ object EncodeJob {
         .join(broadcast(groupDf), Seq("part_id"), "left_semi")
         .join(broadcast(committedNow.toSeq.toDF("part_id")), Seq("part_id"), "left_anti")
 
-      val (_, entries, secs) = stageEncode(spark, pending, group.size, root)
+      val (_, entries, secs) = stageEncode(spark, pending, group.size, root, maxBlockBytes)
       jobSecs += secs
       lastSnap = SnapshotStore.commit(root, entries)
       totalEntries ++= entries

@@ -243,6 +243,87 @@ class PipelineSpec extends AnyFunSuite {
       DecodeJob.decode(spark, root)) == 0L)
   }
 
+  test("decode reassembly is shuffle-free on a store; forced file splits fall back exactly") {
+    val root = freshRoot()
+    val n = 20000L
+    val pages = Webtext.generate(spark, n, 8)
+    // small logical blocks + tiny parquet row groups, so the read side CAN split
+    // files mid-group when maxPartitionBytes shrinks below the file size
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.block.size", 4096)
+    hc.setInt("parquet.page.size.row.check.min", 2)
+    hc.setInt("parquet.page.size.row.check.max", 2)
+    try EncodeJob.run(spark, pages, root, parts = 2, maxBlockBytes = 256 * 1024)
+    finally {
+      hc.unset("parquet.block.size")
+      hc.unset("parquet.page.size.row.check.min")
+      hc.unset("parquet.page.size.row.check.max")
+    }
+    assert(DecodeJob.blocks(spark, root).select("part_id", "block_seq").distinct().count() > 20,
+      "need many groups per file for the split scenario")
+
+    // primary path: consecutive-run grouping, ZERO exchange in the plan. Splits
+    // are disabled explicitly — the small-file test store otherwise splits at
+    // bytesPerCore (totalBytes/parallelism), which is exactly the scenario the
+    // fallback phase below covers.
+    spark.conf.set("spark.sql.files.openCostInBytes", (64L << 20).toString)
+    try {
+      val fast = DecodeJob.decode(spark, root)
+      val plan = fast.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"decode must not shuffle on a grouped store:\n$plan")
+      assert(fast.count() == n)
+      assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 8), fast) == 0L)
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
+
+    // forced splits: groups straddle partition boundaries; the key pre-scan must
+    // route exactly those through the shuffle fallback — same rows, no dupes/gaps
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try {
+      val split = DecodeJob.decode(spark, root)
+      assert(split.count() == n, "straddling groups must be repaired, not dropped")
+      assert(split.select("url").distinct().count() == n, "and not duplicated")
+      assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 8), split) == 0L)
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+  }
+
+  test("reassembly of scattered/unsorted block inputs falls back to the shuffle") {
+    import spark.implicits._
+    // well-formed 2-row groups, then round-robin scattered so runs are fragmented
+    val groups = (0 until 60).map { g =>
+      val urls = Array(s"u$g-0".getBytes("UTF-8"), s"u$g-1".getBytes("UTF-8"))
+      val texts = Array(s"text $g zero".getBytes("UTF-8"), s"text $g one".getBytes("UTF-8"))
+      val langs = Array("en".getBytes("UTF-8"), "de".getBytes("UTF-8"))
+      val ts = graft.codec.IntBlockCodec.encodeNullable(
+        Array(1000000L * g, 1000000L * g + 1), Array(true, true), graft.core.PhysicalIntType.I64)
+      Seq(
+        (g, 0, "url", graft.codec.StringBlockCodec.encode(urls)),
+        (g, 0, "warc_ts", ts),
+        (g, 0, "html", graft.codec.StringBlockCodec.encode(texts)),
+        (g, 0, "text", graft.codec.StringBlockCodec.encode(texts)),
+        (g, 0, "lang", graft.codec.StringBlockCodec.encode(langs)))
+    }
+    val scattered = groups.flatten
+      .toDF("part_id", "block_seq", "column", "encoded")
+      .repartition(7) // round-robin: group rows land in different partitions
+    val decoded = DecodeJob.reassemble(spark, scattered)
+    assert(decoded.count() == 120)
+    assert(decoded.map(_.url).collect().sorted.toSeq ==
+      (0 until 60).flatMap(g => Seq(s"u$g-0", s"u$g-1")).sorted)
+
+    // full-fallback branch: cap at 0 forces the everything-through-shuffle path
+    val saved = DecodeJob.MaxFallbackGroups
+    DecodeJob.MaxFallbackGroups = 0
+    try {
+      val viaShuffle = DecodeJob.reassemble(spark, scattered)
+      assert(viaShuffle.count() == 120)
+      assert(viaShuffle.select("url").distinct().count() == 120)
+    } finally DecodeJob.MaxFallbackGroups = saved
+  }
+
   test("byte-bounded block flush splits fat-row runs without losing rows") {
     // 300 rows x ~10KB text with a 64KB cap -> many small blocks, same data back
     val rows = (0 until 300).iterator.map { i =>
