@@ -316,6 +316,28 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // binary-faithful projected decode: html comes back as BinaryType (no UTF-8
+    // re-interpretation), digest-matched per url against the source table
+    "q_decode_projection_html" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      DecodeJob.decodeColumns(s, root, Seq("url", "html"))
+        .select(col("url"), md5(col("html")).as("h"))
+    }),
+
+    // predicate-pushed decoded view: decodeWhere prunes block groups whose
+    // block_min/block_max (warc_ts) or block_str_dict (lang) metadata excludes
+    // the predicates, BEFORE any decompression; the in-query require proves real
+    // pruning, the oracle proves the rows are exactly decode+filter
+    "q_prune_decoded" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      val target = (1600000000L + 7L * 3600L) * 1000000L // doc_id div 50 == 7, micros
+      val preds = Seq(DecodeJob.TsRange(target, target), DecodeJob.StrEq("lang", "en"))
+      val total = DecodeJob.blocks(s, root).where(col("column") === "warc_ts").count()
+      val matched = DecodeJob.matchingGroupKeys(s, root, preds).count()
+      require(matched < total, s"metadata must prune block groups: $matched of $total")
+      DecodeJob.decodeWhere(s, root, preds).toDF().select(col("url"), col("lang"))
+    }),
+
     // ---------------- streaming: exactly-once encode with restart ----------------
     "q_stream_encode" -> ((s, d) => {
       import s.implicits._
@@ -736,6 +758,10 @@ object SparkEntry {
       "CAST(1 AS INTEGER) AS all_compressed FROM documents"),
     "q_decode_projection" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +
       "FROM documents GROUP BY lang"),
+    "q_decode_projection_html" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, md5(text) AS h FROM documents"),
+    "q_prune_decoded" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents WHERE doc_id // 50 = 7 AND lang = 'en'"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q_frames" -> ("SELECT media_id, CAST(f AS BIGINT) AS frame_ts_ms FROM (" +
       "SELECT CAST(doc_id AS BIGINT) AS media_id, " +

@@ -66,6 +66,103 @@ object DecodeJob {
   def decode(spark: SparkSession, root: String): Dataset[WebPage] =
     reassemble(spark, blocks(spark, root))
 
+  // ---------------- predicate-pushed decode (decoded-view API) ----------------
+
+  /** A pushable predicate over a decoded page column, evaluated twice: against
+    * block METADATA to prune whole groups before any decompression, and exactly
+    * against the decoded rows. Absent metadata always passes (soundness). */
+  sealed trait BlockPredicate { def column: String }
+  /** Equality on a UTF-8 string column with bounds/dict metadata (url/text/lang). */
+  final case class StrEq(column: String, value: String) extends BlockPredicate
+  /** Membership on a string column. */
+  final case class StrIn(column: String, values: Seq[String]) extends BlockPredicate
+  /** Inclusive epoch-micros range on `warc_ts`. */
+  final case class TsRange(loMicros: Long, hiMicros: Long) extends BlockPredicate {
+    def column: String = "warc_ts"
+  }
+
+  /** Can a block with this metadata row contain a match? (null metadata => yes) */
+  private def metaCond(p: BlockPredicate): org.apache.spark.sql.Column = p match {
+    case StrEq(_, v) =>
+      (col("block_str_min").isNull || col("block_str_min") <= v) &&
+      (col("block_str_max").isNull || col("block_str_max") >= v) &&
+      (col("block_str_dict").isNull || array_contains(col("block_str_dict"), v))
+    case StrIn(_, vs) =>
+      val arr = typedLit(vs)
+      (col("block_str_min").isNull || col("block_str_min") <= array_max(arr)) &&
+      (col("block_str_max").isNull || col("block_str_max") >= array_min(arr)) &&
+      (col("block_str_dict").isNull || arrays_overlap(col("block_str_dict"), arr))
+    case TsRange(lo, hi) =>
+      (col("block_min").isNull || col("block_min") <= hi) &&
+      (col("block_max").isNull || col("block_max") >= lo)
+  }
+
+  /** Exact row-level form of a predicate over decoded pages. */
+  private def rowCond(p: BlockPredicate): org.apache.spark.sql.Column = p match {
+    case StrEq(c, v) => col(c) === v
+    case StrIn(c, vs) => col(c).isin(vs: _*)
+    case TsRange(lo, hi) => unix_micros(col("warc_ts")).between(lo, hi)
+  }
+
+  /**
+   * Group keys whose metadata admits ALL predicates — the set of (part_id,
+   * block_seq) that must be decoded. A column-pruned metadata-only scan
+   * (parquet reads the small metadata columns, never `encoded`), one key
+   * DataFrame per predicate, intersected. Manifest-scale output.
+   */
+  def matchingGroupKeys(spark: SparkSession, root: String,
+                        predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame = {
+    require(predicates.nonEmpty, "no predicates")
+    require(predicates.forall(p => p.column != "html"),
+      "html is opaque binary: no metadata, no pushable predicates")
+    val b = blocks(spark, root)
+    predicates.map { p =>
+      b.where(col("column") === p.column && metaCond(p))
+        .select(col("part_id"), col("block_seq"))
+    }.reduce((a, c) => a.join(c, Seq("part_id", "block_seq")))
+  }
+
+  /**
+   * Decode ONLY the pages that can satisfy `predicates`: block groups whose
+   * metadata (block_min/block_max for warc_ts, block_str_min/max/dict for string
+   * columns) excludes every predicate value are pruned BEFORE decompression —
+   * the north-star "predicate-push onto dictionary and FoR metadata" surfaced on
+   * the decoded-view API users actually write. Exact row filters still apply
+   * after decode, so results equal `decode(...).filter(...)`.
+   *
+   * Plan shape: when few groups match, their keys are collected and pushed to
+   * the parquet scan as part_id/block_seq In-filters (row groups of pruned
+   * blocks are skipped by statistics — no IO); when many match, a broadcast
+   * semi-join filters the scan instead (saves decompress+decode CPU, the
+   * dominant cost). Reassembly stays on the shuffle-free fast path either way.
+   */
+  def decodeWhere(spark: SparkSession, root: String,
+                  predicates: Seq[BlockPredicate]): Dataset[WebPage] = {
+    import spark.implicits._
+    val keysDf = matchingGroupKeys(spark, root, predicates)
+    val keys = keysDf.select($"part_id", $"block_seq").as[(Int, Int)]
+      .take(MaxFallbackGroups + 1)
+    val filtered =
+      if (keys.length <= MaxFallbackGroups) {
+        // pushed path: part_id/block_seq In-filters reach parquet (row-group
+        // stats skip pruned blocks' IO); the exact pair membership runs as a
+        // codegen'd packed-key isin, so derived scans keep column pruning
+        val pids = keys.map(_._1).distinct.toSeq.map(Int.box)
+        val seqs = keys.map(_._2).distinct.toSeq.map(Int.box)
+        val packed = keys.map(k => Long.box((k._1.toLong << 32) | (k._2.toLong & 0xffffffffL))).toSeq
+        val packedCol = shiftleft(col("part_id").cast("long"), 32)
+          .bitwiseOR(col("block_seq").cast("long").bitwiseAND(lit(0xffffffffL)))
+        blocks(spark, root)
+          .where(col("part_id").isin(pids: _*) && col("block_seq").isin(seqs: _*) &&
+            packedCol.isin(packed: _*))
+      } else {
+        blocks(spark, root)
+          .join(broadcast(keysDf), Seq("part_id", "block_seq"), "left_semi")
+      }
+    val exact = predicates.map(rowCond).reduce(_ && _)
+    reassemble(spark, filtered).filter(exact)
+  }
+
   /** Time travel: decode the pages visible at a specific committed snapshot. */
   def decodeAt(spark: SparkSession, root: String, snapshotId: Long): Dataset[WebPage] =
     reassemble(spark, blocksAt(spark, root, snapshotId))

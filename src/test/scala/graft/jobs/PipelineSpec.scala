@@ -324,6 +324,57 @@ class PipelineSpec extends AnyFunSuite {
     } finally DecodeJob.MaxFallbackGroups = saved
   }
 
+  test("decodeWhere prunes block groups via metadata before any decompression") {
+    import spark.implicits._
+    val root = freshRoot()
+    val n = 20000L
+    val pages = Webtext.generate(spark, n, 8)
+    EncodeJob.run(spark, pages, root, parts = 8)
+    val totalGroups = DecodeJob.blocks(spark, root)
+      .select("part_id", "block_seq").distinct().count()
+
+    // url equality: string bounds confine any single url to one group
+    val someUrl = Webtext.page(12345L).url
+    val urlPred = Seq(DecodeJob.StrEq("url", someUrl))
+    val urlKeys = DecodeJob.matchingGroupKeys(spark, root, urlPred).count()
+    assert(urlKeys < totalGroups && urlKeys >= 1,
+      s"url bounds must prune groups: $urlKeys of $totalGroups")
+    val hit = DecodeJob.decodeWhere(spark, root, urlPred)
+    // pruned scan still pushes the key filters to parquet and stays shuffle-free
+    val plan = hit.queryExecution.executedPlan.toString()
+    assert(plan.contains("In(part_id") && !plan.contains("Exchange"),
+      s"pruned decode must push key filters and not shuffle:\n$plan")
+    val rows = hit.collect()
+    assert(rows.length == 1 && rows.head.url == someUrl)
+
+    // warc_ts range: the single global-max timestamp can live in few blocks
+    // (webtext ts ranges of different parts otherwise overlap — pruning is
+    // sound, so an overlapped range correctly keeps every block)
+    val blocksDf = DecodeJob.blocks(spark, root)
+    val hiTs = blocksDf.where($"column" === "warc_ts")
+      .agg(max($"block_max")).as[Long].head()
+    val tsPred = Seq(DecodeJob.TsRange(hiTs, hiTs))
+    val tsKeys = DecodeJob.matchingGroupKeys(spark, root, tsPred).count()
+    assert(tsKeys >= 1 && tsKeys < totalGroups,
+      s"max-ts point range must prune groups: $tsKeys of $totalGroups")
+    val pruned = DecodeJob.decodeWhere(spark, root, tsPred).toDF()
+      .select($"url").orderBy($"url").collect()
+    val full = DecodeJob.decode(spark, root).toDF()
+      .where(unix_micros($"warc_ts") === hiTs)
+      .select($"url").orderBy($"url").collect()
+    assert(pruned.nonEmpty && pruned.toSeq == full.toSeq,
+      "pruned result must equal decode+filter")
+
+    // a value no metadata admits -> zero groups, zero rows, no crash
+    assert(DecodeJob.decodeWhere(spark, root,
+      Seq(DecodeJob.StrEq("lang", "zz"))).count() == 0L)
+
+    // conjunction across columns intersects key sets
+    val both = DecodeJob.decodeWhere(spark, root,
+      Seq(DecodeJob.StrEq("url", someUrl), DecodeJob.TsRange(Long.MinValue, Long.MaxValue)))
+    assert(both.count() == 1L)
+  }
+
   test("byte-bounded block flush splits fat-row runs without losing rows") {
     // 300 rows x ~10KB text with a 64KB cap -> many small blocks, same data back
     val rows = (0 until 300).iterator.map { i =>
