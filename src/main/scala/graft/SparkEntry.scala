@@ -128,6 +128,28 @@ object SparkEntry {
     "rt_auto_i64" -> ((s, d) => rtLong(t(s, d, "orders"), "o_custkey")(vs =>
       IntBlockCodec.decode(IntBlockCodec.encode(vs, PhysicalIntType.I64)))),
 
+    // drifting-magnitude column: bit-widths move in 512-row plateaus (by explicit
+    // row rank — the test parquet's physical row order is scrambled) with mixed
+    // signs, so the chooser's exact adaptive-cost simulation must pick
+    // eg_adaptive (the reference's -a mode, now auto-chosen) — asserted in-query
+    // for every full block; identity oracle proves the round trip
+    "rt_auto_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+      val df = t(s, d, "lineitem")
+        .select(row_number().over(w).cast("long").as("rn"))
+        .selectExpr("CAST(CASE WHEN rn % 2 = 0 THEN 1 ELSE -1 END AS BIGINT) * " +
+          "((rn * 7919) % 4096 + 4096) * " +
+          "shiftleft(CAST(1 AS BIGINT), CAST((rn div 512) % 24 AS INT)) AS drift")
+      rtLong(df, "drift")(vs => {
+        val enc = IntBlockCodec.encode(vs, PhysicalIntType.I64)
+        if (vs.length >= 4096)
+          require(IntBlockCodec.info(enc).codecName.startsWith("eg_adaptive"),
+            s"drifting block must auto-choose adaptive, got ${IntBlockCodec.info(enc).codecName}")
+        IntBlockCodec.decode(enc)
+      })
+    }),
+
     // every codec-tree node forced explicitly (the auto queries above only cover
     // whatever the chooser picks for that data) — identity oracles each
     "rt_bitpack" -> ((s, d) => rtLong(t(s, d, "lineitem"), "l_suppkey")(vs =>
@@ -723,6 +745,9 @@ object SparkEntry {
     "rt_eg_adaptive_i32" -> "SELECT l_linenumber AS v FROM lineitem",
     "rt_auto_ts" -> "SELECT epoch_us(l_shipdate) AS v FROM lineitem",
     "rt_auto_i64" -> "SELECT o_custkey AS v FROM orders",
+    "rt_auto_drift" -> ("SELECT (CASE WHEN rn % 2 = 0 THEN 1 ELSE -1 END) * " +
+      "((rn * 7919) % 4096 + 4096) * (CAST(1 AS BIGINT) << CAST((rn // 512) % 24 AS INT)) AS v " +
+      "FROM (SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM lineitem)"),
     "rt_bitpack" -> "SELECT l_suppkey AS v FROM lineitem",
     "rt_rle" -> "SELECT l_linenumber AS v FROM lineitem",
     "rt_for_eg" -> "SELECT l_partkey AS v FROM lineitem",

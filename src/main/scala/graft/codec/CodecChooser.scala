@@ -1,6 +1,6 @@
 package graft.codec
 
-import graft.core.PhysicalIntType
+import graft.core.{GolombCodec, PhysicalIntType}
 import CodecSpec._
 
 /**
@@ -26,17 +26,30 @@ final case class ColumnStats(
     /** same for (v - min) residuals (unsigned domain) */
     residualHist: Array[Long],
     /** same for zigzag(v_i - v_{i-1}), n-1 entries */
-    deltaHist: Array[Long])
+    deltaHist: Array[Long],
+    /** exact payload bits of EgAdaptive(adaptiveK0, AdaptiveA) on this sequence —
+      * simulated in the same pass (histograms can't price an order-dependent
+      * codec: adaptive wins exactly when bit-widths DRIFT, which a histogram
+      * erases). The reference's -a mode (util/golomb.cpp:432-462) thereby
+      * becomes auto-choosable, not just explicitly reachable. */
+    adaptiveBits: Long,
+    /** starting k for the simulated adaptive run: bit-width of the first value */
+    adaptiveK0: Int)
 
 object ColumnStats {
   val CardCap = 4096
+
+  /** Adaptation shift used when auto-choosing EgAdaptive (the reference CLI's
+    * default-strength smoothing; k converges within ~2^a values). */
+  val AdaptiveA = 2
 
   @inline private def bitWidth(u: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(u)
 
   def collect(values: Array[Long], t: PhysicalIntType): ColumnStats = {
     val n = values.length
-    if (n == 0) return ColumnStats(0, 0L, 0L, 0, 0, new Array[Long](65), new Array[Long](65), new Array[Long](65))
+    if (n == 0) return ColumnStats(0, 0L, 0L, 0, 0, new Array[Long](65), new Array[Long](65), new Array[Long](65), 0L, 0)
     val unsignedOrder = !t.signed && t.width == 64
+    val w = t.width
     var min = values(0); var max = values(0)
     var runs = 1
     val seen = new java.util.HashSet[java.lang.Long](math.min(n, CardCap) * 2)
@@ -44,6 +57,12 @@ object ColumnStats {
     var i = 0
     val zz = new Array[Long](65)
     val dz = new Array[Long](65)
+    // exact adaptive-k cost simulation, mirroring GolombCodec.adaptiveEncode:
+    // per-value cost of pushUnsigned at the clamped running k, then
+    // k = k - (k>>a) + (bitWidth(u)>>a) on the pre-encode unsigned mapping
+    val adK0 = GolombCodec.clampK(bitWidth(t.toUnsigned(values(0))), w)
+    var adK = adK0.toLong
+    var adBits = 0L
     while (i < n) {
       val v = values(i)
       if (unsignedOrder) {
@@ -59,14 +78,22 @@ object ColumnStats {
         dz(bitWidth(((d << 1) ^ (d >> 63)))) += 1
       }
       if (card <= CardCap && seen.add(v)) card += 1
-      zz(bitWidth(t.toUnsigned(v))) += 1
+      val u = t.toUnsigned(v)
+      val bwU = bitWidth(u)
+      zz(bwU) += 1
+      val kc = GolombCodec.clampK(math.min(adK, Int.MaxValue).toInt, w)
+      val data = (u + (1L << kc)) & t.widthMask
+      val overflowed =
+        if (w == 64) java.lang.Long.compareUnsigned(data, u) < 0 else data < u
+      adBits += (if (overflowed) 2L * w - kc + 1 else 2L * bitWidth(data) - kc - 1)
+      adK = adK - (adK >>> AdaptiveA) + (bwU.toLong >>> AdaptiveA)
       i = i + 1
     }
     // residual bit-width histogram needs min — second cheap pass
     val rz = new Array[Long](65)
     i = 0
     while (i < n) { rz(bitWidth(values(i) - min)) += 1; i += 1 }
-    ColumnStats(n, min, max, runs, math.min(card, CardCap + 1), zz, rz, dz)
+    ColumnStats(n, min, max, runs, math.min(card, CardCap + 1), zz, rz, dz, adBits, adK0)
   }
 
   /** Estimated exp-Golomb total bits for a bit-width histogram at order k. */
@@ -129,6 +156,10 @@ object CodecChooser {
 
     val (egK, egBits) = bestEg(s.zigzagHist, t.width)
     candidates += Eg(egK) -> (egBits + headerBits)
+
+    // order-dependent candidate: exact simulated cost, not a histogram estimate
+    candidates += EgAdaptive(s.adaptiveK0, ColumnStats.AdaptiveA) ->
+      (s.adaptiveBits + headerBits)
 
     val (forEgK, forEgBits) = bestEg(s.residualHist, 64)
     candidates += For(Eg(forEgK)) -> (forEgBits + 64 + 2 * headerBits)

@@ -115,6 +115,28 @@ class CodecFamilySpec extends AnyFunSuite {
     assert(IntBlockCodec.encode(lowCard, I64).length < n * 8 / 8, "low-cardinality should compress >8x")
   }
 
+  test("chooser auto-picks adaptive exp-Golomb for drifting magnitudes") {
+    // magnitude drifts in ~512-value plateaus with mixed signs: a histogram-priced
+    // fixed k pays for the whole width range and deltas span two magnitudes,
+    // while the adaptive k tracks each plateau
+    val drift = Array.tabulate(16384) { i =>
+      val mag = ((i * 7919 % 4096) + 4096).toLong << ((i / 512) % 20)
+      if (i % 2 == 0) mag else -mag
+    }
+    val spec = CodecChooser.choose(drift, I64)
+    assert(spec.isInstanceOf[EgAdaptive], s"expected adaptive, chose ${spec.name}")
+    // the simulated cost is exact: payload bytes match the simulation closely
+    val stats = ColumnStats.collect(drift, I64)
+    val enc = IntBlockCodec.encode(drift, I64)
+    assert(IntBlockCodec.info(enc).codecName.startsWith("eg_adaptive"))
+    assert(IntBlockCodec.decode(enc).toSeq == drift.toSeq)
+    assert(math.abs(stats.adaptiveBits / 8 - enc.length) <= enc.length / 20 + 64,
+      s"simulated ${stats.adaptiveBits / 8}B vs actual ${enc.length}B")
+    // stable-width data must NOT flip to adaptive (fixed k is strictly cheaper)
+    val flat = Array.tabulate(8192)(i => 4096L + (i * 2654435761L & 4095L))
+    assert(!CodecChooser.choose(flat, I64).isInstanceOf[EgAdaptive])
+  }
+
   test("string codecs round-trip") {
     val rnd = new scala.util.Random(3)
     val langs = Array.tabulate(2000)(i => Seq("en", "de", "fr", "zh", "es")(rnd.nextInt(5)))
