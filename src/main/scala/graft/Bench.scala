@@ -259,10 +259,14 @@ object Bench {
       }
       res.origBytes / 1e9 / times.min
     }
+    // q_store_roundtrip/q_decode_projection track the PRIMARY read path (the
+    // shuffle-free reassembly): first run pays the one-time store encode, min-of-2
+    // keeps the decode-only run. rt_auto_drift tracks the adaptive-codec path.
     val headline = Seq(
-      "rt_eg_i64", "rt_auto_ts", "rt_str_text", "rt_expr_sql",
+      "rt_eg_i64", "rt_auto_ts", "rt_auto_drift", "rt_str_text", "rt_expr_sql",
       "q1_agg", "q_join3", "q_window_rank", "q_topk_price", "q_rollup",
-      "q_dedup_exact", "q_minhash_pairs", "q_knn_brute", "q_setops_exceptall")
+      "q_dedup_exact", "q_minhash_pairs", "q_knn_brute", "q_setops_exceptall",
+      "q_store_roundtrip", "q_decode_projection")
     // min of 2 runs per query: the first run pays JIT + host weather; the min is
     // the comparable round-over-round number on this noisy host
     val timings = headline.flatMap { name =>

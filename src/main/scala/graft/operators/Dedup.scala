@@ -127,7 +127,7 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    shingleSize: Int = 5, threshold: Double = 0.8,
-                   maxBucket: Int = 100000): DataFrame = {
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
@@ -160,10 +160,59 @@ object Dedup {
       .select($"a", $"b", $"est_jaccard")
   }
 
-  /** Drop rows in LSH buckets larger than `cap` (quadratic-blowup guard). */
+  /**
+   * Default quadratic-blowup guard: a B-member bucket emits B^2/2 candidate
+   * pairs, so even one boilerplate cluster at the old 100k default meant 5*10^9
+   * pairs before the cap bit. 4096 caps any single bucket at ~8M pairs — large
+   * enough that real near-dup clusters pass untouched, small enough that a
+   * degenerate mega-cluster cannot take down the stage.
+   */
+  val DefaultMaxBucket = 4096
+
+  /** What the last over-cap event dropped (listener-updated, for tests/ops). */
+  @volatile var lastCapReport: Option[CapReport] = None
+  final case class CapReport(metric: String, droppedBuckets: Long, droppedRows: Long,
+      maxBucket: Long)
+
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val capListenerSessions =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** No silent caps: a per-session listener surfaces every over-cap drop. */
+  private def registerCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (capListenerSessions.add(System.identityHashCode(spark))) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_lsh_cap")) {
+              val buckets = if (row.isNullAt(0)) 0L else row.getLong(0)
+              val rows = if (row.isNullAt(1)) 0L else row.getLong(1)
+              val mx = if (row.isNullAt(2)) 0L else row.getLong(2)
+              if (buckets > 0) {
+                lastCapReport = Some(CapReport(name, buckets, rows, mx))
+                log.warn(s"LSH bucket cap dropped $buckets bucket(s) / $rows row(s) " +
+                  s"(largest bucket $mx) in $name — bounded recall loss; raise " +
+                  s"maxBucket or the band bit-width if those clusters matter")
+              }
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+      })
+    }
+
+  /** Drop rows in LSH buckets larger than `cap` (quadratic-blowup guard).
+    * Dropped volume is observed and logged, never silent. */
   private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     if (cap <= 0 || cap == Int.MaxValue) return banded
+    registerCapListener(banded.sparkSession)
     val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+      .observe(s"graft_lsh_cap_${capSeq.incrementAndGet()}",
+        count(when(col("bucket_n") > cap, lit(1))).as("dropped_buckets"),
+        coalesce(sum(when(col("bucket_n") > cap, col("bucket_n"))), lit(0L)).as("dropped_rows"),
+        coalesce(max(col("bucket_n")), lit(0L)).as("max_bucket"))
     banded.join(sizes.where(col("bucket_n") <= cap), keys).drop("bucket_n")
   }
 
@@ -227,7 +276,7 @@ object Dedup {
    * per-band ceiling against degenerate mega-buckets at high n.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sh = withSimhash(df.select(col(idCol), col(textCol)), textCol)
@@ -305,7 +354,7 @@ object Dedup {
    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         bands: Int = 8, bandBits: Int = 16,
-                        minCosine: Double = 0.95, maxBucket: Int = 100000): DataFrame = {
+                        minCosine: Double = 0.95, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))

@@ -60,12 +60,18 @@ object Similarity {
     key
   }
 
+  /** Single-table convenience form of [[withBuckets]] (drops the table column). */
+  def withBucket(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
+    withBuckets(df, idCol, vecCol, planes, tables = 1).drop("table")
+
   /**
-   * (id, vec, bucket) with one `planes`-bit sign-LSH bucket per vector. Typed
-   * mapPartitions kernel: the plane matrix is built once per partition (from the
-   * first row's dimensionality) and reused — one multiply-add pass per row.
+   * (id, vec, table, bucket) with one `planes`-bit sign-LSH bucket per vector per
+   * table — `tables` independent hash tables drawn from disjoint rows of one
+   * deterministic plane matrix (the banded pattern of
+   * [[Dedup.embeddingNearDups]]). Each row fans out to `tables` output rows.
    */
-  def withBucket(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
+  def withBuckets(df: DataFrame, idCol: String, vecCol: String,
+                  planes: Int, tables: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -74,33 +80,56 @@ object Similarity {
         if (!it.hasNext) Iterator.empty
         else {
           val buf = it.buffered
-          val m = planeMatrix(planes, buf.head._2.length)
-          buf.map { case (id, v) => (id, v, signBits(v, m, 0, planes)) }
+          val m = planeMatrix(planes * tables, buf.head._2.length)
+          buf.flatMap { case (id, v) =>
+            (0 until tables).iterator.map(l =>
+              (id, v, l, signBits(v, m, l * planes, planes)))
+          }
         }
       }
-      .toDF(idCol, vecCol, "bucket")
+      .toDF(idCol, vecCol, "table", "bucket")
   }
 
   /**
-   * Build the persisted ANN index ONCE: bucket each vector, repartition so each
-   * bucket is one file, and write with `bucket` as a hive partition column. Probes
-   * then scan only the matching bucket directories (partition pruning) — at 10^12
-   * rows this is the difference between a per-query full scan and reading
-   * ~n/2^planes rows. Pick `planes` so 2^planes ~ n / desired_bucket_rows.
+   * Build the persisted ANN index ONCE: bucket each vector in `tables`
+   * independent sign-LSH tables, repartition so each (table, bucket) is one
+   * file, and write with both as hive partition columns. Probes then scan only
+   * the matching bucket directories (partition pruning) — at 10^12 rows this is
+   * the difference between a per-query full scan and reading ~tables*n/2^planes
+   * rows. Pick `planes` so 2^planes ~ n / desired_bucket_rows, then `tables`
+   * for recall:
+   *
+   * Recall math: at cosine c a sign bit agrees with probability
+   * p = 1 - acos(c)/pi (~0.899 at c=0.95). One table with Hamming<=1 probing
+   * recalls r1 = p^planes + planes*p^(planes-1)*(1-p); L independent tables
+   * recall 1-(1-r1)^L. At planes=16, c=0.95: r1~0.51, so L=1 is a coin flip —
+   * the round-1/2 single-table weakness — while L=4 gives ~0.94 and L=8 ~0.997.
+   * Storage and probe IO scale linearly with L (the standard multi-table LSH
+   * trade).
    */
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,
-                 planes: Int, path: String): Unit = {
-    withBucket(df, idCol, vecCol, planes)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+                 planes: Int, path: String, tables: Int = 1): Unit = {
+    withBuckets(df, idCol, vecCol, planes, tables)
+      .repartition(col("table"), col("bucket"))
+      .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
   }
 
-  /** The query's own bucket plus all Hamming-1 neighbors (multi-probe recall). */
-  def probeBuckets(query: Array[Double], planes: Int, dim: Int): Seq[Long] = {
-    val m = planeMatrix(planes, dim)
-    val qBucket = signBits(query, m, 0, planes)
+  /** The query's own bucket plus all Hamming-1 neighbors (multi-probe recall)
+    * in table `table` of a `tables`-table index. */
+  def probeBuckets(query: Array[Double], planes: Int, dim: Int,
+                   table: Int = 0, tables: Int = 1): Seq[Long] = {
+    val m = planeMatrix(planes * tables, dim)
+    val qBucket = signBits(query, m, table * planes, planes)
     qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
   }
+
+  /** Partition-pruning probe predicate: per table, its own bucket + Hamming-1. */
+  private[operators] def probeFilter(query: Array[Double], planes: Int,
+                                     tables: Int, dim: Int): Column =
+    (0 until tables).map { l =>
+      val probes = probeBuckets(query, planes, dim, l, tables).map(Long.box)
+      col("table") === l && col("bucket").isin(probes: _*)
+    }.reduce(_ || _)
 
   /**
    * Exact brute-force top-k by cosine against one query vector.
@@ -117,17 +146,19 @@ object Similarity {
   }
 
   /**
-   * ANN top-k against a persisted index built by [[buildIndex]]: read ONLY the
-   * query's bucket partition plus Hamming-1 neighbors (<= planes+1 of 2^planes
-   * partition dirs), exact cosine rerank inside those candidates.
+   * ANN top-k against a persisted index built by [[buildIndex]]: read ONLY each
+   * table's query bucket plus Hamming-1 neighbors (<= tables*(planes+1) of
+   * tables*2^planes partition dirs), dedupe candidates that collide in several
+   * tables, exact cosine rerank inside what's left. See [[buildIndex]] for the
+   * (planes, tables) recall math.
    */
   def annTopK(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
-              query: Array[Float], k: Int, planes: Int): DataFrame = {
+              query: Array[Float], k: Int, planes: Int, tables: Int = 1): DataFrame = {
     val qd = query.map(_.toDouble)
-    val probe = probeBuckets(qd, planes, query.length)
     val q = typedLit(qd)
     spark.read.parquet(indexPath)
-      .where(col("bucket").isin(probe: _*))
+      .where(probeFilter(qd, planes, tables, query.length))
+      .dropDuplicates(idCol)
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
@@ -185,8 +216,11 @@ object Similarity {
   }
 
   /**
-   * Build the persisted IVF index: train centroids on a deterministic sample
-   * (lowest `sampleSize` ids), assign every vector to its nearest cell in one
+   * Build the persisted IVF index: train centroids on a deterministic UNBIASED
+   * sample — the `sampleSize` rows with the smallest xxhash64(id) (a bottom-k
+   * sketch: uniform over the table regardless of id assignment order, unlike
+   * lowest-ids, which skews centroids whenever id correlates with insertion
+   * time or content drift). Assign every vector to its nearest cell in one
    * mapPartitions pass, write with `cell` as a hive partition column, and persist
    * the centroids next to the data. At 10^12 rows pick k so each cell holds
    * ~n/k rows; probes read only nProbe of k cell directories.
@@ -197,7 +231,9 @@ object Similarity {
     import spark.implicits._
     val typed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    val sample = typed.orderBy(col(idCol)).limit(sampleSize).collect().map(_._2)
+    // TakeOrdered: per-partition bottom-k + merge — no full sort, no full scan twice
+    val sample = typed.orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize).collect().map(_._2)
     val centroids = trainCentroids(sample, k)
     val bc = spark.sparkContext.broadcast(centroids)
     typed

@@ -101,10 +101,12 @@ class OperatorsSpec extends AnyFunSuite {
     val df = vecs.toDF("vec_id", "embedding")
     val idx = java.nio.file.Files.createTempDirectory("ivf-idx-").toString
     val cents = Similarity.buildIvfIndex(df, "vec_id", "embedding", k = 8, idx)
-    // determinism: same data -> same centroids
+    // determinism: same data -> same centroids (mirror the unbiased bottom-k-by-
+    // id-hash sample rule buildIvfIndex uses)
     val cents2 = Similarity.trainCentroids(
-      df.orderBy($"vec_id").limit(4096).select(expr("cast(embedding as array<double>)"))
-        .as[Array[Double]].collect(), 8)
+      df.select($"vec_id".cast("long").as("id"), expr("cast(embedding as array<double>)").as("v"))
+        .orderBy(xxhash64($"id"), $"id").limit(4096)
+        .select($"v").as[Array[Double]].collect(), 8)
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
     assert(Similarity.loadCentroids(idx).map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
     val top = Similarity.ivfTopK(spark, idx, "vec_id", "embedding", base, 2, nProbe = 3)
@@ -164,13 +166,109 @@ class OperatorsSpec extends AnyFunSuite {
     val df = (boiler :+ ((100L, "another unique document entirely different content here"))
       :+ ((101L, "another unique document entirely different content here")))
       .toDF("doc_id", "text")
+    Dedup.lastCapReport = None
     val capped = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, maxBucket = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.contains((100L, 101L)), "small-bucket pairs survive the cap")
     assert(!capped.exists(p => p._1 <= 40L), "mega-bucket pairs are dropped by the cap")
-    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
-      .count()
+    // no silent caps: the observed-metrics listener reported the drop
+    val deadline = System.currentTimeMillis() + 20000
+    while (Dedup.lastCapReport.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    val report = Dedup.lastCapReport.getOrElse(fail("over-cap drop was not reported"))
+    assert(report.droppedBuckets >= 1 && report.maxBucket == 40,
+      s"cap report must carry the dropped volume: $report")
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3,
+      maxBucket = Int.MaxValue).count()
     assert(uncapped == 40L * 39 / 2 + 1)
+  }
+
+  test("the DEFAULT bucket cap guards a planted mega-cluster") {
+    import spark.implicits._
+    // one boilerplate cluster just over the default cap: uncapped it alone would
+    // emit ~8.4M pairs; with defaults the mining stays bounded and the distinct
+    // near-dup pair elsewhere is still found
+    val mega = (1L to (Dedup.DefaultMaxBucket + 10).toLong)
+      .map(i => (i, "identical boilerplate navigation footer text on every single page"))
+    val df = (mega :+ ((9000001L, "a genuinely distinct article about spark columnar codecs"))
+      :+ ((9000002L, "a genuinely distinct article about spark columnar codecs")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((9000001L, 9000002L)), "normal pairs survive the default cap")
+    assert(!pairs.exists(_._1 <= Dedup.DefaultMaxBucket + 10L),
+      "the default cap must drop the mega-cluster's quadratic pair set")
+  }
+
+  test("multi-table ANN: recall >= 0.9 for planted cosine~0.95 neighbors at 2^16 buckets") {
+    import spark.implicits._
+    // 100k deterministic random vectors + 50 neighbors planted at cosine EXACTLY
+    // 0.95 (c*q + sqrt(1-c^2)*orthogonal noise — not the c~1.0 twins the driver
+    // oracle uses, which share every sign bit and hide recall loss)
+    val dim = 64; val n = 100000; val nPlant = 50
+    def mx(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(dim)(j => mx(seed * 1000003L + j).toDouble / Long.MaxValue.toDouble)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+    val qh = unit(vec(999999999L))
+    val c = 0.95; val s = math.sqrt(1 - c * c)
+    val planted = (0 until nPlant).map { i =>
+      val r = vec(5000000L + i)
+      val d = r.zip(qh).map { case (a, b) => a * b }.sum
+      val oh = unit(r.zip(qh).map { case (a, b) => a - d * b })
+      (1000000L + i.toLong, qh.zip(oh).map { case (a, b) => c * a + s * b })
+    }
+    val base = (0 until n).map(i => (i.toLong, vec(i.toLong)))
+    val df = spark.createDataset(base ++ planted).toDF("vec_id", "embedding")
+
+    val planes = 16; val tables = 4 // 2^16 buckets per table; r1~0.51, L=4 -> ~0.94
+    val bucketed = Similarity.withBuckets(df, "vec_id", "embedding", planes, tables)
+      .cache()
+    val cands = bucketed.where(Similarity.probeFilter(qh, planes, tables, dim))
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    val found = planted.count(p => cands(p._1))
+    val recall = found.toDouble / nPlant
+    info(s"multi-table recall=$recall ($found/$nPlant), candidates=${cands.size}")
+    assert(recall >= 0.9, s"4-table recall $recall below 0.9")
+
+    // the same data through ONE table (the round-1/2 design) must do measurably
+    // worse — this is exactly why the index is multi-table now
+    val single = bucketed.where($"table" === 0 &&
+        Similarity.probeFilter(qh, planes, 1, dim))
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    val singleRecall = planted.count(p => single(p._1)).toDouble / nPlant
+    info(s"single-table recall=$singleRecall")
+    assert(singleRecall < recall, "multi-table must beat single-table recall")
+    bucketed.unpersist()
+  }
+
+  test("persisted multi-table index: probe scans only probed partitions, finds planted twin") {
+    import spark.implicits._
+    val dim = 16
+    def mx(x: Long): Long = { var y = x + 0x9E3779B97F4A7C15L; y = (y ^ (y >>> 30)) * 0xBF58476D1CE4E5B9L; y ^ (y >>> 27) }
+    val base = (0 until 2000).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => mx(i.toLong * 37 + j).toDouble / Long.MaxValue)))
+    val query = Array.tabulate(dim)(j => math.cos(j * 0.7).toFloat)
+    val twin = (777777L, query.map(v => v.toDouble * 1.001))
+    val df = spark.createDataset(base :+ twin).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-mt-ann-").toString
+    Similarity.buildIndex(df, "vec_id", "embedding", planes = 8, idx, tables = 2)
+    val top = Similarity.annTopK(spark, idx, "vec_id", "embedding", query, 1,
+      planes = 8, tables = 2)
+    // partition pruning: only the probed (table, bucket) dirs are scanned
+    val plan = top.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters:") &&
+      (plan.contains("table#") || plan.contains("(table")),
+      s"probe must prune on the table/bucket partition columns:\n$plan")
+    assert(top.collect().head.getLong(0) == 777777L)
   }
 
   test("text analysis: token counts, quality, lang id, fingerprints") {
