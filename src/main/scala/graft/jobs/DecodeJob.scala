@@ -263,6 +263,10 @@ object DecodeJob {
     import spark.implicits._
     val raw = blocksDf.select(col("part_id"), col("block_seq"), col("column"), col("encoded"))
       .as[RawBlock]
+    // operational escape hatch (and the bench's A/B lever): force the
+    // always-correct shuffle path regardless of layout
+    if (sys.env.get("GRAFT_DECODE_FORCE_SHUFFLE").contains("1"))
+      return shuffleReassemble(raw, enc)(decodeGroup)
     val exp = expected
     val badRaw = blocksDf.select(col("part_id"), col("block_seq"), col("column"))
       .as[(Int, Int, String)]
@@ -399,7 +403,13 @@ object DecodeJob {
       println(s"decoded rows=${decoded.count()} mismatches=$mismatches")
       require(mismatches == 0L, s"$mismatches mismatching rows")
     } else {
-      println(s"decoded rows=${decoded.count()}")
+      // min-of-3 timed decodes (first pays JIT) — the read-path number
+      val times = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        decoded.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"decoded rows=${decoded.count()} decode_secs_min=${times.min}%.3f")
     }
     spark.stop()
   }
