@@ -42,18 +42,27 @@ object DecodeJob {
    * return the replaced parts' blocks from the old dir AND from the compacted
    * copy (every such row decoded twice).
    */
+  /** Dirs and live part ids must come from ONE manifest read — re-reading the
+    * pointer could mix snapshot N's parts with snapshot N+1's dirs when a
+    * concurrent compaction commits between the reads. */
+  private def fromEntries(spark: SparkSession, root: String,
+                          entries: Seq[SnapshotStore.PartEntry]) = {
+    val dirs = entries.map(_.dataDir).distinct
+      .map(d => java.nio.file.Paths.get(root, d).toString)
+    partsOnly(spark.read.parquet(dirs: _*), entries.map(_.partId))
+  }
+
   def blocks(spark: SparkSession, root: String) = {
     val entries = SnapshotStore.currentEntries(root)
     require(entries.nonEmpty, s"no committed snapshot under $root")
-    partsOnly(spark.read.parquet(SnapshotStore.dataDirs(root): _*), entries.map(_.partId))
+    fromEntries(spark, root, entries)
   }
 
   /** Time travel: read the blocks visible at a specific committed snapshot. */
   def blocksAt(spark: SparkSession, root: String, snapshotId: Long) = {
     val entries = SnapshotStore.entriesAt(root, snapshotId)
     require(entries.nonEmpty, s"snapshot $snapshotId has no data under $root")
-    partsOnly(spark.read.parquet(SnapshotStore.dataDirsAt(root, snapshotId): _*),
-      entries.map(_.partId))
+    fromEntries(spark, root, entries)
   }
 
   private def tsFromMicros(us: Long): Timestamp = {
@@ -139,9 +148,10 @@ object DecodeJob {
   def decodeWhere(spark: SparkSession, root: String,
                   predicates: Seq[BlockPredicate]): Dataset[WebPage] = {
     import spark.implicits._
-    val keysDf = matchingGroupKeys(spark, root, predicates)
-    val keys = keysDf.select($"part_id", $"block_seq").as[(Int, Int)]
-      .take(MaxFallbackGroups + 1)
+    // one metadata-scan job; keys are manifest-scale (one row per surviving
+    // block group), so the driver holds them comfortably at any table size
+    val keys = matchingGroupKeys(spark, root, predicates)
+      .select($"part_id", $"block_seq").as[(Int, Int)].collect()
     val filtered =
       if (keys.length <= MaxFallbackGroups) {
         // pushed path: part_id/block_seq In-filters reach parquet (row-group
@@ -156,8 +166,10 @@ object DecodeJob {
           .where(col("part_id").isin(pids: _*) && col("block_seq").isin(seqs: _*) &&
             packedCol.isin(packed: _*))
       } else {
+        // many matches: broadcast the collected keys (no metadata re-scan)
         blocks(spark, root)
-          .join(broadcast(keysDf), Seq("part_id", "block_seq"), "left_semi")
+          .join(broadcast(keys.toSeq.toDF("part_id", "block_seq")),
+            Seq("part_id", "block_seq"), "left_semi")
       }
     val exact = predicates.map(rowCond).reduce(_ && _)
     reassemble(spark, filtered).filter(exact)
@@ -272,8 +284,11 @@ object DecodeJob {
       .as[(Int, Int, String)]
       .mapPartitions(it => incompleteRunKeys(it, exp))
       .take(MaxFallbackGroups + 1)
-    val badKeys = badRaw.distinct // a fragmented key can surface from two partitions
-    if (badKeys.length > MaxFallbackGroups) return shuffleReassemble(raw, enc)(decodeGroup)
+    // truncation check on the RAW row count: a fragmented key can surface from
+    // two partitions, so deduping a truncated sample would undercount and let
+    // the partial-fallback path run with an incomplete badSet (dropped groups)
+    if (badRaw.length > MaxFallbackGroups) return shuffleReassemble(raw, enc)(decodeGroup)
+    val badKeys = badRaw.distinct
     val badSet = badKeys.toSet
     val fast = raw.mapPartitions { it =>
       consecutiveRuns(it).flatMap { case (pid, seq, cols) =>

@@ -175,13 +175,17 @@ object Dedup {
       maxBucket: Long)
 
   private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+  // weak keys: identity per LIVE session (an identityHashCode key could be
+  // reused after GC, silently skipping registration for a new session), and
+  // dead sessions don't accumulate
   private val capListenerSessions =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[Int]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** No silent caps: a per-session listener surfaces every over-cap drop. */
   private def registerCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (capListenerSessions.add(System.identityHashCode(spark))) {
+    if (capListenerSessions.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =

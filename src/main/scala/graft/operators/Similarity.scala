@@ -156,8 +156,18 @@ object Similarity {
               query: Array[Float], k: Int, planes: Int, tables: Int = 1): DataFrame = {
     val qd = query.map(_.toDouble)
     val q = typedLit(qd)
-    spark.read.parquet(indexPath)
-      .where(probeFilter(qd, planes, tables, query.length))
+    val idx = spark.read.parquet(indexPath)
+    // graceful legacy read: indexes persisted before the multi-table layout have
+    // only a `bucket` partition column — probe them as one table (their buckets
+    // come from plane rows [0, planes), identical to table 0 of any layout)
+    val probe =
+      if (idx.columns.contains("table")) probeFilter(qd, planes, tables, query.length)
+      else {
+        require(tables == 1, s"index at $indexPath is single-table (legacy layout); " +
+          "rebuild with buildIndex(tables = ...) to probe multiple tables")
+        col("bucket").isin(probeBuckets(qd, planes, query.length).map(Long.box): _*)
+      }
+    idx.where(probe)
       .dropDuplicates(idCol)
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
