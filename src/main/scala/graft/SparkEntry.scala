@@ -346,6 +346,16 @@ object SparkEntry {
         .select(col("url"), md5(col("html")).as("h"))
     }),
 
+    // projected + predicate-pushed decode: only url/warc_ts/lang blocks are
+    // read, groups prune via metadata, lang is decoded for the exact filter
+    // then dropped from the output
+    "q_decode_cols_where" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      val target = (1600000000L + 7L * 3600L) * 1000000L
+      DecodeJob.decodeColumnsWhere(s, root, Seq("url", "warc_ts"),
+        Seq(DecodeJob.StrEq("lang", "en"), DecodeJob.TsRange(target, target)))
+    }),
+
     // predicate-pushed decoded view: decodeWhere prunes block groups whose
     // block_min/block_max (warc_ts) or block_str_dict (lang) metadata excludes
     // the predicates, BEFORE any decompression; the in-query require proves real
@@ -787,6 +797,9 @@ object SparkEntry {
       "AS url, md5(text) AS h FROM documents"),
     "q_prune_decoded" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents WHERE doc_id // 50 = 7 AND lang = 'en'"),
+    "q_decode_cols_where" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, (CAST(1600000000 AS BIGINT) + 7 * 3600) * 1000000 AS warc_ts " +
+      "FROM documents WHERE doc_id // 50 = 7 AND lang = 'en'"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q_frames" -> ("SELECT media_id, CAST(f AS BIGINT) AS frame_ts_ms FROM (" +
       "SELECT CAST(doc_id AS BIGINT) AS media_id, " +

@@ -145,34 +145,68 @@ object DecodeJob {
    * semi-join filters the scan instead (saves decompress+decode CPU, the
    * dominant cost). Reassembly stays on the shuffle-free fast path either way.
    */
+  /** Restrict a blocks scan to collected group keys: few → pushed part/seq
+    * In-filters + codegen'd packed-key isin (row groups of pruned blocks are
+    * skipped by parquet statistics — no IO, and derived scans keep column
+    * pruning); many → broadcast semi-join of the already-collected keys. */
+  private def keysOnly(blocksDf: org.apache.spark.sql.DataFrame,
+                       keys: Array[(Int, Int)]): org.apache.spark.sql.DataFrame = {
+    val spark = blocksDf.sparkSession
+    import spark.implicits._
+    if (keys.length <= MaxFallbackGroups) {
+      val pids = keys.map(_._1).distinct.toSeq.map(Int.box)
+      val seqs = keys.map(_._2).distinct.toSeq.map(Int.box)
+      val packed = keys.map(k => Long.box((k._1.toLong << 32) | (k._2.toLong & 0xffffffffL))).toSeq
+      val packedCol = shiftleft(col("part_id").cast("long"), 32)
+        .bitwiseOR(col("block_seq").cast("long").bitwiseAND(lit(0xffffffffL)))
+      blocksDf.where(col("part_id").isin(pids: _*) && col("block_seq").isin(seqs: _*) &&
+        packedCol.isin(packed: _*))
+    } else {
+      blocksDf.join(broadcast(keys.toSeq.toDF("part_id", "block_seq")),
+        Seq("part_id", "block_seq"), "left_semi")
+    }
+  }
+
+  /** One metadata-scan job collecting the group keys `predicates` admit; keys
+    * are manifest-scale (one row per surviving block group), so the driver
+    * holds them comfortably at any table size. */
+  private def collectMatchingKeys(spark: SparkSession, root: String,
+                                  predicates: Seq[BlockPredicate]): Array[(Int, Int)] = {
+    import spark.implicits._
+    matchingGroupKeys(spark, root, predicates)
+      .select($"part_id", $"block_seq").as[(Int, Int)].collect()
+  }
+
   def decodeWhere(spark: SparkSession, root: String,
                   predicates: Seq[BlockPredicate]): Dataset[WebPage] = {
-    import spark.implicits._
-    // one metadata-scan job; keys are manifest-scale (one row per surviving
-    // block group), so the driver holds them comfortably at any table size
-    val keys = matchingGroupKeys(spark, root, predicates)
-      .select($"part_id", $"block_seq").as[(Int, Int)].collect()
-    val filtered =
-      if (keys.length <= MaxFallbackGroups) {
-        // pushed path: part_id/block_seq In-filters reach parquet (row-group
-        // stats skip pruned blocks' IO); the exact pair membership runs as a
-        // codegen'd packed-key isin, so derived scans keep column pruning
-        val pids = keys.map(_._1).distinct.toSeq.map(Int.box)
-        val seqs = keys.map(_._2).distinct.toSeq.map(Int.box)
-        val packed = keys.map(k => Long.box((k._1.toLong << 32) | (k._2.toLong & 0xffffffffL))).toSeq
-        val packedCol = shiftleft(col("part_id").cast("long"), 32)
-          .bitwiseOR(col("block_seq").cast("long").bitwiseAND(lit(0xffffffffL)))
-        blocks(spark, root)
-          .where(col("part_id").isin(pids: _*) && col("block_seq").isin(seqs: _*) &&
-            packedCol.isin(packed: _*))
-      } else {
-        // many matches: broadcast the collected keys (no metadata re-scan)
-        blocks(spark, root)
-          .join(broadcast(keys.toSeq.toDF("part_id", "block_seq")),
-            Seq("part_id", "block_seq"), "left_semi")
-      }
+    val keys = collectMatchingKeys(spark, root, predicates)
     val exact = predicates.map(rowCond).reduce(_ && _)
-    reassemble(spark, filtered).filter(exact)
+    reassemble(spark, keysOnly(blocks(spark, root), keys)).filter(exact)
+  }
+
+  /**
+   * Projected AND predicate-pushed decode — the everyday read shape ("url, lang
+   * where lang = 'en' and warc_ts in range"): block groups prune via metadata
+   * ([[decodeWhere]]), the `column` In-filter prunes unwanted columns' blocks
+   * ([[decodeColumns]]), predicate columns not in `wanted` are decoded for the
+   * exact filter and then dropped. Output schema follows [[decodeColumns]]
+   * (warc_ts as epoch-micros LongType, html as BinaryType).
+   */
+  def decodeColumnsWhere(spark: SparkSession, root: String, wanted: Seq[String],
+                         predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame = {
+    require(wanted.nonEmpty, "no columns requested")
+    val keys = collectMatchingKeys(spark, root, predicates)
+    val effective = (wanted ++ predicates.map(_.column)).distinct
+    val filtered = keysOnly(
+      blocks(spark, root).where(col("column").isin(effective: _*)), keys)
+    val exact = predicates.map {
+      case StrEq(c, v) => col(c) === v
+      case StrIn(c, vs) => col(c).isin(vs: _*)
+      case TsRange(lo, hi) => col("warc_ts").between(lo, hi) // projected form IS micros
+    }.reduce(_ && _)
+    projectedReassemble(spark, filtered, effective)
+      .where(exact)
+      .select(wanted.map(col): _*)
   }
 
   /** Time travel: decode the pages visible at a specific committed snapshot. */
@@ -347,10 +381,17 @@ object DecodeJob {
    * as its UTF-8 string form).
    */
   def decodeColumns(spark: SparkSession, root: String, wanted: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(wanted.nonEmpty, "no columns requested")
+    projectedReassemble(spark,
+      blocks(spark, root).where(col("column").isin(wanted: _*)), wanted)
+  }
+
+  /** Column-projected hybrid reassembly of a (possibly pre-pruned) blocks scan. */
+  private def projectedReassemble(spark: SparkSession,
+      filteredBlocks: org.apache.spark.sql.DataFrame,
+      wanted: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
-    import spark.implicits._
-    require(wanted.nonEmpty, "no columns requested")
     val schema = StructType(wanted.map {
       case "warc_ts" => StructField("warc_ts", LongType, nullable = true)
       case "html" => StructField("html", BinaryType, nullable = true)
@@ -379,8 +420,7 @@ object DecodeJob {
         })
       }
     }
-    val filtered = blocks(spark, root).where($"column".isin(wanted: _*))
-    hybridReassemble(spark, filtered, wanted.toSet, rowEnc)(decodeGroup).toDF()
+    hybridReassemble(spark, filteredBlocks, wanted.toSet, rowEnc)(decodeGroup).toDF()
   }
 
   /**

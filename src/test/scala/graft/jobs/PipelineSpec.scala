@@ -373,6 +373,20 @@ class PipelineSpec extends AnyFunSuite {
     val both = DecodeJob.decodeWhere(spark, root,
       Seq(DecodeJob.StrEq("url", someUrl), DecodeJob.TsRange(Long.MinValue, Long.MaxValue)))
     assert(both.count() == 1L)
+
+    // projected + predicate-pushed: predicate column decoded for the filter
+    // then dropped; equals the unpruned projected decode + filter
+    val cw = DecodeJob.decodeColumnsWhere(spark, root, Seq("url"),
+      Seq(DecodeJob.StrEq("lang", "de")))
+    assert(cw.columns.toSeq == Seq("url"))
+    val expected = DecodeJob.decodeColumns(spark, root, Seq("url", "lang"))
+      .where($"lang" === "de").select($"url")
+    assert(cw.exceptAll(expected).count() == 0 && expected.exceptAll(cw).count() == 0)
+    // TsRange over the projected micros form
+    val cwTs = DecodeJob.decodeColumnsWhere(spark, root, Seq("url", "warc_ts"),
+      Seq(DecodeJob.TsRange(hiTs, hiTs)))
+    assert(cwTs.collect().forall(_.getLong(1) == hiTs))
+    assert(cwTs.count() == full.length)
   }
 
   test("byte-bounded block flush splits fat-row runs without losing rows") {
