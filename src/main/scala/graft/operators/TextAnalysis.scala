@@ -15,11 +15,18 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count: word-boundary pieces + digit runs + punctuation singles. */
+  /** BPE-ish subword count: word-boundary pieces + digit runs + punctuation singles.
+    * Uses lookarounds (camelCase splits), so it has no RE2/DuckDB mirror —
+    * sbt-verified; [[pieceCount]] is the driver-oracled variant. */
   def subwordCount(text: Column): Column =
     size(filter(
       split(text, "(?<=[a-z])(?=[A-Z])|\\s+|(?<=\\p{Punct})|(?=\\p{Punct})|(?<=\\d)(?=\\D)|(?<=\\D)(?=\\d)"),
       s => length(s) > 0))
+
+  /** Tokenizer-piece count via plain alternation (letter runs, digit runs,
+    * punctuation singles) — RE2-compatible, so DuckDB mirrors it exactly. */
+  def pieceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column = {

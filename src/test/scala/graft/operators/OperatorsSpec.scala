@@ -294,6 +294,11 @@ class OperatorsSpec extends AnyFunSuite {
     val fps = Seq(("THE  cat sat", "the cat  sat")).toDF("a", "b")
       .select(TextAnalysis.fingerprint(col("a")) === TextAnalysis.fingerprint(col("b"))).head()
     assert(fps.getBoolean(0))
+    // subword/piece tokenization: camel splits only in the lookaround variant
+    val sub = Seq(("fooBar42, baz!", 0)).toDF("t", "z").select(
+      TextAnalysis.subwordCount(col("t")), TextAnalysis.pieceCount(col("t"))).head()
+    assert(sub.getInt(0) == 6, s"foo|Bar|42|,|baz|! -> ${sub.getInt(0)}")
+    assert(sub.getInt(1) == 5, s"fooBar|42|,|baz|! -> ${sub.getInt(1)}")
   }
 
   test("multimodal plumbing: feature extraction is deterministic, frame sampling fans out") {
