@@ -322,6 +322,19 @@ class PipelineSpec extends AnyFunSuite {
       assert(viaShuffle.count() == 120)
       assert(viaShuffle.select("url").distinct().count() == 120)
     } finally DecodeJob.MaxFallbackGroups = saved
+
+    // partial-fallback branch: most groups contiguous in one partition, ONE
+    // group fragmented across two — exactly that group goes through the repair
+    // join while the rest take the fast path
+    val sortedPart = groups.take(59).flatten
+      .toDF("part_id", "block_seq", "column", "encoded").coalesce(1)
+    val fragged = groups.last
+      .toDF("part_id", "block_seq", "column", "encoded").repartition(2)
+    val mixed = sortedPart.union(fragged)
+    val repaired = DecodeJob.reassemble(spark, mixed)
+    assert(repaired.count() == 120)
+    assert(repaired.map(_.url).collect().sorted.toSeq ==
+      (0 until 60).flatMap(g => Seq(s"u$g-0", s"u$g-1")).sorted)
   }
 
   test("decodeWhere prunes block groups via metadata before any decompression") {
