@@ -340,16 +340,35 @@ object FsstLite {
     out.advanceTo(o)
   }
 
-  /** Decompress `compressedLen` bytes at `off` into a fresh array. */
+  // big-endian long STORES into byte arrays: VarHandle.set returns void, so
+  // (unlike the boxing signature-polymorphic get) it stays allocation-free
+  private val LongStore = java.lang.invoke.MethodHandles
+    .byteArrayViewVarHandle(classOf[Array[Long]], java.nio.ByteOrder.BIG_ENDIAN)
+
+  /**
+   * Decompress `compressedLen` bytes at `off` into a fresh array. Single pass
+   * into a scratch buffer sized at the 8-bytes-per-code ceiling: every symbol is
+   * written as ONE branchless 8-byte packed store (left-aligned; the cursor
+   * advances by the true length, later codes overwrite the slack), escapes as a
+   * single byte — no growable buffer, no per-symbol length loop. This is the
+   * decode job's hottest kernel now that the reassembly shuffle is gone.
+   */
   def decompress(table: Table, buf: Array[Byte], off: Int, compressedLen: Int): Array[Byte] = {
-    val out = new ByteWriter(compressedLen * 3)
-    var i = off
+    val symPacked = table.symPacked
+    val symLen = table.symLen
     val end = off + compressedLen
+    val tmp = new Array[Byte](compressedLen * 8 + 8)
+    var o = 0
+    var i = off
     while (i < end) {
       val b = buf(i) & 0xff
-      if (b == Escape) { out.u8(buf(i + 1) & 0xff); i += 2 }
-      else { out.bytes(table.symbols(b)); i += 1 }
+      if (b == Escape) { tmp(o) = buf(i + 1); o += 1; i += 2 }
+      else {
+        LongStore.set(tmp, o, symPacked(b))
+        o += symLen(b)
+        i += 1
+      }
     }
-    out.toByteArray
+    java.util.Arrays.copyOf(tmp, o)
   }
 }
