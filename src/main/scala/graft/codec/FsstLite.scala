@@ -353,11 +353,27 @@ object FsstLite {
    * single byte — no growable buffer, no per-symbol length loop. This is the
    * decode job's hottest kernel now that the reassembly shuffle is gone.
    */
+  /** Above this compressed size, a pre-pass computes the exact output length:
+    * the 8x scratch ceiling on a multi-MB value (one huge html string) would
+    * otherwise allocate hundreds of MB per task. */
+  private val ExactSizeThreshold = 64 * 1024
+
   def decompress(table: Table, buf: Array[Byte], off: Int, compressedLen: Int): Array[Byte] = {
     val symPacked = table.symPacked
     val symLen = table.symLen
     val end = off + compressedLen
-    val tmp = new Array[Byte](compressedLen * 8 + 8)
+    val cap =
+      if (compressedLen <= ExactSizeThreshold) compressedLen * 8 + 8
+      else {
+        var n = 0
+        var i = off
+        while (i < end) {
+          val b = buf(i) & 0xff
+          if (b == Escape) { n += 1; i += 2 } else { n += symLen(b); i += 1 }
+        }
+        n + 8 // +8 slack keeps the branchless packed store safe at the tail
+      }
+    val tmp = new Array[Byte](cap)
     var o = 0
     var i = off
     while (i < end) {

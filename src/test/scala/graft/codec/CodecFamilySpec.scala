@@ -279,4 +279,18 @@ class CodecFamilySpec extends AnyFunSuite {
     val block = StringBlockCodec.encode(values)
     assert(StringBlockCodec.decode(block).map(_.toSeq).toSeq == values.map(_.toSeq).toSeq)
   }
+
+  test("fsst decompress: multi-MB value takes the exact-size path and round-trips") {
+    // a highly-compressible multi-MB string: compressed length crosses the
+    // exact-size threshold, where the scratch must be sized by a counting
+    // pre-pass (the 8x ceiling would be ~8x the compressed size)
+    val bigText = ("the quick brown fox jumps over the lazy dog " * 60000).getBytes("UTF-8")
+    val table = FsstLite.train(Iterator(bigText))
+    val w = new ByteWriter(bigText.length)
+    FsstLite.compress(table, bigText, w)
+    val enc = w.toByteArray
+    assert(enc.length > 64 * 1024, s"need a large compressed payload, got ${enc.length}")
+    val back = FsstLite.decompress(table, enc, 0, enc.length)
+    assert(java.util.Arrays.equals(back, bigText))
+  }
 }
