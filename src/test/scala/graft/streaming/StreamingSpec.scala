@@ -41,6 +41,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 3), decoded) == 0L)
   }
 
+  test("lost-checkpoint streaming replay after compaction stays exactly-once") {
+    import spark.implicits._
+    val n = 4000L
+    val src = tmp()
+    Webtext.generate(spark, n, 4).write.parquet(src)
+    val root = tmp()
+    def schema = spark.read.parquet(src).schema
+    def runStream(ckpt: String): Unit =
+      StreamingEncode.encodeStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        root, parts = 2, ckpt).awaitTermination(120000)
+
+    runStream(tmp())
+    // compaction merges the micro-batch fragments and REMOVES their ids from
+    // the live entry list; tombstones must keep them visible as committed
+    assert(graft.jobs.CompactJob.run(spark, root, minRows = Long.MaxValue).partsCompacted >= 4)
+
+    // a LOST checkpoint restarts batch ids at 0 — every batch replays with its
+    // original part-id namespace; the manifest anti-join must drop them all
+    runStream(tmp())
+    val decoded = DecodeJob.decode(spark, root)
+    assert(decoded.count() == n, "replayed batches must not re-append rows")
+    assert(decoded.select("url").distinct().count() == n)
+    assert(DecodeJob.verifyAgainst(Webtext.generate(spark, n, 4), decoded) == 0L)
+  }
+
   test("watermarked windowed lang counts over a streamed source match batch") {
     import spark.implicits._
     val n = 4000L
