@@ -892,8 +892,8 @@ object SparkEntry {
 
     "q_token_count" -> ("SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
       "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) END AS tc, " +
-      "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS pc " +
-      "FROM documents"),
+      "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) " +
+      "AS INTEGER) AS pc FROM documents"),
 
     "q_quality" -> ("SELECT doc_id, pr, mwl, swr, " +
       "(least(len_d / 500.0, 1.0) + CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END + " +

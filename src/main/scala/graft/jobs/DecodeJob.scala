@@ -34,14 +34,6 @@ object DecodeJob {
     else df.join(broadcast(partIds.toDF("part_id")), Seq("part_id"), "left_semi")
   }
 
-  /**
-   * Read the current snapshot's blocks as a DataFrame, restricted to the
-   * manifest's LIVE part ids. The restriction is load-bearing, not belt-and-
-   * braces: a partial compaction replaces only some parts of a shared data dir,
-   * so the dir stays referenced via the kept parts — reading it whole would
-   * return the replaced parts' blocks from the old dir AND from the compacted
-   * copy (every such row decoded twice).
-   */
   /** Dirs and live part ids must come from ONE manifest read — re-reading the
     * pointer could mix snapshot N's parts with snapshot N+1's dirs when a
     * concurrent compaction commits between the reads. */
@@ -52,6 +44,14 @@ object DecodeJob {
     partsOnly(spark.read.parquet(dirs: _*), entries.map(_.partId))
   }
 
+  /**
+   * Read the current snapshot's blocks as a DataFrame, restricted to the
+   * manifest's LIVE part ids. The restriction is load-bearing, not belt-and-
+   * braces: a partial compaction replaces only some parts of a shared data dir,
+   * so the dir stays referenced via the kept parts — reading it whole would
+   * return the replaced parts' blocks from the old dir AND from the compacted
+   * copy (every such row decoded twice).
+   */
   def blocks(spark: SparkSession, root: String) = {
     val entries = SnapshotStore.currentEntries(root)
     require(entries.nonEmpty, s"no committed snapshot under $root")
@@ -120,31 +120,20 @@ object DecodeJob {
    * DataFrame per predicate, intersected. Manifest-scale output.
    */
   def matchingGroupKeys(spark: SparkSession, root: String,
-                        predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame = {
+                        predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame =
+    matchingKeysOf(blocks(spark, root), predicates)
+
+  private def matchingKeysOf(blocksDf: org.apache.spark.sql.DataFrame,
+                             predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame = {
     require(predicates.nonEmpty, "no predicates")
-    require(predicates.forall(p => p.column != "html"),
-      "html is opaque binary: no metadata, no pushable predicates")
-    val b = blocks(spark, root)
+    require(predicates.forall(p => PageColumns(p.column) && p.column != "html"),
+      "predicates must target url/warc_ts/text/lang (html is opaque binary: no metadata)")
     predicates.map { p =>
-      b.where(col("column") === p.column && metaCond(p))
+      blocksDf.where(col("column") === p.column && metaCond(p))
         .select(col("part_id"), col("block_seq"))
     }.reduce((a, c) => a.join(c, Seq("part_id", "block_seq")))
   }
 
-  /**
-   * Decode ONLY the pages that can satisfy `predicates`: block groups whose
-   * metadata (block_min/block_max for warc_ts, block_str_min/max/dict for string
-   * columns) excludes every predicate value are pruned BEFORE decompression —
-   * the north-star "predicate-push onto dictionary and FoR metadata" surfaced on
-   * the decoded-view API users actually write. Exact row filters still apply
-   * after decode, so results equal `decode(...).filter(...)`.
-   *
-   * Plan shape: when few groups match, their keys are collected and pushed to
-   * the parquet scan as part_id/block_seq In-filters (row groups of pruned
-   * blocks are skipped by statistics — no IO); when many match, a broadcast
-   * semi-join filters the scan instead (saves decompress+decode CPU, the
-   * dominant cost). Reassembly stays on the shuffle-free fast path either way.
-   */
   /** Restrict a blocks scan to collected group keys: few → pushed part/seq
     * In-filters + codegen'd packed-key isin (row groups of pruned blocks are
     * skipped by parquet statistics — no IO, and derived scans keep column
@@ -170,18 +159,32 @@ object DecodeJob {
   /** One metadata-scan job collecting the group keys `predicates` admit; keys
     * are manifest-scale (one row per surviving block group), so the driver
     * holds them comfortably at any table size. */
-  private def collectMatchingKeys(spark: SparkSession, root: String,
+  private def collectMatchingKeys(blocksDf: org.apache.spark.sql.DataFrame,
                                   predicates: Seq[BlockPredicate]): Array[(Int, Int)] = {
+    val spark = blocksDf.sparkSession
     import spark.implicits._
-    matchingGroupKeys(spark, root, predicates)
+    matchingKeysOf(blocksDf, predicates)
       .select($"part_id", $"block_seq").as[(Int, Int)].collect()
   }
 
+  /**
+   * Decode ONLY the pages that can satisfy `predicates`: block groups whose
+   * metadata (block_min/block_max for warc_ts, block_str_min/max/dict for string
+   * columns) excludes every predicate value are pruned BEFORE decompression —
+   * the north-star "predicate-push onto dictionary and FoR metadata" surfaced on
+   * the decoded-view API users actually write. Exact row filters still apply
+   * after decode, so results equal `decode(...).filter(...)`. Plan shape: see
+   * [[keysOnly]]; reassembly stays on the shuffle-free fast path either way.
+   */
   def decodeWhere(spark: SparkSession, root: String,
                   predicates: Seq[BlockPredicate]): Dataset[WebPage] = {
-    val keys = collectMatchingKeys(spark, root, predicates)
+    // ONE manifest read feeds both the metadata scan and the data scan: a
+    // compaction (StoreMaintenance) committing between two reads would re-home
+    // rows into part ids the collected keys no longer match — silent row loss
+    val blocksDf = blocks(spark, root)
+    val keys = collectMatchingKeys(blocksDf, predicates)
     val exact = predicates.map(rowCond).reduce(_ && _)
-    reassemble(spark, keysOnly(blocks(spark, root), keys)).filter(exact)
+    reassemble(spark, keysOnly(blocksDf, keys)).filter(exact)
   }
 
   /**
@@ -195,10 +198,12 @@ object DecodeJob {
   def decodeColumnsWhere(spark: SparkSession, root: String, wanted: Seq[String],
                          predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame = {
     require(wanted.nonEmpty, "no columns requested")
-    val keys = collectMatchingKeys(spark, root, predicates)
+    require(wanted.forall(PageColumns), // fail fast: a typo'd name would silently yield nulls
+      s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
+    val blocksDf = blocks(spark, root) // one manifest read for both scans (see decodeWhere)
+    val keys = collectMatchingKeys(blocksDf, predicates)
     val effective = (wanted ++ predicates.map(_.column)).distinct
-    val filtered = keysOnly(
-      blocks(spark, root).where(col("column").isin(effective: _*)), keys)
+    val filtered = keysOnly(blocksDf.where(col("column").isin(effective: _*)), keys)
     val exact = predicates.map {
       case StrEq(c, v) => col(c) === v
       case StrIn(c, vs) => col(c).isin(vs: _*)
@@ -382,6 +387,8 @@ object DecodeJob {
    */
   def decodeColumns(spark: SparkSession, root: String, wanted: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(wanted.nonEmpty, "no columns requested")
+    require(wanted.forall(PageColumns),
+      s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
     projectedReassemble(spark,
       blocks(spark, root).where(col("column").isin(wanted: _*)), wanted)
   }
@@ -443,15 +450,7 @@ object DecodeJob {
   def main(args: Array[String]): Unit = {
     val root = if (args.length > 0) args(0) else "/tmp/graft-store"
     val n = if (args.length > 1) args(1).toLong else -1L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-decode")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create("graft-decode")
     val decoded = decode(spark, root)
     if (n >= 0) {
       val mismatches = verifyAgainst(graft.sources.Webtext.generate(spark, n, 32), decoded)

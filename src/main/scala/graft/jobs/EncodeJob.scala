@@ -392,15 +392,7 @@ object EncodeJob {
     val root = if (args.length > 1) args(1) else "/tmp/graft-store"
     val parts = if (args.length > 2) args(2).toInt else 32
     val waves = if (args.length > 3) args(3).toInt else 1
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-encode")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create("graft-encode")
     val res = run(spark, Webtext.generate(spark, n, parts), root, parts, waves)
     println(s"encoded: $res ratio=${res.origBytes.toDouble / math.max(res.encBytes, 1)}")
     spark.stop()

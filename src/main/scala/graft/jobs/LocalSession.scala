@@ -1,0 +1,21 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local-mode session builder for the spark-submit entrypoints (encode /
+  * decode / maintenance mains). Parallelism comes from SPARK_GRAFT_CPUS so the
+  * N-vs-4N scaling evidence can drive the same binaries at both levels. */
+object LocalSession {
+  def create(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -32,15 +32,7 @@ object StoreMaintenance {
     val root = args(0)
     val minRows = if (args.length > 1) args(1).toLong else EncodeJob.BlockSize / 2
     val keep = if (args.length > 2) args(2).toInt else 1
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-maintenance")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.create("graft-maintenance")
     val res = run(spark, root, minRows, keep)
     println(s"compacted: ${res.compacted}")
     println(s"expired: snapshots=${res.expired.removedSnapshots.size} " +

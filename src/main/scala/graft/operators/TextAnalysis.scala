@@ -24,9 +24,12 @@ object TextAnalysis {
       s => length(s) > 0))
 
   /** Tokenizer-piece count via plain alternation (letter runs, digit runs,
-    * punctuation singles) — RE2-compatible, so DuckDB mirrors it exactly. */
+    * punctuation singles) — RE2-compatible, so DuckDB mirrors it exactly. The
+    * whitespace class is spelled out because Java's \s includes vertical tab
+    * (U+000B) while RE2's does not. */
   def pieceCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column = {
