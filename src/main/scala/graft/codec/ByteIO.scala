@@ -65,7 +65,14 @@ final class ByteCursor(val buf: Array[Byte], private var pos: Int) {
     pos += 4; v
   }
   def i64(): Long = (i32().toLong << 32) | (i32().toLong & 0xffffffffL)
-  def bytes(n: Int): Array[Byte] = { val v = Arrays.copyOfRange(buf, pos, pos + n); pos += n; v }
+  def bytes(n: Int): Array[Byte] = {
+    // same hazard sizedSlice guards: copyOfRange silently zero-PADS past the
+    // source end, so a truncated buffer would yield a wrong value, not an error
+    if (n < 0 || n > buf.length - pos)
+      throw new IllegalArgumentException(
+        s"corrupt byte field: $n bytes at offset $pos of ${buf.length}")
+    val v = Arrays.copyOfRange(buf, pos, pos + n); pos += n; v
+  }
   /** Read an int32-length-prefixed byte slice without copying: returns (offset, length).
     * The length is validated against the remaining buffer — a corrupt/bit-flipped
     * length must throw, not drive a multi-GB allocation downstream

@@ -74,7 +74,15 @@ object FsstLite {
 
   def deserializeTable(c: ByteCursor): Table = {
     val n = c.u8()
-    val syms = Array.tabulate(n) { _ => val len = c.u8(); c.bytes(len) }
+    val syms = Array.tabulate(n) { _ =>
+      val len = c.u8()
+      // a forged length outside 1..8 breaks the packed-symbol invariant (shift
+      // amounts wrap mod 64) and desyncs decompress's cursor — must throw, and
+      // the callers' corrupt-block mapping turns this into the typed error
+      if (len < 1 || len > MaxSymbolLen)
+        throw new IllegalArgumentException(s"corrupt FSST table: symbol length $len")
+      c.bytes(len)
+    }
     new Table(syms)
   }
 
@@ -378,8 +386,13 @@ object FsstLite {
     var i = off
     while (i < end) {
       val b = buf(i) & 0xff
-      if (b == Escape) { tmp(o) = buf(i + 1); o += 1; i += 2 }
-      else {
+      if (b == Escape) {
+        // a dangling escape as the LAST byte would read past the slice into the
+        // NEXT string's payload (shared block buffer) — corrupt, must throw
+        if (i + 1 >= end)
+          throw new IllegalArgumentException("corrupt FSST payload: dangling escape")
+        tmp(o) = buf(i + 1); o += 1; i += 2
+      } else {
         LongStore.set(tmp, o, symPacked(b))
         o += symLen(b)
         i += 1

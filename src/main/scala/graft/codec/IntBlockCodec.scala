@@ -100,19 +100,10 @@ object IntBlockCodec {
    * Decode any block (nullable or not): returns n values (0 at null positions) and
    * the validity mask.
    */
-  def decodeNullable(block: Array[Byte]): (Array[Long], Array[Boolean]) =
-    try {
-      val h = readHeader(block)
-      val compact = decodeNode(h.c, h.nValid, h.t)
-      if (h.valid == null) (compact, Array.fill(h.n)(true))
-      else {
-        val out = new Array[Long](h.n)
-        var j = 0
-        var i = 0
-        while (i < h.n) { if (h.valid(i)) { out(i) = compact(j); j += 1 }; i += 1 }
-        (out, h.valid)
-      }
-    } catch {
+  /** Map the raw failure modes of parsing attacker-controlled bytes onto the
+    * typed corrupt-block error (shared by every read-side entry point). */
+  private def corruptWrapped[T](block: Array[Byte])(f: => T): T =
+    try f catch {
       case e: CorruptBlockException => throw e
       case e: ArrayIndexOutOfBoundsException =>
         throw new CorruptBlockException(s"truncated or corrupt block (${block.length} bytes)", e)
@@ -120,6 +111,33 @@ object IntBlockCodec {
         throw new CorruptBlockException(s"corrupt block lengths (${block.length} bytes)", e)
       case e: IllegalArgumentException =>
         throw new CorruptBlockException(s"corrupt block: ${e.getMessage}", e)
+    }
+
+  /** A corrupt payload can decode SHORT with intact headers (e.g. a bit flip
+    * creating a long zero run the eg decoder treats as end-of-stream); callers
+    * zip decoded columns by the header count, so short must throw, not truncate. */
+  private def checkCount(decoded: Array[Long], expected: Int): Array[Long] = {
+    if (decoded.length != expected)
+      throw new CorruptBlockException(
+        s"block decoded ${decoded.length} of $expected values", null)
+    decoded
+  }
+
+  def decodeNullable(block: Array[Byte]): (Array[Long], Array[Boolean]) =
+    corruptWrapped(block) {
+      val h = readHeader(block)
+      val compact = checkCount(decodeNode(h.c, h.nValid, h.t), h.nValid)
+      if (h.valid == null) {
+        val v = new Array[Boolean](h.n) // not Array.fill: closure-per-element
+        java.util.Arrays.fill(v, true)
+        (compact, v)
+      } else {
+        val out = new Array[Long](h.n)
+        var j = 0
+        var i = 0
+        while (i < h.n) { if (h.valid(i)) { out(i) = compact(j); j += 1 }; i += 1 }
+        (out, h.valid)
+      }
     }
 
   private def encodeNode(out: ByteWriter, values: Array[Long], t: PhysicalIntType,
@@ -133,8 +151,12 @@ object IntBlockCodec {
       out.sized(GolombCodec.encode(values, k, t))
 
     case EgAdaptive(k, a) =>
-      out.u8(ID_EG_ADAPTIVE); out.u8(k); out.u8(a)
-      out.sized(GolombCodec.adaptiveEncode(values, k, a, t))
+      // clamp BEFORE encoding so the header byte matches the encoder's actual
+      // starting k (an unclamped k would truncate to k & 0xFF in the header and
+      // desync the decoder's adaptive state)
+      val kc = GolombCodec.clampK(k, t.width)
+      out.u8(ID_EG_ADAPTIVE); out.u8(kc); out.u8(a)
+      out.sized(GolombCodec.adaptiveEncode(values, kc, a, t))
 
     case BitPack =>
       var bits = 0
@@ -214,24 +236,18 @@ object IntBlockCodec {
       extends IllegalArgumentException(msg, cause)
 
   def decode(block: Array[Byte]): Array[Long] =
-    try {
+    corruptWrapped(block) {
       val h = readHeader(block)
       require(h.valid == null, "nullable block: use decodeNullable")
-      decodeNode(h.c, h.nValid, h.t)
-    } catch {
-      case e: CorruptBlockException => throw e
-      case e: ArrayIndexOutOfBoundsException =>
-        throw new CorruptBlockException(s"truncated or corrupt block (${block.length} bytes)", e)
-      case e: NegativeArraySizeException =>
-        throw new CorruptBlockException(s"corrupt block lengths (${block.length} bytes)", e)
-      case e: IllegalArgumentException =>
-        throw new CorruptBlockException(s"corrupt block: ${e.getMessage}", e)
+      checkCount(decodeNode(h.c, h.nValid, h.t), h.nValid)
     }
 
-  def physicalType(block: Array[Byte]): PhysicalIntType = readHeader(block).t
-  def numValues(block: Array[Byte]): Int = readHeader(block).n
+  def physicalType(block: Array[Byte]): PhysicalIntType =
+    corruptWrapped(block)(readHeader(block).t)
+  def numValues(block: Array[Byte]): Int =
+    corruptWrapped(block)(readHeader(block).n)
 
-  def info(block: Array[Byte]): BlockInfo = {
+  def info(block: Array[Byte]): BlockInfo = corruptWrapped(block) {
     val h = readHeader(block)
     BlockInfo(h.t, h.n, describeNode(h.c))
   }

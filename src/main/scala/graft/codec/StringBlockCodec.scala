@@ -150,11 +150,16 @@ object StringBlockCodec {
     out.toByteArray
   }
 
-  def codecName(block: Array[Byte]): String = (block(2) & 0xff & ~NullableFlag) match {
-    case ID_PLAIN => "str_plain"
-    case ID_DICT => "str_dict"
-    case ID_FSST => "str_fsst"
-    case other => s"unknown($other)"
+  def codecName(block: Array[Byte]): String = {
+    if (block.length < 3 || (block(0) & 0xff) != MAGIC0 || (block(1) & 0xff) != MAGIC1)
+      throw new IntBlockCodec.CorruptBlockException(
+        s"not a string block (${block.length} bytes)", null)
+    (block(2) & 0xff & ~NullableFlag) match {
+      case ID_PLAIN => "str_plain"
+      case ID_DICT => "str_dict"
+      case ID_FSST => "str_fsst"
+      case other => s"unknown($other)"
+    }
   }
 
   def decode(block: Array[Byte]): Array[Array[Byte]] =

@@ -197,7 +197,13 @@ object SnapshotStore {
         .filter(p => !allRef.contains(s"data/${p.getFileName}"))
         .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
         .map(p => s"data/${p.getFileName}").toSeq
-    val removable = dropDirs.toSeq ++ orphans
+    // pointer-swap tmp files stranded by a crash between write and ATOMIC_MOVE
+    // live in the table root (outside data/), so the data-dir sweep misses them
+    val staleTmps = listDir(Paths.get(root)).iterator
+      .filter(p => p.getFileName.toString.startsWith(".SNAPSHOT.tmp."))
+      .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+      .map(p => p.getFileName.toString).toSeq
+    val removable = dropDirs.toSeq ++ orphans ++ staleTmps
     removable.foreach(d => deleteTree(Paths.get(root, d)))
     drop.foreach { id =>
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl"))

@@ -280,6 +280,31 @@ class CodecFamilySpec extends AnyFunSuite {
     assert(StringBlockCodec.decode(block).map(_.toSeq).toSeq == values.map(_.toSeq).toSeq)
   }
 
+  test("corrupt inputs throw TYPED errors: short decode, forged tables, dangling escape") {
+    import graft.codec.IntBlockCodec.CorruptBlockException
+    // header-intact SHORT decode: bump the count field (i32 at bytes 3..6) past
+    // the payload's values — must throw, not silently truncate (callers zip
+    // decoded columns by the header count)
+    val good = IntBlockCodec.encodeAs(Array.tabulate(100)(_.toLong), I64, Eg(2))
+    val forged = good.clone(); forged(6) = 200.toByte
+    intercept[CorruptBlockException](IntBlockCodec.decode(forged))
+    // metadata entry points map raw index errors onto the typed error too
+    intercept[CorruptBlockException](IntBlockCodec.info(Array.emptyByteArray))
+    intercept[CorruptBlockException](IntBlockCodec.numValues(Array[Byte](1)))
+    intercept[CorruptBlockException](StringBlockCodec.codecName(Array[Byte]('G'.toByte)))
+    // adaptive k outside the header byte range clamps BEFORE encoding, so the
+    // header matches the encoder's state and the round trip stays exact
+    val vs = Array.tabulate(1000)(i => (i * 37 - 500).toLong)
+    val ad = IntBlockCodec.encodeAs(vs, I64, EgAdaptive(300, 2))
+    assert(IntBlockCodec.decode(ad).toSeq == vs.toSeq)
+    // forged FSST table symbol length breaks the packed-symbol invariant -> throw
+    intercept[IllegalArgumentException](
+      FsstLite.deserializeTable(new ByteCursor(Array(1.toByte, 200.toByte))))
+    // dangling escape as the last payload byte would read the NEXT string's bytes
+    val t = FsstLite.train(Iterator("hello world hello world".getBytes("UTF-8")))
+    intercept[IllegalArgumentException](FsstLite.decompress(t, Array(0xFF.toByte), 0, 1))
+  }
+
   test("fsst decompress: multi-MB value takes the exact-size path and round-trips") {
     // a highly-compressible multi-MB string: compressed length crosses the
     // exact-size threshold, where the scratch must be sized by a counting
