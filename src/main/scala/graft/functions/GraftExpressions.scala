@@ -232,8 +232,12 @@ object RangeBucketId {
   }
 }
 
-/** zigzag_encode(bigint) -> bigint, codegen-capable (src/golomb.h:118-129 for i64). */
-case class ZigZagEncode(child: Expression) extends UnaryExpression {
+/** zigzag_encode(bigint) -> bigint, codegen-capable (src/golomb.h:118-129 for i64).
+  * inputTypes coerces narrower integrals to long: without it, int input threw
+  * ClassCastException interpreted and silently computed 32-bit-wrapped values
+  * under codegen (shift counts masked mod 32). */
+case class ZigZagEncode(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[Long]
@@ -246,7 +250,8 @@ case class ZigZagEncode(child: Expression) extends UnaryExpression {
 }
 
 /** zigzag_decode(bigint) -> bigint (src/golomb.h:137-149 for i64). */
-case class ZigZagDecode(child: Expression) extends UnaryExpression {
+case class ZigZagDecode(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any = {
     val u = v.asInstanceOf[Long]

@@ -12,23 +12,34 @@ object GraftFunctions {
 
   private def lit(v: Any): Expression = Literal(v)
 
+  /** Arity check at resolution time: a wrong argument count must be a named
+    * analysis-style error, not a raw IndexOutOfBoundsException from args(i)
+    * (or, worse, one thrown per-row mid-execution). */
+  private def arity(name: String, allowed: Int*)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(allowed.contains(args.length),
+        s"$name expects ${allowed.mkString(" or ")} argument(s), got ${args.length}")
+      b(args)
+    }
+
   /** All (name, builder) pairs for SQL registration. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "eg_encode" -> { args: Seq[Expression] =>
+    "eg_encode" -> arity("eg_encode", 2, 3) { args =>
       if (args.length == 2) new EgEncode(args(0), args(1)) else EgEncode(args(0), args(1), args(2))
     },
-    "eg_decode" -> { args: Seq[Expression] => EgDecode(args(0), args(1), args(2)) },
-    "eg_encode_adaptive" -> { args: Seq[Expression] => EgEncodeAdaptive(args) },
-    "eg_decode_adaptive" -> { args: Seq[Expression] => EgDecodeAdaptive(args) },
-    "graft_encode" -> { args: Seq[Expression] =>
+    "eg_decode" -> arity("eg_decode", 3) { args => EgDecode(args(0), args(1), args(2)) },
+    "eg_encode_adaptive" -> arity("eg_encode_adaptive", 3, 4)(EgEncodeAdaptive(_)),
+    "eg_decode_adaptive" -> arity("eg_decode_adaptive", 4)(EgDecodeAdaptive(_)),
+    "graft_encode" -> arity("graft_encode", 1, 2) { args =>
       if (args.length == 1) new GraftEncode(args(0)) else GraftEncode(args(0), args(1))
     },
-    "graft_decode" -> { args: Seq[Expression] => GraftDecode(args(0)) },
-    "graft_codec" -> { args: Seq[Expression] => GraftCodecName(args(0)) },
-    "graft_encode_str" -> { args: Seq[Expression] => GraftEncodeStr(args(0)) },
-    "graft_decode_str" -> { args: Seq[Expression] => GraftDecodeStr(args(0)) },
-    "zigzag_encode" -> { args: Seq[Expression] => ZigZagEncode(args(0)) },
-    "zigzag_decode" -> { args: Seq[Expression] => ZigZagDecode(args(0)) })
+    "graft_decode" -> arity("graft_decode", 1) { args => GraftDecode(args(0)) },
+    "graft_codec" -> arity("graft_codec", 1) { args => GraftCodecName(args(0)) },
+    "graft_encode_str" -> arity("graft_encode_str", 1) { args => GraftEncodeStr(args(0)) },
+    "graft_decode_str" -> arity("graft_decode_str", 1) { args => GraftDecodeStr(args(0)) },
+    "zigzag_encode" -> arity("zigzag_encode", 1) { args => ZigZagEncode(args(0)) },
+    "zigzag_decode" -> arity("zigzag_decode", 1) { args => ZigZagDecode(args(0)) })
 
   /** Register for SQL use on an existing session. */
   def registerAll(spark: SparkSession): Unit =

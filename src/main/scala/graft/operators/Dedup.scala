@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
  * declarative DataFrame pipelines: Catalyst plans them, every grouping is a plain
  * hash shuffle on a well-distributed key (hashes), so they scale linearly and skew-free
  * to 10^12 documents.
+ *
+ * Note on caching: the pair miners cache their signature/vector datasets (reused
+ * by the banding pass and both verify joins) and cannot unpersist them from
+ * inside a lazy result. Drivers looping many mining calls in one session should
+ * `spark.catalog.clearCache()` between corpora, or accept LRU eviction.
  */
 object Dedup {
 
@@ -46,7 +51,10 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  /** FNV-1a hashes of lowercased whitespace tokens. */
+  /** FNV-1a hashes of lowercased whitespace tokens. Separator set matches
+    * [[distinctShingles]] exactly, so the LSH candidate generation and the
+    * exact shingle verify tokenize identically (a \f- or -separated text
+    * previously fused tokens here but split them in the verify). */
   private[operators] def tokenHashes(text: String): Array[Long] = {
     val out = new scala.collection.mutable.ArrayBuilder.ofLong
     var h = 0xCBF29CE484222325L
@@ -54,7 +62,7 @@ object Dedup {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B) {
         if (inTok) { out += h; h = 0xCBF29CE484222325L; inTok = false }
       } else {
         h = (h ^ Character.toLowerCase(c).toInt) * 0x100000001B3L
@@ -128,6 +136,11 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16,
                    shingleSize: Int = 5, threshold: Double = 0.8,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // bands must tile the signature exactly: integer division would silently
+    // drop trailing hashes, and bands > numHashes degenerates to empty band
+    // slices (every row in ONE bucket per band -> the cap drops everything)
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) exactly")
     val spark = df.sparkSession
     import spark.implicits._
     val rowsPerBand = numHashes / bands
@@ -361,7 +374,9 @@ object Dedup {
                         minCosine: Double = 0.95, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keyed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // null embeddings can't participate in near-dup mining (see Similarity.withBuckets)
+    val keyed = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty

@@ -68,7 +68,11 @@ object Multimodal {
       .where(col("meta.kind") === "video" && col("meta.durationMs") > 0)
       .select(col("meta.mediaId").as("media_id"),
         explode(sequence(lit(0L), col("meta.durationMs") - 1, lit(everyMs))).as("frame_ts_ms"),
-        xxhash64(col("payload"), col("meta.mediaId")).as("frame_stub_hash"))
+        col("payload"))
+      // the frame timestamp must feed the hash (post-explode), or every frame of
+      // a video carries the SAME stub and per-frame downstream logic sees no variation
+      .select(col("media_id"), col("frame_ts_ms"),
+        xxhash64(col("payload"), col("media_id"), col("frame_ts_ms")).as("frame_stub_hash"))
   }
 
   /** Deterministic synthetic media table for tests/benchmarks. */

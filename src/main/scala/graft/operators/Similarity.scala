@@ -74,7 +74,11 @@ object Similarity {
                   planes: Int, tables: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // null embeddings cannot be bucketed — drop them (a null first row would
+    // otherwise NPE deriving the plane dimensionality, and any null row NPEs
+    // in the projection kernel)
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
@@ -107,11 +111,37 @@ object Similarity {
    * Storage and probe IO scale linearly with L (the standard multi-table LSH
    * trade).
    */
+  // ---- sidecar IO through the Hadoop FileSystem of the path (java.nio would
+  // break every non-local store — hdfs://, s3a:// — exactly where the 10^12-row
+  // indexes live) ----
+  private def writeSidecar(spark: SparkSession, dir: String, name: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally os.close()
+  }
+
+  private def readSidecar(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val is = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(is), java.nio.charset.StandardCharsets.UTF_8))
+      finally is.close()
+    }
+  }
+
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,
                  planes: Int, path: String, tables: Int = 1): Unit = {
     withBuckets(df, idCol, vecCol, planes, tables)
       .repartition(col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    // persist the LSH geometry: a probe with mismatched (planes, tables) would
+    // compute buckets from the wrong plane rows and silently lose recall
+    writeSidecar(df.sparkSession, path, "_lsh_meta.json",
+      s"""{"planes":$planes,"tables":$tables}""")
   }
 
   /** The query's own bucket plus all Hamming-1 neighbors (multi-probe recall)
@@ -157,6 +187,19 @@ object Similarity {
     val qd = query.map(_.toDouble)
     val q = typedLit(qd)
     val idx = spark.read.parquet(indexPath)
+    // validate the probe geometry against the persisted meta: a mismatched
+    // planes/tables silently probes the wrong buckets (bad recall, no error)
+    readSidecar(spark, indexPath, "_lsh_meta.json").foreach { meta =>
+      def field(k: String): Option[Int] =
+        ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toInt)
+      (field("planes"), field("tables")) match {
+        case (Some(p), Some(t)) =>
+          require(p == planes && t == tables,
+            s"index at $indexPath was built with (planes=$p, tables=$t); " +
+            s"probe requested (planes=$planes, tables=$tables)")
+        case _ =>
+      }
+    }
     // graceful legacy read: indexes persisted before the multi-table layout have
     // only a `bucket` partition column — probe them as one table (their buckets
     // come from plane rows [0, planes), identical to table 0 of any layout)
@@ -252,17 +295,20 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_centroids.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeSidecar(spark, path, "_centroids.json", json)
     centroids
   }
 
-  def loadCentroids(path: String): Array[Array[Double]] = {
-    val json = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "_centroids.json")), java.nio.charset.StandardCharsets.UTF_8)
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    val json = readSidecar(spark, path, "_centroids.json")
+      .getOrElse(throw new IllegalArgumentException(s"no _centroids.json under $path"))
     json.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
       .map(_.split(",").map(_.toDouble))
   }
+
+  /** Local-filesystem convenience overload (tests, single-node runs). */
+  def loadCentroids(path: String): Array[Array[Double]] =
+    loadCentroids(SparkSession.active, path)
 
   /**
    * IVF probe: rank cells by centroid distance to the query, scan ONLY the
@@ -271,7 +317,7 @@ object Similarity {
   def ivfTopK(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
               query: Array[Float], k: Int, nProbe: Int): DataFrame = {
     val qd = query.map(_.toDouble)
-    val centroids = loadCentroids(indexPath)
+    val centroids = loadCentroids(spark, indexPath)
     val cells = centroids.indices
       .sortBy(c => sqDist(qd, centroids(c)))
       .take(nProbe)

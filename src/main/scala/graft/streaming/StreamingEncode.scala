@@ -42,7 +42,7 @@ object StreamingEncode {
       .start()
   }
 
-  /** Watermarked sliding-window page counts per lang (event time = warc_ts). */
+  /** Watermarked TUMBLING-window page counts per lang (event time = warc_ts). */
   def windowedLangCounts(pages: DataFrame, watermark: String = "1 hour",
                          win: String = "1 hour"): DataFrame =
     pages

@@ -503,6 +503,17 @@ class PipelineSpec extends AnyFunSuite {
     val zz = spark.sql("SELECT sum(abs(zigzag_decode(zigzag_encode(v)) - v)) FROM t").head().getLong(0)
     assert(zz == 0L)
 
+    // INT input coerces to long before the shifts: without inputTypes the
+    // codegen template ran in 32-bit arithmetic (1073741824 << 1 wrapped
+    // negative) and the interpreted path threw ClassCastException
+    assert(spark.sql("SELECT zigzag_encode(CAST(1073741824 AS INT))")
+      .head().getLong(0) == 2147483648L)
+    assert(spark.sql("SELECT zigzag_decode(zigzag_encode(CAST(-2147483648 AS INT)))")
+      .head().getLong(0) == -2147483648L)
+    // wrong arity is a named error, not a raw index exception
+    val err = intercept[Exception](spark.sql("SELECT eg_decode_adaptive(X'00', 1, 2)").collect())
+    assert(err.getMessage.contains("eg_decode_adaptive"), err.getMessage)
+
     // string block round trip via SQL
     val strs = spark.sql(
       """SELECT graft_decode_str(graft_encode_str(array('aa','bb','aa',''))) AS xs""").head()
