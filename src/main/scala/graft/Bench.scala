@@ -274,7 +274,12 @@ object Bench {
         val times = (0 until 2).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => }
+          catch {
+            case e: Throwable =>
+              // a broken query must not masquerade as a fast one: keep timing
+              // the rest of the bench but say so loudly on stderr
+              System.err.println(s"BENCH QUERY FAILED: $name: ${e.getMessage}")
+          }
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

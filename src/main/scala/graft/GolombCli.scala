@@ -51,21 +51,44 @@ object GolombCli {
     }
   }
 
-  /** FORMAT arg: [iu](8|16|32|64); empty selects the u8 default (util/golomb.cpp:365-400). */
+  /** FORMAT arg: [iu](8|16|32|64); empty selects the u8 default. Faithful to
+    * util/golomb.cpp:365-400: the sign char is tolower'd (so 'I16' works), the
+    * width goes through from_chars (so 'i08' works), and — a reference quirk
+    * kept for contract fidelity — from_chars OVERFLOW is not checked (only the
+    * end pointer is), so an absurdly long digit string leaves the width at its
+    * initial 8 and parses as [iu]8. */
   private def parseFormat(option: Char, fmt: String): PhysicalIntType = {
     if (fmt.isEmpty) return PhysicalIntType.U8
-    val ok = fmt.length >= 2 && (fmt.charAt(0) == 'i' || fmt.charAt(0) == 'u') &&
-      Set("8", "16", "32", "64").contains(fmt.substring(1))
-    if (!ok) throw new CliArgumentException(s"Invalid argument for option '$option'.")
-    PhysicalIntType.fromName(fmt)
+    val sign = Character.toLowerCase(fmt.charAt(0))
+    val ws = fmt.substring(1)
+    val width: Int =
+      if (ws.isEmpty || !ws.forall(c => c >= '0' && c <= '9')) -1
+      else try ws.toInt catch { case _: NumberFormatException => 8 } // overflow quirk
+    if (!(sign == 'i' || sign == 'u') || !(width == 8 || width == 16 || width == 32 || width == 64))
+      throw new CliArgumentException(s"Invalid argument for option '$option'.")
+    PhysicalIntType.fromName(s"$sign$width")
   }
 
-  private def parseInt(option: Char, s: String, minValue: Int): Int = {
-    val v = try s.toInt catch {
-      case _: NumberFormatException =>
-        throw new CliArgumentException(s"Invalid argument for option '$option'.")
+  /** size_t k (util/golomb.cpp:417-430): digits only; overflow past 2^64 leaves
+    * k at 0 (same end-pointer-only check). Any k >= width-1 clamps identically
+    * in the codec, so values above Int.MaxValue saturate there. */
+  private def parseK(s: String): Int = {
+    if (s.isEmpty || !s.forall(c => c >= '0' && c <= '9'))
+      throw new CliArgumentException("Invalid argument for option 'k'.")
+    val v = try java.lang.Long.parseUnsignedLong(s) catch {
+      case _: NumberFormatException => 0L // overflow quirk
     }
-    if (v < minValue) throw new CliArgumentException(s"Invalid argument for option '$option'.")
+    if (java.lang.Long.compareUnsigned(v, Int.MaxValue) > 0) Int.MaxValue else v.toInt
+  }
+
+  /** int a (util/golomb.cpp:401-415): signed digits; negative rejected AFTER
+    * parse, int overflow leaves a at 0 (accepted — same quirk). */
+  private def parseA(s: String): Int = {
+    val digits = if (s.startsWith("-")) s.substring(1) else s
+    if (digits.isEmpty || !digits.forall(c => c >= '0' && c <= '9'))
+      throw new CliArgumentException("Invalid argument for option 'a'.")
+    val v = try s.toInt catch { case _: NumberFormatException => 0 } // overflow quirk
+    if (v < 0) throw new CliArgumentException("Invalid argument for option 'a'.")
     v
   }
 
@@ -78,10 +101,10 @@ object GolombCli {
     var opt = opts.readOption()
     while (opt != '\u0000') {
       opt match {
-        case 'a' => a = parseInt('a', opts.readArgument(), 0)
+        case 'a' => a = parseA(opts.readArgument())
         case 'e' => encode = true; fmt = parseFormat('e', opts.readArgument())
         case 'd' => encode = false; fmt = parseFormat('d', opts.readArgument())
-        case 'k' => k = parseInt('k', opts.readArgument(), 0)
+        case 'k' => k = parseK(opts.readArgument())
         case 'h' => println(usage)
         case other => throw new CliArgumentException(s"Unrecognized option '$other'.")
       }

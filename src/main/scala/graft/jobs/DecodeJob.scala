@@ -437,14 +437,19 @@ object DecodeJob {
   def verifyAgainst(original: Dataset[WebPage], decoded: Dataset[WebPage]): Long = {
     val o = original.toDF("url", "warc_ts", "html", "text", "lang")
     val d = decoded.toDF("url", "d_warc_ts", "d_html", "d_text", "d_lang")
-    o.join(d, Seq("url"), "full_outer")
+    // null-SAFE comparisons: `=!=` yields null (filtered out) when either side
+    // is null, so a decoder regression that NULLS a column would pass silently
+    val columnMismatches = o.join(d, Seq("url"), "full_outer")
       .where(
-        col("d_text").isNull || col("text").isNull ||
-        col("d_text") =!= col("text") ||
-        col("d_lang") =!= col("lang") ||
-        col("d_warc_ts") =!= col("warc_ts") ||
-        col("d_html") =!= col("html"))
+        !(col("d_text") <=> col("text")) ||
+        !(col("d_lang") <=> col("lang")) ||
+        !(col("d_warc_ts") <=> col("warc_ts")) ||
+        !(col("d_html") <=> col("html")))
       .count()
+    // the url equi-join cannot see DUPLICATED decoded rows (each copy matches);
+    // a count delta catches exactly the double-decode failure mode the live-part
+    // filtering and the reassembly fallback exist to prevent
+    columnMismatches + math.abs(original.count() - decoded.count())
   }
 
   def main(args: Array[String]): Unit = {

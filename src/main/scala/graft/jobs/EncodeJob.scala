@@ -119,12 +119,6 @@ object EncodeJob {
 
   // ---------------- encode kernel ----------------
 
-  private def tsMicros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
-
-  private def utf8(s: String): Array[Byte] =
-    if (s == null) Array.emptyByteArray else s.getBytes(StandardCharsets.UTF_8)
-
   /** Max distinct values stored as dictionary metadata per block. */
   val IntDictCap = 256
   val StrDictCap = 64
@@ -352,6 +346,11 @@ object EncodeJob {
   def run(spark: SparkSession, pages: Dataset[WebPage], root: String, parts: Int,
           waves: Int = 1, maxWaves: Int = Int.MaxValue, partOffset: Long = 0L,
           maxBlockBytes: Long = MaxBlockBytes): RunResult = {
+    // part ids are Int: a streaming batchId*parts namespace past Int.MaxValue
+    // would wrap NEGATIVE (colliding with the compaction namespace and earlier
+    // batches) and silently drop work in the resume anti-join — fail fast
+    require(partOffset >= 0 && partOffset + parts <= Int.MaxValue.toLong,
+      s"part-id namespace [$partOffset, ${partOffset + parts}) exceeds the Int range")
     import spark.implicits._
     Files.createDirectories(Paths.get(root))
     val boundaries = loadOrCreateBoundaries(root, pages, parts)

@@ -49,6 +49,16 @@ class GolombCliSpec extends AnyFunSuite {
     intercept[GolombCli.CliArgumentException] {
       GolombCli.main(Array("-ei9", in.toString, enc.toString))
     }
+    // reference-faithful tolerant forms (util/golomb.cpp:365-430): tolower'd
+    // sign char, from_chars leading zeros, and the overflow quirk where an
+    // over-long digit string leaves k at its initial value
+    GolombCli.main(Array("-eI16", "-k2", in.toString, enc.toString))
+    GolombCli.main(Array("-di16", "-k2", enc.toString, dec.toString))
+    assert(Files.readAllBytes(dec).toSeq == Files.readAllBytes(in).toSeq)
+    GolombCli.main(Array("-ei08", "-k0", in.toString, enc.toString))
+    GolombCli.main(Array("-di8", "-k99999999999999999999", enc.toString, dec.toString))
+    // k overflow quirk == k 0: decode of the k0 stream must round-trip
+    assert(Files.readAllBytes(dec).toSeq == Files.readAllBytes(in).toSeq)
     // missing operands are an error
     intercept[GolombCli.CliArgumentException] { GolombCli.main(Array(in.toString)) }
     // an empty argv element is an operand terminator, not a crash (reference
