@@ -667,9 +667,10 @@ object SparkEntry {
         knnQueryVec, 10).select(col("vec_id"))),
 
     // planted global top-k: 10 scaled copies of the query (cosine == 1) are the
-    // exact answer; the probe reads only bucket partitions (persisted LSH index).
-    // planes ~ log2(n / desired_bucket_rows): 8 here (256 buckets) for the test
-    // scale; at 10^12 rows the same index uses ~24 planes
+    // exact answer; the probe reads only (table, bucket) partitions of the
+    // persisted MULTI-TABLE LSH index. planes ~ log2(n / desired_bucket_rows):
+    // 8 here (256 buckets/table) for the test scale; at 10^12 rows the same
+    // index uses ~24 planes and more tables (recall math in Similarity.buildIndex)
     "q_knn_ann" -> ((s, d) => {
       val planted = s.range(10).select(
         (col("id") + 2000000L).as("vec_id"),
@@ -677,8 +678,10 @@ object SparkEntry {
           x => x * (lit(1.0f) + col("id").cast("float") / lit(1000.0f))).as("embedding"))
       val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val idx = Files.createTempDirectory("graft-ann-idx-").toString
-      Similarity.buildIndex(base.union(planted), "vec_id", "embedding", planes = 8, idx)
-      Similarity.annTopK(s, idx, "vec_id", "embedding", knnQueryVec, 10, planes = 8)
+      Similarity.buildIndex(base.union(planted), "vec_id", "embedding", planes = 8, idx,
+        tables = 2)
+      Similarity.annTopK(s, idx, "vec_id", "embedding", knnQueryVec, 10, planes = 8,
+        tables = 2)
         .select(col("vec_id"))
     }),
 

@@ -402,6 +402,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(cwTs.count() == full.length)
   }
 
+  test("property: decodeWhere equals decode+filter for randomized predicates") {
+    import spark.implicits._
+    val root = freshRoot()
+    val n = 10000L
+    EncodeJob.run(spark, Webtext.generate(spark, n, 8), root, parts = 8)
+    val full = DecodeJob.decode(spark, root).toDF().cache()
+    val langs = Seq("en", "zh", "de", "xx") // xx: matches nothing
+    val tsBounds = full.agg(min(unix_micros($"warc_ts")), max(unix_micros($"warc_ts")))
+      .as[(Long, Long)].head()
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 8) {
+      val preds = scala.collection.mutable.ArrayBuffer[DecodeJob.BlockPredicate]()
+      if (rnd.nextBoolean()) preds += DecodeJob.StrEq("lang", langs(rnd.nextInt(langs.length)))
+      if (rnd.nextBoolean()) {
+        val a = tsBounds._1 + (rnd.nextDouble() * (tsBounds._2 - tsBounds._1)).toLong
+        val b = tsBounds._1 + (rnd.nextDouble() * (tsBounds._2 - tsBounds._1)).toLong
+        preds += DecodeJob.TsRange(math.min(a, b), math.max(a, b))
+      }
+      if (rnd.nextBoolean() || preds.isEmpty)
+        preds += DecodeJob.StrEq("url", Webtext.page(rnd.nextInt(20000).toLong).url)
+      val got = DecodeJob.decodeWhere(spark, root, preds.toSeq).toDF()
+        .select($"url").as[String].collect().sorted.toSeq
+      val want = preds.foldLeft(full) { (df, p) =>
+        df.where(p match {
+          case DecodeJob.StrEq(c, v) => col(c) === v
+          case DecodeJob.StrIn(c, vs) => col(c).isin(vs: _*)
+          case DecodeJob.TsRange(lo, hi) => unix_micros(col("warc_ts")).between(lo, hi)
+        })
+      }.select($"url").as[String].collect().sorted.toSeq
+      assert(got == want, s"decodeWhere mismatch for $preds: got ${got.size}, want ${want.size}")
+    }
+    full.unpersist()
+  }
+
   test("byte-bounded block flush splits fat-row runs without losing rows") {
     // 300 rows x ~10KB text with a 64KB cap -> many small blocks, same data back
     val rows = (0 until 300).iterator.map { i =>
