@@ -370,6 +370,52 @@ object SparkEntry {
       DecodeJob.decodeWhere(s, root, preds).toDF().select(col("url"), col("lang"))
     }),
 
+    // DataSource V2 surface: the SAME predicate-pushed decoded view through plain
+    // SQL over a registered `graft` table — LIKE 'prefix%' becomes a pushed
+    // StringStartsWith, mapped onto block_str_min/max group pruning; lang = 'en'
+    // becomes a StrEq over the lang dict metadata. The in-query require proves
+    // groups were actually pruned during planning; exactness comes from the
+    // residual filters Spark re-evaluates on decoded rows.
+    "q_dsv2_pushdown" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      s.read.format("graft").load(root).createOrReplaceTempView("graft_store_v2")
+      val df = s.sql("SELECT url, lang FROM graft_store_v2 " +
+        "WHERE url LIKE 'doc://000001%' AND lang = 'en'")
+      df.count() // force one planning pass so the pruning decision is observable
+      val stats = graft.sources.v2.GraftDataSource.lastPlanStats
+        .getOrElse(sys.error("V2 scan did not record plan stats"))
+      val total = DecodeJob.blocks(s, root).where(col("column") === "url").count()
+      require(stats.predicates >= 2 && stats.prunedGroupKeys.exists(k => k > 0 && k < total),
+        s"V2 pushdown must prune block groups: $stats of $total groups")
+      df
+    }),
+
+    // url-prefix block pruning on the decoded-view API (the most common
+    // web-archive access pattern): block_str_min/max overlap with
+    // [prefix, successor(prefix)) prunes groups before any decompression
+    "q_prune_url_prefix" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      val preds = Seq(DecodeJob.StrPrefix("url", "doc://000001"))
+      val total = DecodeJob.blocks(s, root).where(col("column") === "url").count()
+      val matched = DecodeJob.matchingGroupKeys(s, root, preds).count()
+      require(matched > 0 && matched < total,
+        s"url prefix must prune block groups: $matched of $total")
+      DecodeJob.decodeWhere(s, root, preds).toDF().select(col("url"), col("lang"))
+    }),
+
+    // metadata-only aggregates: count(*) from manifest nRows, min/max(warc_ts)
+    // from block min/max — the in-query require proves the plan never reads the
+    // `encoded` column (zero decompression)
+    "q_agg_pushdown" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      val df = DecodeJob.statsFast(s, root)
+      val plan = df.queryExecution.executedPlan.toString
+      val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq
+      require(readSchemas.nonEmpty && readSchemas.forall(!_.contains("encoded")),
+        s"statsFast must answer from metadata only:\n$plan")
+      df
+    }),
+
     // ---------------- streaming: exactly-once encode with restart ----------------
     "q_stream_encode" -> ((s, d) => {
       import s.implicits._
@@ -398,6 +444,24 @@ object SparkEntry {
         col("text").cast("binary").as("payload"))
       Multimodal.sampleFrames(media, everyMs = 250)
         .select(col("media_id"), col("frame_ts_ms"))
+    }),
+
+    // REAL image decode (JDK javax.imageio, no external deps): deterministic
+    // solid-color PNGs are encoded in-query per doc_id, then the distributed
+    // decode kernel recovers format/geometry/channel means — the oracle knows
+    // them in closed form (PNG is lossless)
+    "q_image_meta" -> ((s, d) => {
+      import s.implicits._
+      val imgs = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 4 + (id % 8).toInt
+          (id, Multimodal.syntheticPng(w, h,
+            ((id * 37) % 256).toInt, ((id * 59) % 256).toInt, ((id * 83) % 256).toInt))
+        }).toDF("media_id", "payload")
+      Multimodal.imageMeta(imgs, "media_id", "payload").toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
     // ---------------- aggregations / stats ----------------
@@ -742,6 +806,56 @@ object SparkEntry {
         .select(expr("unix_micros(ws) div 1000000").as("ws_s"), col("lang"), col("cnt"))
     }),
 
+    // APPEND-mode watermarked window with real late-data eviction, staged as
+    // three micro-batches (mtime-ordered files + maxFilesPerTrigger=1): the
+    // documents; a far-future sentinel that advances the watermark (Spark
+    // filters batch N's late rows with batch N-1's watermark — SPARK-39931's
+    // two-watermark design — so the advance must land one batch earlier); then
+    // a row hours behind that watermark — PROVEN dropped (no 'xx' row reaches
+    // the sink; had it survived, its already-past window would have emitted).
+    // The sentinel's own window stays open (never emits), so the emitted counts
+    // equal the documents table exactly — the DuckDB oracle.
+    "q_stream_window_append" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-streamwa-").toString
+      val src = s"$tmp/src"
+      val pages = docsAsPages(s, d)
+      pages.coalesce(1).write.mode("overwrite").parquet(src)
+      val maxSec = pages.agg(max(unix_seconds(col("warc_ts")))).head().getLong(0)
+      require(maxSec >= 1600000000L + 2 * 3600L, "need >= 2 hour buckets for a late row")
+      // deterministic batch order: age existing files before each append
+      def age(ms: Long): Unit = {
+        val t = java.nio.file.attribute.FileTime.fromMillis(ms)
+        java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach(p =>
+          if (java.nio.file.Files.getLastModifiedTime(p).toMillis > ms)
+            java.nio.file.Files.setLastModifiedTime(p, t))
+      }
+      val now = System.currentTimeMillis()
+      age(now - 120000L)
+      s.range(1).select(lit("doc://sentinel").as("url"),
+        timestamp_seconds(lit(maxSec + 360000L)).as("warc_ts"),
+        lit(null).cast("binary").as("html"), lit("flush").as("text"), lit("zz").as("lang"))
+        .coalesce(1).write.mode("append").parquet(src)
+      age(now - 60000L)
+      s.range(1).select(lit("doc://late").as("url"),
+        timestamp_seconds(lit(1600000000L)).as("warc_ts"),
+        lit(null).cast("binary").as("html"), lit("late").as("text"), lit("xx").as("lang"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val counts = StreamingEncode.windowedLangCounts(
+        s.readStream.option("maxFilesPerTrigger", 1).schema(pages.schema).parquet(src))
+      val q = counts.writeStream
+        .format("memory").queryName("q_stream_window_append_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = s.table("q_stream_window_append_sink")
+      require(sink.where(col("lang") === "xx").isEmpty,
+        "late row behind the watermark must be DROPPED in append mode")
+      require(sink.where(col("lang") === "zz").isEmpty,
+        "the sentinel's own window never closes and must not emit")
+      sink.select(expr("unix_micros(ws) div 1000000").as("ws_s"), col("lang"), col("cnt"))
+    }),
+
     "q_embedding_neardups" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val shifted = e.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -804,11 +918,25 @@ object SparkEntry {
     "q_decode_cols_where" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, (CAST(1600000000 AS BIGINT) + 7 * 3600) * 1000000 AS warc_ts " +
       "FROM documents WHERE doc_id // 50 = 7 AND lang = 'en'"),
+    "q_dsv2_pushdown" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents WHERE doc_id // 100 = 1 AND lang = 'en'"),
+    "q_prune_url_prefix" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents WHERE doc_id // 100 = 1"),
+    "q_agg_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
+      "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
+      "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +
+      "FROM documents"),
     "q_stream_encode" -> "SELECT CAST(count(*) AS BIGINT) AS n FROM documents",
     "q_frames" -> ("SELECT media_id, CAST(f AS BIGINT) AS frame_ts_ms FROM (" +
       "SELECT CAST(doc_id AS BIGINT) AS media_id, " +
       "unnest(generate_series(0, CAST(1000 + (doc_id % 37) * 211 - 1 AS BIGINT), 250)) AS f " +
       "FROM documents)"),
+
+    "q_image_meta" -> ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format, " +
+      "CAST(8 + doc_id % 16 AS INTEGER) AS width, CAST(4 + doc_id % 8 AS INTEGER) AS height, " +
+      "CAST((doc_id * 37) % 256 AS INTEGER) AS mean_r, " +
+      "CAST((doc_id * 59) % 256 AS INTEGER) AS mean_g, " +
+      "CAST((doc_id * 83) % 256 AS INTEGER) AS mean_b FROM documents"),
 
     "q1_agg" -> ("SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, " +
       "sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price, " +
@@ -980,6 +1108,8 @@ object SparkEntry {
     "q_knn_ivf" -> "SELECT CAST(3000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",
     "q_stream_window" -> ("SELECT (1600000000 + (doc_id // 50) * 3600) // 3600 * 3600 AS ws_s, " +
       "lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2"),
+    "q_stream_window_append" -> ("SELECT (1600000000 + (doc_id // 50) * 3600) // 3600 * 3600 " +
+      "AS ws_s, lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2"),
     "q_stream_dedup" -> ("SELECT CAST(count(DISTINCT regexp_replace(lower(trim(text)), " +
       "'\\s+', ' ', 'g')) AS BIGINT) AS n FROM documents"),
     "q_knn_brute" -> knnBruteOracle)

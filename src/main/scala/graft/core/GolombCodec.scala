@@ -222,7 +222,11 @@ object GolombCodec {
                 // Int.MaxValue/2 and threw NegativeArraySizeException at callers
                 val grown = math.min(outArr.length.toLong * 2, (Int.MaxValue - 8).toLong).toInt
                 if (grown <= outArr.length)
-                  throw new IllegalStateException(
+                  // IllegalArgumentException, not IllegalStateException: only a
+                  // corrupt/adversarial stream reaches this on the unknown-count
+                  // path, and IntBlockCodec.corruptWrapped maps IAE onto the
+                  // documented CorruptBlockException (an ISE would escape untyped)
+                  throw new IllegalArgumentException(
                     s"decoded value count exceeds max array size (${outArr.length})")
                 outArr = java.util.Arrays.copyOf(outArr, grown)
               }

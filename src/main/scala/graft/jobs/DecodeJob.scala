@@ -37,7 +37,7 @@ object DecodeJob {
   /** Dirs and live part ids must come from ONE manifest read — re-reading the
     * pointer could mix snapshot N's parts with snapshot N+1's dirs when a
     * concurrent compaction commits between the reads. */
-  private def fromEntries(spark: SparkSession, root: String,
+  private[graft] def fromEntries(spark: SparkSession, root: String,
                           entries: Seq[SnapshotStore.PartEntry]) = {
     val dirs = entries.map(_.dataDir).distinct
       .map(d => java.nio.file.Paths.get(root, d).toString)
@@ -85,9 +85,29 @@ object DecodeJob {
   final case class StrEq(column: String, value: String) extends BlockPredicate
   /** Membership on a string column. */
   final case class StrIn(column: String, values: Seq[String]) extends BlockPredicate
+  /** Prefix match on a string column — the most common web-archive access
+    * pattern (`url LIKE 'https://host/%'`). Prunes via block_str_min/max
+    * overlap with [prefix, successor(prefix)). */
+  final case class StrPrefix(column: String, prefix: String) extends BlockPredicate
+  /** Inclusive lexicographic range on a string column. */
+  final case class StrRange(column: String, lo: String, hi: String) extends BlockPredicate
   /** Inclusive epoch-micros range on `warc_ts`. */
   final case class TsRange(loMicros: Long, hiMicros: Long) extends BlockPredicate {
     def column: String = "warc_ts"
+  }
+
+  /**
+   * Smallest string greater than EVERY string with the given prefix, under
+   * Spark's UTF8 binary ordering: the prefix with its last rankable char
+   * incremented (trailing chars at/above the surrogate range are dropped first —
+   * incrementing into a surrogate would not be byte-order-sound). None = no
+   * finite successor (pruning then uses only the lower bound, still sound).
+   */
+  private[jobs] def prefixSuccessor(prefix: String): Option[String] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix.charAt(i) >= 0xD700.toChar) i -= 1
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
   }
 
   /** Can a block with this metadata row contain a match? (null metadata => yes) */
@@ -101,6 +121,19 @@ object DecodeJob {
       (col("block_str_min").isNull || col("block_str_min") <= array_max(arr)) &&
       (col("block_str_max").isNull || col("block_str_max") >= array_min(arr)) &&
       (col("block_str_dict").isNull || arrays_overlap(col("block_str_dict"), arr))
+    case StrPrefix(_, p) =>
+      // matches s satisfy p <= s < successor(p); a block overlaps that interval
+      // iff max >= p and min < successor(p) (when the successor exists)
+      (col("block_str_max").isNull || col("block_str_max") >= p) &&
+      prefixSuccessor(p).map(succ =>
+        col("block_str_min").isNull || col("block_str_min") < succ).getOrElse(lit(true)) &&
+      (col("block_str_dict").isNull ||
+        exists(col("block_str_dict"), v => v.startsWith(p)))
+    case StrRange(_, lo, hi) =>
+      (col("block_str_min").isNull || col("block_str_min") <= hi) &&
+      (col("block_str_max").isNull || col("block_str_max") >= lo) &&
+      (col("block_str_dict").isNull ||
+        exists(col("block_str_dict"), v => v >= lo && v <= hi))
     case TsRange(lo, hi) =>
       (col("block_min").isNull || col("block_min") <= hi) &&
       (col("block_max").isNull || col("block_max") >= lo)
@@ -110,6 +143,8 @@ object DecodeJob {
   private def rowCond(p: BlockPredicate): org.apache.spark.sql.Column = p match {
     case StrEq(c, v) => col(c) === v
     case StrIn(c, vs) => col(c).isin(vs: _*)
+    case StrPrefix(c, p) => col(c).startsWith(p)
+    case StrRange(c, lo, hi) => col(c).between(lo, hi)
     case TsRange(lo, hi) => unix_micros(col("warc_ts")).between(lo, hi)
   }
 
@@ -128,6 +163,10 @@ object DecodeJob {
     require(predicates.nonEmpty, "no predicates")
     require(predicates.forall(p => PageColumns(p.column) && p.column != "html"),
       "predicates must target url/warc_ts/text/lang (html is opaque binary: no metadata)")
+    require(predicates.forall {
+      case _: TsRange => true
+      case p => p.column != "warc_ts" // string bounds are meaningless on an i64 column
+    }, "warc_ts predicates must be TsRange")
     predicates.map { p =>
       blocksDf.where(col("column") === p.column && metaCond(p))
         .select(col("part_id"), col("block_seq"))
@@ -156,15 +195,44 @@ object DecodeJob {
     }
   }
 
-  /** One metadata-scan job collecting the group keys `predicates` admit; keys
-    * are manifest-scale (one row per surviving block group), so the driver
-    * holds them comfortably at any table size. */
-  private def collectMatchingKeys(blocksDf: org.apache.spark.sql.DataFrame,
-                                  predicates: Seq[BlockPredicate]): Array[(Int, Int)] = {
+  /**
+   * Driver-side key-collect ceiling: above this many surviving groups the
+   * predicate simply is not selective and Iceberg-style manifest planning stops
+   * paying — the collect itself (and the broadcast built from it) becomes the
+   * bottleneck. `private[jobs]` var so tests can force the ungated branch.
+   */
+  private[jobs] var MaxPrunedKeyCollect = 1000000
+
+  /** Fraction of total groups above which pruning is skipped: past half the
+    * groups the key filters buy little IO (survivors sit in ~every file) while
+    * the metadata collect and the pushed In-lists still cost; below it pruning
+    * at least halves the decode. The driver-memory guard is the ABSOLUTE
+    * [[MaxPrunedKeyCollect]] cap — this fraction is purely a break-even
+    * heuristic, so it must not gate small stores where a 50%-selective
+    * predicate still meaningfully prunes. */
+  private[jobs] val PruneFractionCutoff = 0.5
+
+  /**
+   * GATED planning of the pruned-group key set. One metadata-only count sizes
+   * the store (groups of the first predicate's column); surviving keys are then
+   * fetched with `take(threshold + 1)`, so a NON-selective predicate never
+   * materializes an unbounded key list on the driver: past
+   * min([[MaxPrunedKeyCollect]], [[PruneFractionCutoff]]·total) the caller gets
+   * None and falls back to decode-everything + exact filter — identical rows by
+   * construction, no driver bottleneck at any table size.
+   */
+  private[graft] def planPrunedKeys(blocksDf: org.apache.spark.sql.DataFrame,
+                                   predicates: Seq[BlockPredicate]): Option[Array[(Int, Int)]] = {
     val spark = blocksDf.sparkSession
     import spark.implicits._
-    matchingKeysOf(blocksDf, predicates)
-      .select($"part_id", $"block_seq").as[(Int, Int)].collect()
+    val matched = matchingKeysOf(blocksDf, predicates)
+    val totalGroups =
+      blocksDf.where(col("column") === predicates.head.column).count()
+    val threshold = math.min(MaxPrunedKeyCollect.toLong,
+      math.max(1L, (totalGroups * PruneFractionCutoff).toLong)).toInt
+    val keys = matched.select($"part_id", $"block_seq").as[(Int, Int)]
+      .take(threshold + 1)
+    if (keys.length > threshold) None else Some(keys)
   }
 
   /**
@@ -182,9 +250,13 @@ object DecodeJob {
     // compaction (StoreMaintenance) committing between two reads would re-home
     // rows into part ids the collected keys no longer match — silent row loss
     val blocksDf = blocks(spark, root)
-    val keys = collectMatchingKeys(blocksDf, predicates)
     val exact = predicates.map(rowCond).reduce(_ && _)
-    reassemble(spark, keysOnly(blocksDf, keys)).filter(exact)
+    planPrunedKeys(blocksDf, predicates) match {
+      case Some(keys) => reassemble(spark, keysOnly(blocksDf, keys)).filter(exact)
+      // non-selective predicate: pruning can't pay — decode everything and
+      // filter exactly (identical rows; no driver-side key materialization)
+      case None => reassemble(spark, blocksDf).filter(exact)
+    }
   }
 
   /**
@@ -201,17 +273,46 @@ object DecodeJob {
     require(wanted.forall(PageColumns), // fail fast: a typo'd name would silently yield nulls
       s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
     val blocksDf = blocks(spark, root) // one manifest read for both scans (see decodeWhere)
-    val keys = collectMatchingKeys(blocksDf, predicates)
     val effective = (wanted ++ predicates.map(_.column)).distinct
-    val filtered = keysOnly(blocksDf.where(col("column").isin(effective: _*)), keys)
+    val colFiltered = blocksDf.where(col("column").isin(effective: _*))
+    val filtered = planPrunedKeys(blocksDf, predicates) match {
+      case Some(keys) => keysOnly(colFiltered, keys)
+      case None => colFiltered // non-selective: column pruning only (see decodeWhere)
+    }
     val exact = predicates.map {
       case StrEq(c, v) => col(c) === v
       case StrIn(c, vs) => col(c).isin(vs: _*)
+      case StrPrefix(c, p) => col(c).startsWith(p)
+      case StrRange(c, lo, hi) => col(c).between(lo, hi)
       case TsRange(lo, hi) => col("warc_ts").between(lo, hi) // projected form IS micros
     }.reduce(_ && _)
     projectedReassemble(spark, filtered, effective)
       .where(exact)
       .select(wanted.map(col): _*)
+  }
+
+  /**
+   * Metadata-only aggregate fast path — the classic snapshot-store trick:
+   * `count(*)` comes from the manifest's per-part `nRows` (pure driver
+   * arithmetic, zero file IO) and `min/max(warc_ts)` from the block min/max
+   * metadata columns (a column-pruned parquet scan that NEVER touches the
+   * multi-MB `encoded` column — at 100 TB that is KBs of metadata instead of
+   * decompressing every block). One row: (row_count, min_warc_ts_us,
+   * max_warc_ts_us), micros so no timezone coupling. Exactness: every committed
+   * block carries exact bounds over its non-null values, so min(block_min) /
+   * max(block_max) equal the decoded min/max; nulls don't participate, matching
+   * SQL aggregate semantics.
+   */
+  def statsFast(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
+    val entries = SnapshotStore.currentEntries(root)
+    require(entries.nonEmpty, s"no committed snapshot under $root")
+    val rowCount = entries.map(_.nRows).sum
+    fromEntries(spark, root, entries) // same single manifest read as decode paths
+      .where(col("column") === "warc_ts")
+      .agg(min(col("block_min")).as("min_warc_ts_us"),
+           max(col("block_max")).as("max_warc_ts_us"))
+      .select(lit(rowCount).as("row_count"),
+        col("min_warc_ts_us"), col("max_warc_ts_us"))
   }
 
   /** Time travel: decode the pages visible at a specific committed snapshot. */
@@ -236,7 +337,7 @@ object DecodeJob {
    * the shuffle instead of collecting an unbounded key list to the driver.
    * `private[jobs]` var so tests can force the full-fallback branch.
    */
-  private[jobs] var MaxFallbackGroups = 4096
+  private[graft] var MaxFallbackGroups = 4096
 
   /** Iterate consecutive same-(part_id, block_seq) runs as (pid, seq, column -> bytes). */
   private def consecutiveRuns(it: Iterator[RawBlock])
@@ -277,6 +378,30 @@ object DecodeJob {
         r
       }
     }
+
+  /**
+   * Fast-path decision for one consecutive run. Correctness of the split repair
+   * rests on the key pre-scan and the data scan planning IDENTICAL file-split
+   * boundaries (both derive from one `blocksDf`, and split planning is a pure
+   * function of file sizes + session confs). If that invariant ever breaks —
+   * e.g. `spark.sql.files.maxPartitionBytes` changed between the eager pre-scan
+   * and a later action, or dynamic parallelism shifted `bytesPerCore` — a group
+   * can straddle a NEW boundary the pre-scan never saw. Silently returning empty
+   * there would lose the whole group's rows; instead the misalignment fails
+   * loudly with the remediation in the message.
+   */
+  private[jobs] def fastPathGroup[T](pid: Int, seq: Int, cols: Map[String, Array[Byte]],
+      expected: Set[String], badSet: Set[(Int, Int)])(
+      decodeGroup: Map[String, Array[Byte]] => Iterator[T]): Iterator[T] =
+    if (badSet((pid, seq))) Iterator.empty // straddling group: the fallback owns it
+    else if (cols.keySet == expected) decodeGroup(cols)
+    else throw new IllegalStateException(
+      s"block group (part_id=$pid, block_seq=$seq) is incomplete in the data scan " +
+      s"(saw columns ${cols.keySet.toSeq.sorted.mkString(",")}, expected " +
+      s"${expected.toSeq.sorted.mkString(",")}) but the key pre-scan did not flag it: " +
+      "file-split boundaries drifted between the two plannings (split-relevant confs " +
+      "or parallelism changed mid-query). Re-run the decode; set " +
+      "GRAFT_DECODE_FORCE_SHUFFLE=1 to force the always-correct shuffle path.")
 
   /** The always-correct path: one wide exchange grouping every block by key. */
   private def shuffleReassemble[T](raw: Dataset[RawBlock],
@@ -331,8 +456,7 @@ object DecodeJob {
     val badSet = badKeys.toSet
     val fast = raw.mapPartitions { it =>
       consecutiveRuns(it).flatMap { case (pid, seq, cols) =>
-        if (cols.keySet == exp && !badSet((pid, seq))) decodeGroup(cols)
-        else Iterator.empty // boundary-straddling group: the fallback owns it
+        fastPathGroup(pid, seq, cols, exp, badSet)(decodeGroup)
       }
     }(enc)
     if (badSet.isEmpty) fast

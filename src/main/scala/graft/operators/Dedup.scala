@@ -182,10 +182,32 @@ object Dedup {
    */
   val DefaultMaxBucket = 4096
 
-  /** What the last over-cap event dropped (listener-updated, for tests/ops). */
+  /** What the last over-cap event dropped (listener-updated). Convenience for
+    * single-query tests/ops ONLY: concurrent mining queries overwrite each other
+    * here — a concurrent caller should use [[lastRegisteredCapMetric]] at build
+    * time and [[capReport]] after the action to read its OWN query's report. */
   @volatile var lastCapReport: Option[CapReport] = None
   final case class CapReport(metric: String, droppedBuckets: Long, droppedRows: Long,
       maxBucket: Long)
+
+  /** Reports keyed by observed-metric name, bounded (oldest evicted) so a
+    * long-lived driver running millions of mining queries cannot leak. */
+  private val capReports =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, CapReport]() {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, CapReport]): Boolean =
+          size() > 128
+      })
+
+  /** The over-cap report of a specific mining query, by its observe-metric name. */
+  def capReport(metric: String): Option[CapReport] = Option(capReports.get(metric))
+
+  private val capMetricTL = new ThreadLocal[String]
+
+  /** Observe-metric name of the most recent capped mining DataFrame CONSTRUCTED
+    * on the calling thread (miners build their plan synchronously, so this is
+    * race-free per caller); pair with [[capReport]] after the action runs. */
+  def lastRegisteredCapMetric: Option[String] = Option(capMetricTL.get())
 
   private val capSeq = new java.util.concurrent.atomic.AtomicLong()
   // weak keys: identity per LIVE session (an identityHashCode key could be
@@ -208,7 +230,9 @@ object Dedup {
               val rows = if (row.isNullAt(1)) 0L else row.getLong(1)
               val mx = if (row.isNullAt(2)) 0L else row.getLong(2)
               if (buckets > 0) {
-                lastCapReport = Some(CapReport(name, buckets, rows, mx))
+                val report = CapReport(name, buckets, rows, mx)
+                capReports.put(name, report)
+                lastCapReport = Some(report)
                 log.warn(s"LSH bucket cap dropped $buckets bucket(s) / $rows row(s) " +
                   s"(largest bucket $mx) in $name — bounded recall loss; raise " +
                   s"maxBucket or the band bit-width if those clusters matter")
@@ -225,8 +249,10 @@ object Dedup {
   private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     if (cap <= 0 || cap == Int.MaxValue) return banded
     registerCapListener(banded.sparkSession)
+    val metric = s"graft_lsh_cap_${capSeq.incrementAndGet()}"
+    capMetricTL.set(metric)
     val sizes = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_n"))
-      .observe(s"graft_lsh_cap_${capSeq.incrementAndGet()}",
+      .observe(metric,
         count(when(col("bucket_n") > cap, lit(1))).as("dropped_buckets"),
         coalesce(sum(when(col("bucket_n") > cap, col("bucket_n"))), lit(0L)).as("dropped_rows"),
         coalesce(max(col("bucket_n")), lit(0L)).as("max_bucket"))

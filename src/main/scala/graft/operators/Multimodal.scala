@@ -18,19 +18,108 @@ final case class MediaFeatures(mediaId: Long, kind: String, features: Array[Floa
 
 /**
  * Multimodal column plumbing: image/audio/video ride as opaque `binary` columns with
- * a typed metadata struct. The Spark side — schema, partitioning, batch-shaped
- * kernels — is real; the actual media decode is STUBBED (no image/audio libraries in
- * this container) behind [[Multimodal.decodeStub]], a deterministic fake keyed on the
- * payload hash so pipelines are testable end-to-end. Swap `decodeStub` for a real
- * JNI/FFM decoder without touching any plan shape.
+ * a typed metadata struct.
+ *
+ * IMAGE decode is REAL: [[imageMeta]] decodes PNG/JPEG/GIF/BMP payloads with the
+ * JDK's built-in `javax.imageio` (no external dependency) into dimensions, format
+ * and per-channel pixel means, in the same payload-bounded mapPartitions batch
+ * shape a vectorized decoder needs. Audio/video decode remains STUBBED (no media
+ * codec libraries in this container) behind [[Multimodal.decodeStub]], a
+ * deterministic fake keyed on the payload hash so those pipelines stay testable
+ * end-to-end; swap `decodeStub` for a real JNI/FFM decoder without touching any
+ * plan shape.
  */
 object Multimodal {
 
   val FeatureDim = 64
 
+  /** Decoded image facts: geometry + per-channel 0-255 pixel means (rounded).
+    * `ok = false` rows carry the reason in `format` ("undecodable"/"empty"). */
+  final case class ImageInfo(media_id: Long, ok: Boolean, format: String,
+      width: Int, height: Int, mean_r: Int, mean_g: Int, mean_b: Int)
+
+  /** Real JDK image decode: None when no installed reader accepts the bytes.
+    * Corrupt/truncated payloads must yield None, not a task-killing throw — at
+    * web scale a crawl always contains undecodable images. */
+  def decodeImage(payload: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val img = r.read(0)
+            if (img == null) None else Some((r.getFormatName.toLowerCase, img))
+          } finally r.dispose()
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** One image's facts (pure kernel; total function over arbitrary bytes). */
+  def imageInfo(id: Long, payload: Array[Byte]): ImageInfo =
+    decodeImage(payload) match {
+      case None =>
+        ImageInfo(id, ok = false,
+          if (payload == null || payload.isEmpty) "empty" else "undecodable", 0, 0, 0, 0, 0)
+      case Some((fmt, img)) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >>> 16) & 0xff; sg += (rgb >>> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w.toLong * h, 1L)
+        ImageInfo(id, ok = true, fmt, w, h,
+          (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+    }
+
   /**
-   * STUB decode/feature-extract: deterministic pseudo-features from the payload
-   * bytes. Real implementation would decode pixels/samples here.
+   * Distributed image metadata/feature extraction over (id, payload) rows: one
+   * narrow mapPartitions pass, no shuffle, bounded memory (one decoded image in
+   * flight per task). Plan shape identical at 10^12 images; the per-image cost
+   * is the real pixel decode.
+   */
+  def imageMeta(media: DataFrame, idCol: String, payloadCol: String): Dataset[ImageInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => imageInfo(id, bytes) })
+  }
+
+  /** Deterministic solid-color PNG via the JDK encoder (tests + oracles: the
+    * decode path then recovers exactly this geometry and color). */
+  def syntheticPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /**
+   * STUB decode/feature-extract for AUDIO/VIDEO payloads: deterministic
+   * pseudo-features from the payload bytes (no audio/video codec libs in this
+   * container). Image payloads have the real path above ([[imageMeta]]).
    */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     var h = 0x9E3779B97F4A7C15L

@@ -277,9 +277,20 @@ object Similarity {
    * mapPartitions pass, write with `cell` as a hive partition column, and persist
    * the centroids next to the data. At 10^12 rows pick k so each cell holds
    * ~n/k rows; probes read only nProbe of k cell directories.
+   *
+   * HOT-CELL SKEW: real embedding distributions cluster, so one cell can hold a
+   * large share of the table — a bare `repartition(cell)` made that one shuffle
+   * task write one giant file (straggler at write, zero read parallelism at
+   * probe). Cells whose ESTIMATED row count (training-sample share × table
+   * size — the sample is unbiased, so shares are accurate exactly for the cells
+   * big enough to matter) exceeds `maxRowsPerFile` are salted into
+   * ceil(rows/maxRowsPerFile) shuffle groups, giving that many files under the
+   * same `cell=` dir — partition pruning is unaffected, write and probe
+   * parallelism scale with the cell. Cold cells keep salt 1 (no file blowup).
    */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int, path: String, sampleSize: Int = 4096): Array[Array[Double]] = {
+                    k: Int, path: String, sampleSize: Int = 4096,
+                    maxRowsPerFile: Int = 1 << 20): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
     val typed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -288,11 +299,24 @@ object Similarity {
     val sample = typed.orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleSize).collect().map(_._2)
     val centroids = trainCentroids(sample, k)
+    val total = typed.count()
+    val freq = sample.map(nearestCell(_, centroids))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val saltOf: Map[Int, Int] = centroids.indices.map { c =>
+      val est = freq.getOrElse(c, 0).toLong * total / math.max(sample.length, 1)
+      c -> math.max(1, ((est + maxRowsPerFile - 1) / maxRowsPerFile).toInt)
+    }.toMap
     val bc = spark.sparkContext.broadcast(centroids)
     typed
       .mapPartitions(_.map { case (id, v) => (id, v, nearestCell(v, bc.value)) })
       .toDF(idCol, vecCol, "cell")
-      .repartition(col("cell"))
+      .withColumn("salt",
+        pmod(xxhash64(col(idCol)), element_at(typedLit(saltOf), col("cell"))).cast("int"))
+      // explicit count: one target partition per (cell, salt) group — an
+      // unspecified count would let AQE coalesce small-looking partitions back
+      // into one task, silently undoing the salting
+      .repartition(math.max(saltOf.values.sum, 1), col("cell"), col("salt"))
+      .drop("salt")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     writeSidecar(spark, path, "_centroids.json", json)

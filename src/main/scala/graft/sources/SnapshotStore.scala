@@ -120,7 +120,32 @@ object SnapshotStore {
     val p = Paths.get(root, "manifests", s"$snapshotId.tombstones")
     if (!Files.exists(p)) Set.empty
     else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty).map(_.trim.toInt).toSet
+      .filter(_.nonEmpty).iterator.flatMap { line =>
+        // "a-b" inclusive range or a bare id (legacy sidecars wrote one id/line)
+        val t = line.trim
+        val dash = t.indexOf('-', 1) // from 1: ids are non-negative, no leading '-'
+        if (dash < 0) Iterator.single(t.toInt)
+        else (t.substring(0, dash).toInt to t.substring(dash + 1).toInt).iterator
+      }.toSet
+  }
+
+  /** Merge sorted ids into "a-b" range lines: tombstones accumulate monotonically
+    * across every compaction, and streaming part ids come in contiguous
+    * per-batch runs, so range encoding keeps the sidecar (re-read and rewritten
+    * per commit) near-constant size on a long-lived store instead of growing by
+    * one line per ever-replaced part. */
+  private def encodeTombstones(ids: Seq[Int]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < ids.length) {
+      var j = i
+      while (j + 1 < ids.length && ids(j + 1) == ids(j) + 1) j += 1
+      if (j > i) sb.append(ids(i)).append('-').append(ids(j))
+      else sb.append(ids(i))
+      sb.append('\n')
+      i = j + 1
+    }
+    sb.toString
   }
 
   def currentTombstones(root: String): Set[Int] =
@@ -235,7 +260,7 @@ object SnapshotStore {
     val tombs = currentTombstones(root) ++ replaced
     if (tombs.nonEmpty)
       Files.write(mfDir.resolve(s"$nextId.tombstones"),
-        tombs.toSeq.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        encodeTombstones(tombs.toSeq.sorted).getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val tmp = Paths.get(root, s".SNAPSHOT.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, nextId.toString.getBytes(StandardCharsets.UTF_8))

@@ -1,0 +1,398 @@
+package graft.sources.v2
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.codec.{IntBlockCodec, StringBlockCodec}
+import graft.jobs.DecodeJob
+import graft.sources.SnapshotStore
+
+/**
+ * DataSource V2 read provider for the snapshot store — the decoded page view as a
+ * plain Spark table: `spark.read.format("graft").load(root)` (and therefore SQL
+ * over a registered view) instead of the bespoke [[graft.jobs.DecodeJob]] API.
+ * The reference's entire user surface is one CLI (util/golomb.cpp:253-255); this
+ * engine's is one `SELECT`.
+ *
+ * What pushes down:
+ *  - **Required columns** ([[SupportsPushDownRequiredColumns]]): only the
+ *    requested page columns' blocks are read — the `column` In-filter reaches
+ *    parquet row-group statistics, so text/html blocks are skipped before any IO
+ *    when only `url, lang` are selected. An EMPTY projection (`count(*)`)
+ *    reads only the `n` metadata field of one reference column — no `encoded`
+ *    bytes at all.
+ *  - **Filters** ([[SupportsPushDownFilters]]): EqualTo/In/StringStartsWith on
+ *    string columns and =/</<=/>/>= on `warc_ts` map onto the block-metadata
+ *    predicates of [[DecodeJob]] (block_str_min/max/dict, block_min/max), pruning
+ *    whole 64Ki-row block groups BEFORE decompression — the north-star
+ *    "predicate-push onto dictionary and FoR metadata". Pruning is block-level
+ *    (inexact), so every filter is also returned as a residual for Spark to
+ *    evaluate on the decoded rows: results are exact regardless of metadata.
+ *
+ * Planning runs on the driver (Iceberg-style): one manifest read pins the
+ *  snapshot, a metadata-only Spark scan sizes the surviving group-key set, and
+ *  the selectivity gate of [[DecodeJob.planPrunedKeys]] drops pruning entirely
+ *  when the predicate is not selective — no unbounded driver collect. Each
+ *  [[InputPartition]] is one block parquet file; groups never straddle files
+ *  (each encode task writes its groups whole), so the reader assembles
+ *  consecutive records with zero shuffle — the same layout invariant as
+ *  [[DecodeJob.hybridReassemble]], with file granularity making split repair
+ *  unnecessary by construction.
+ */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDataSource.PageSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val root = properties.get("path")
+    require(root != null && root.nonEmpty,
+      "graft table requires a store path: spark.read.format(\"graft\").load(root)")
+    new GraftTable(root)
+  }
+}
+
+object GraftDataSource {
+  /** The decoded page view (input_hint schema: BASELINE.json:15). */
+  val PageSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = true),
+    StructField("warc_ts", TimestampType, nullable = true),
+    StructField("html", BinaryType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)))
+
+  /** Last scan's planning decisions (driver-side, for tests/ops visibility). */
+  final case class PlanStats(files: Int, predicates: Int, prunedGroupKeys: Option[Int])
+  @volatile var lastPlanStats: Option[PlanStats] = None
+}
+
+final class GraftTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft.`$root`"
+  override def schema(): StructType = GraftDataSource.PageSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root)
+}
+
+final class GraftScanBuilder(root: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = GraftDataSource.PageSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var predicates: Seq[DecodeJob.BlockPredicate] = Seq.empty
+
+  /** Epoch micros of a pushed-down timestamp literal (either external form). */
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+    case i: java.time.Instant =>
+      Some(Math.floorDiv(i.getEpochSecond, 1L) * 1000000L + i.getNano / 1000L)
+    case _ => None
+  }
+
+  private def satMinus(us: Long): Long = if (us == Long.MinValue) us else us - 1
+  private def satPlus(us: Long): Long = if (us == Long.MaxValue) us else us + 1
+
+  private val StringCols = Set("url", "text", "lang")
+
+  /** Block predicates a filter implies (conjuncts; empty = not convertible).
+    * Soundness: each returned predicate is a SUPERSET condition of the filter,
+    * and the filter itself always runs as a residual on decoded rows. */
+  private def toPredicates(f: Filter): Seq[DecodeJob.BlockPredicate] = f match {
+    case sources.And(l, r) => toPredicates(l) ++ toPredicates(r)
+    case sources.EqualTo(c, v: String) if StringCols(c) => Seq(DecodeJob.StrEq(c, v))
+    case sources.In(c, vs) if StringCols(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Seq(DecodeJob.StrIn(c, vs.toSeq.map(_.asInstanceOf[String])))
+    case sources.StringStartsWith(c, p) if StringCols(c) => Seq(DecodeJob.StrPrefix(c, p))
+    case sources.GreaterThanOrEqual(c, v: String) if StringCols(c) =>
+      Seq(DecodeJob.StrRange(c, v, "￿￿￿￿￿￿￿￿"))
+    case sources.LessThanOrEqual(c, v: String) if StringCols(c) =>
+      Seq(DecodeJob.StrRange(c, "", v))
+    case sources.EqualTo("warc_ts", v) =>
+      tsMicros(v).map(us => DecodeJob.TsRange(us, us)).toSeq
+    case sources.GreaterThan("warc_ts", v) =>
+      tsMicros(v).map(us => DecodeJob.TsRange(satPlus(us), Long.MaxValue)).toSeq
+    case sources.GreaterThanOrEqual("warc_ts", v) =>
+      tsMicros(v).map(us => DecodeJob.TsRange(us, Long.MaxValue)).toSeq
+    case sources.LessThan("warc_ts", v) =>
+      tsMicros(v).map(us => DecodeJob.TsRange(Long.MinValue, satMinus(us))).toSeq
+    case sources.LessThanOrEqual("warc_ts", v) =>
+      tsMicros(v).map(us => DecodeJob.TsRange(Long.MinValue, us)).toSeq
+    case _ => Seq.empty
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val converted = filters.map(f => f -> toPredicates(f))
+    pushed = converted.collect { case (f, ps) if ps.nonEmpty => f }
+    predicates = converted.flatMap(_._2).toSeq
+    // block pruning is inexact (a surviving block still holds non-matching
+    // rows) — return EVERY filter as a residual so Spark evaluates it exactly
+    // on the decoded rows; the pruning benefit is unchanged
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = requiredSchema = required
+
+  override def build(): Scan = new GraftScan(root, requiredSchema, predicates, pushed)
+}
+
+final class GraftScan(root: String, requiredSchema: StructType,
+                      predicates: Seq[DecodeJob.BlockPredicate],
+                      pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def description(): String = {
+    val cols = requiredSchema.fieldNames.mkString(",")
+    val preds = predicates.mkString(", ")
+    s"GraftStore root=$root columns=[$cols] PushedBlockPredicates: [$preds]"
+  }
+
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = {
+    // manifest rollup: decoded (original) byte size + exact row count; both are
+    // metadata-only. Filter selectivity is left to Spark's own estimation on
+    // the residual filters.
+    val entries = SnapshotStore.currentEntries(root)
+    val rows = entries.map(_.nRows).sum
+    val bytes = entries.map(_.origBytes).sum
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val entries = SnapshotStore.currentEntries(root)
+    require(entries.nonEmpty, s"no committed snapshot under $root")
+
+    // gated Iceberg-style planning: a metadata-only scan yields the surviving
+    // group keys, or None when the predicate is not selective / keys exceed the
+    // per-task In-filter budget (the residuals still make results exact)
+    val keysOpt: Option[Array[(Int, Int)]] =
+      if (predicates.isEmpty) None
+      else DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), predicates)
+        .filter(_.length <= DecodeJob.MaxFallbackGroups)
+
+    val keyParts: Option[Set[Int]] = keysOpt.map(_.map(_._1).toSet)
+    val liveByDir: Map[String, Array[Int]] = entries.groupBy(_.dataDir)
+      .map { case (d, es) => d -> es.map(_.partId).sorted.toArray }
+    // manifest-level file pruning: skip whole data dirs owning no surviving part
+    val dirs = entries.map(_.dataDir).distinct
+      .filter(d => keyParts.forall(kp => liveByDir(d).exists(kp)))
+
+    val packedKeys: Array[Long] =
+      keysOpt.map(_.map(k => (k._1.toLong << 32) | (k._2.toLong & 0xffffffffL)).sorted).orNull
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val columns = requiredSchema.fieldNames
+
+    val partitions = dirs.flatMap { d =>
+      val dirPath = new Path(new Path(root), d)
+      val fs = dirPath.getFileSystem(conf.conf)
+      fs.listStatus(dirPath).iterator
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .map(st => GraftInputPartition(st.getPath.toString, columns,
+          liveByDir(d), packedKeys, conf): InputPartition)
+        .toSeq
+    }.toArray
+    GraftDataSource.lastPlanStats = Some(GraftDataSource.PlanStats(
+      partitions.length, predicates.size, keysOpt.map(_.length)))
+    partitions
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
+}
+
+/** Hadoop Configuration is not Serializable; ship it via its own write/read. */
+final class SerializableHadoopConf(@transient var conf: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+/** One block parquet file; groups are whole within a file by construction. */
+final case class GraftInputPartition(
+    file: String,
+    columns: Array[String],          // required output columns, in schema order
+    liveParts: Array[Int],           // sorted live part ids of the file's dir
+    packedKeys: Array[Long],         // sorted (part_id<<32|seq) or null = no pruning
+    conf: SerializableHadoopConf) extends InputPartition
+
+object GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
+}
+
+/**
+ * Streams one block file: parquet-level filters (column ∈ wanted, part/seq ∈
+ * pruned keys) skip row groups by statistics, consecutive records of one
+ * (part_id, block_seq) group are assembled in place, each complete group is
+ * decoded into its requested columns only. No shuffle, bounded memory (one
+ * 64Ki-row group in flight).
+ */
+final class GraftPartitionReader(p: GraftInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val countOnly = p.columns.isEmpty
+  // empty projection (count(*)): only the row count of one reference column's
+  // blocks is needed — url is present in every group
+  private val readCols: Array[String] = if (countOnly) Array("url") else p.columns
+  private val expected: Set[String] = readCols.toSet
+
+  private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
+    val path = new Path(p.file)
+    val inFile = HadoopInputFile.fromPath(path, p.conf.conf)
+    // projection from the FILE's own schema nodes (names must bind exactly);
+    // `encoded` is skipped entirely in count-only mode — parquet never touches
+    // those pages
+    val footerReader = ParquetFileReader.open(inFile)
+    val fileSchema = try footerReader.getFileMetaData.getSchema finally footerReader.close()
+    val projNames = Seq("part_id", "block_seq", "column", "n") ++
+      (if (countOnly) Seq.empty else Seq("encoded"))
+    val fields: Array[org.apache.parquet.schema.Type] =
+      projNames.map(n => fileSchema.getType(Array(n): _*)).toArray
+    val projection = new MessageType(fileSchema.getName, fields: _*)
+    val conf = new Configuration(p.conf.conf)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+
+    var pred: FilterPredicate =
+      FilterApi.in(FilterApi.binaryColumn("column"),
+        readCols.map(Binary.fromString).toSet.asJava)
+    if (p.packedKeys != null) {
+      val pids = p.packedKeys.map(k => Int.box((k >>> 32).toInt)).toSet.asJava
+      val seqs = p.packedKeys.map(k => Int.box(k.toInt)).toSet.asJava
+      pred = FilterApi.and(pred,
+        FilterApi.and(FilterApi.in(FilterApi.intColumn("part_id"), pids),
+          FilterApi.in(FilterApi.intColumn("block_seq"), seqs)))
+    }
+    ParquetReader.builder(new GroupReadSupport(), path)
+      .withConf(conf)
+      .withFilter(FilterCompat.get(pred))
+      .build()
+  }
+
+  private var current: InternalRow = _
+  private var pending: Iterator[InternalRow] = Iterator.empty
+  // one-group lookahead buffer
+  private var bufKey: Long = -1L
+  private var bufCols: Map[String, Array[Byte]] = Map.empty
+  private var bufN: Int = 0
+  private var eof = false
+
+  @inline private def liveGroup(packed: Long): Boolean = {
+    val pid = (packed >>> 32).toInt
+    java.util.Arrays.binarySearch(p.liveParts, pid) >= 0 &&
+      (p.packedKeys == null || java.util.Arrays.binarySearch(p.packedKeys, packed) >= 0)
+  }
+
+  /** Decode the buffered group into output rows (requested columns only). */
+  private def decodeBuffered(): Iterator[InternalRow] = {
+    if (bufKey < 0 || !liveGroup(bufKey)) return Iterator.empty
+    if (countOnly) {
+      val empty: InternalRow = new GenericInternalRow(0)
+      return Iterator.fill(bufN)(empty)
+    }
+    if (bufCols.keySet != expected)
+      throw new java.io.IOException(
+        s"block group part_id=${(bufKey >>> 32).toInt} block_seq=${bufKey.toInt} in " +
+        s"${p.file} has columns ${bufCols.keySet.toSeq.sorted.mkString(",")}, expected " +
+        s"${expected.toSeq.sorted.mkString(",")}: corrupt or foreign store layout")
+    val decoded: Array[Int => Any] = readCols.map {
+      case "warc_ts" =>
+        val (us, ok) = IntBlockCodec.decodeNullable(bufCols("warc_ts"))
+        (i: Int) => if (ok(i)) java.lang.Long.valueOf(us(i)) else null
+      case "html" =>
+        val vs = StringBlockCodec.decode(bufCols("html"))
+        (i: Int) => vs(i)
+      case c =>
+        val vs = StringBlockCodec.decode(bufCols(c))
+        (i: Int) => if (vs(i) == null) null else UTF8String.fromBytes(vs(i))
+    }
+    val n = bufN
+    (0 until n).iterator.map { i =>
+      val row = new GenericInternalRow(decoded.length)
+      var j = 0
+      while (j < decoded.length) { row.update(j, decoded(j)(i)); j += 1 }
+      row
+    }
+  }
+
+  /** Pull parquet records until the buffered group completes (next key seen or
+    * EOF); returns that group's decoded rows. */
+  private def advanceGroup(): Iterator[InternalRow] = {
+    while (!eof) {
+      val g = reader.read()
+      if (g == null) {
+        eof = true
+      } else {
+        val packed = (g.getInteger("part_id", 0).toLong << 32) |
+          (g.getInteger("block_seq", 0).toLong & 0xffffffffL)
+        val colName = g.getBinary("column", 0).toStringUsingUTF8
+        val n = g.getInteger("n", 0)
+        val enc = if (countOnly) null else g.getBinary("encoded", 0).getBytes
+        if (packed != bufKey) {
+          val out = decodeBuffered()
+          bufKey = packed
+          bufCols = if (countOnly) Map.empty else Map(colName -> enc)
+          bufN = n
+          if (out.hasNext) return out
+        } else if (!countOnly) {
+          bufCols = bufCols.updated(colName, enc)
+        }
+      }
+    }
+    val out = decodeBuffered()
+    bufKey = -1L; bufCols = Map.empty; bufN = 0
+    out
+  }
+
+  override def next(): Boolean = {
+    while (!pending.hasNext) {
+      if (eof && bufKey < 0) return false
+      pending = advanceGroup()
+    }
+    current = pending.next()
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -428,6 +428,8 @@ class PipelineSpec extends AnyFunSuite {
         df.where(p match {
           case DecodeJob.StrEq(c, v) => col(c) === v
           case DecodeJob.StrIn(c, vs) => col(c).isin(vs: _*)
+          case DecodeJob.StrPrefix(c, pre) => col(c).startsWith(pre)
+          case DecodeJob.StrRange(c, lo, hi) => col(c).between(lo, hi)
           case DecodeJob.TsRange(lo, hi) => unix_micros(col("warc_ts")).between(lo, hi)
         })
       }.select($"url").as[String].collect().sorted.toSeq
@@ -597,5 +599,140 @@ class PipelineSpec extends AnyFunSuite {
     noMeta.createOrReplaceTempView("blocks_nometa")
     val q2 = spark.sql("SELECT block_id FROM blocks_nometa WHERE array_contains(graft_decode(encoded), 150L)")
     assert(q2.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("planPrunedKeys gates non-selective predicates; decodeWhere stays exact") {
+    import spark.implicits._
+    val root = freshRoot()
+    val n = 8000L
+    EncodeJob.run(spark, Webtext.generate(spark, n, 8), root, parts = 8)
+    val blocksDf = DecodeJob.blocks(spark, root)
+
+    // an all-matching predicate must NOT materialize keys on the driver
+    assert(DecodeJob.planPrunedKeys(blocksDf,
+      Seq(DecodeJob.TsRange(Long.MinValue, Long.MaxValue))).isEmpty,
+      "all-matching predicate must be gated (None), not collected")
+    // ... and decodeWhere through the gate still returns the exact row set
+    assert(DecodeJob.decodeWhere(spark, root,
+      Seq(DecodeJob.TsRange(Long.MinValue, Long.MaxValue))).count() == n)
+
+    // a selective predicate still collects (Some) and prunes
+    val someUrl = Webtext.page(7L).url
+    val keys = DecodeJob.planPrunedKeys(blocksDf, Seq(DecodeJob.StrEq("url", someUrl)))
+    assert(keys.exists(_.length >= 1))
+    val total = blocksDf.where($"column" === "url").count()
+    assert(keys.get.length < total)
+
+    // forced tiny collect ceiling: even a selective predicate gates off
+    val saved = DecodeJob.MaxPrunedKeyCollect
+    try {
+      DecodeJob.MaxPrunedKeyCollect = 0
+      assert(DecodeJob.planPrunedKeys(blocksDf,
+        Seq(DecodeJob.StrEq("url", someUrl))).isEmpty)
+      assert(DecodeJob.decodeWhere(spark, root,
+        Seq(DecodeJob.StrEq("url", someUrl))).count() == 1L, "gated path stays exact")
+    } finally DecodeJob.MaxPrunedKeyCollect = saved
+  }
+
+  test("url prefix and string range predicates prune via block bounds") {
+    import spark.implicits._
+    val root = freshRoot()
+    EncodeJob.run(spark, Webtext.generate(spark, 20000L, 8), root, parts = 8)
+    val blocksDf = DecodeJob.blocks(spark, root)
+    val totalGroups = blocksDf.where($"column" === "url").count()
+
+    // range partitioning on url puts one host prefix in few parts
+    val prefix = "https://host-1.example.com/"
+    val pKeys = DecodeJob.matchingGroupKeys(spark, root,
+      Seq(DecodeJob.StrPrefix("url", prefix))).count()
+    assert(pKeys >= 1 && pKeys < totalGroups,
+      s"prefix must prune groups: $pKeys of $totalGroups")
+    val got = DecodeJob.decodeWhere(spark, root, Seq(DecodeJob.StrPrefix("url", prefix)))
+      .toDF().select($"url").as[String].collect().sorted.toSeq
+    val want = DecodeJob.decode(spark, root).toDF()
+      .where($"url".startsWith(prefix)).select($"url").as[String].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+
+    // string range over urls: bounded interval prunes and equals decode+filter
+    val lo = "https://host-0.example.com/"
+    val hi = "https://host-1.example.com/\uffff"
+    val rKeys = DecodeJob.matchingGroupKeys(spark, root,
+      Seq(DecodeJob.StrRange("url", lo, hi))).count()
+    assert(rKeys >= 1 && rKeys < totalGroups)
+    val gotR = DecodeJob.decodeWhere(spark, root, Seq(DecodeJob.StrRange("url", lo, hi)))
+      .toDF().select($"url").as[String].collect().sorted.toSeq
+    val wantR = DecodeJob.decode(spark, root).toDF()
+      .where($"url".between(lo, hi)).select($"url").as[String].collect().sorted.toSeq
+    assert(gotR == wantR && gotR.nonEmpty)
+
+    // projected form accepts the new predicates too
+    val cw = DecodeJob.decodeColumnsWhere(spark, root, Seq("url"),
+      Seq(DecodeJob.StrPrefix("url", prefix)))
+    assert(cw.as[String].collect().sorted.toSeq == got)
+  }
+
+  test("prefixSuccessor bounds every prefixed string and nothing less") {
+    assert(DecodeJob.prefixSuccessor("abc").contains("abd"))
+    assert(DecodeJob.prefixSuccessor("a\u00ff").contains("a\u0100"))
+    // trailing high chars are dropped before incrementing
+    assert(DecodeJob.prefixSuccessor("ab\uffff").contains("ac"))
+    assert(DecodeJob.prefixSuccessor("\uffff\uffff").isEmpty)
+    assert(DecodeJob.prefixSuccessor("").isEmpty)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val p = rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
+      val s = p + rnd.alphanumeric.take(rnd.nextInt(6)).mkString
+      val succ = DecodeJob.prefixSuccessor(p).get
+      assert(p <= s && s < succ, s"successor must bound '$s' for prefix '$p'")
+    }
+  }
+
+  test("statsFast answers count/min/max from metadata without reading encoded") {
+    import spark.implicits._
+    val root = freshRoot()
+    val n = 6000L
+    EncodeJob.run(spark, Webtext.generate(spark, n, 4), root, parts = 4)
+    val stats = DecodeJob.statsFast(spark, root)
+    // the scan must never touch the encoded column (metadata-only fast path)
+    val plan = stats.queryExecution.executedPlan.toString()
+    val readSchemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("encoded")),
+      s"statsFast must not read encoded:\n$plan")
+    val (cnt, mn, mx) = stats.as[(Long, Long, Long)].head()
+    val want = DecodeJob.decode(spark, root).toDF()
+      .agg(count(lit(1)), min(unix_micros($"warc_ts")), max(unix_micros($"warc_ts")))
+      .as[(Long, Long, Long)].head()
+    assert((cnt, mn, mx) == want, s"statsFast $cnt/$mn/$mx != decoded $want")
+  }
+
+  test("fast-path reassembly fails LOUDLY on pre-scan/data-scan misalignment") {
+    val cols = Map("url" -> Array[Byte](1), "lang" -> Array[Byte](2))
+    val exp = Set("url", "lang", "text")
+    // aligned: incomplete group flagged by the pre-scan is left to the fallback
+    assert(DecodeJob.fastPathGroup(1, 2, cols, exp, Set((1, 2)))(_ => Iterator.single("x")).isEmpty)
+    // complete group decodes
+    val full = cols + ("text" -> Array[Byte](3))
+    assert(DecodeJob.fastPathGroup(1, 2, full, exp, Set.empty)(_ => Iterator.single("x")).toSeq == Seq("x"))
+    // MISALIGNED: incomplete and not flagged -> must throw, never drop rows
+    val e = intercept[IllegalStateException] {
+      DecodeJob.fastPathGroup(1, 2, cols, exp, Set.empty)(_ => Iterator.single("x"))
+    }
+    assert(e.getMessage.contains("pre-scan"))
+  }
+
+  test("tombstone sidecars are range-compressed and survive legacy format") {
+    val root = freshRoot()
+    val entry = SnapshotStore.PartEntry(100, "data/x", 1L, 1L, 1L, "{}")
+    SnapshotStore.commitReplacing(root, Seq(entry), Set(3, 4, 5, 9))
+    SnapshotStore.commitReplacing(root, Seq.empty, Set(6, 10))
+    assert(SnapshotStore.currentTombstones(root) == Set(3, 4, 5, 6, 9, 10))
+    val id = SnapshotStore.currentSnapshotId(root).get
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "manifests", s"$id.tombstones")).toArray.toSeq
+    assert(lines == Seq("3-6", "9-10"), s"expected range encoding, got $lines")
+    // a legacy one-id-per-line sidecar still parses
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifests", s"$id.tombstones"),
+      "3\n4\n9\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(SnapshotStore.currentTombstones(root) == Set(3, 4, 9))
   }
 }

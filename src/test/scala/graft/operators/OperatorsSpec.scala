@@ -320,4 +320,65 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getLong(1) == expected, s"video ${r.getLong(0)}")
     }
   }
+
+  test("real image decode: JDK imageio recovers PNG geometry and color; junk is safe") {
+    import spark.implicits._
+    // distributed round-trip: encode known solid PNGs, decode via the kernel
+    val imgs = spark.range(0, 64, 1, 4).as[Long].map { id =>
+      val w = 3 + (id % 9).toInt
+      val h = 2 + (id % 5).toInt
+      (id, Multimodal.syntheticPng(w, h, (id * 7 % 256).toInt, (id * 11 % 256).toInt,
+        (id * 13 % 256).toInt))
+    }.toDF("media_id", "payload")
+    val out = Multimodal.imageMeta(imgs, "media_id", "payload").collect()
+    assert(out.length == 64 && out.forall(_.ok))
+    out.foreach { i =>
+      assert(i.format == "png")
+      assert(i.width == 3 + (i.media_id % 9).toInt && i.height == 2 + (i.media_id % 5).toInt)
+      assert(i.mean_r == (i.media_id * 7 % 256).toInt &&
+        i.mean_g == (i.media_id * 11 % 256).toInt && i.mean_b == (i.media_id * 13 % 256).toInt)
+    }
+    // non-solid image: exact integer means of a known two-color split
+    val half = {
+      val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x0000FF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.imageInfo(9L, bos.toByteArray)
+    }
+    assert((half.mean_r, half.mean_g, half.mean_b) == (127, 0, 127))
+    // undecodable / empty payloads degrade to ok=false, never throw
+    assert(!Multimodal.imageInfo(1L, Array[Byte](1, 2, 3)).ok)
+    assert(Multimodal.imageInfo(1L, Array[Byte](1, 2, 3)).format == "undecodable")
+    assert(!Multimodal.imageInfo(2L, Array.emptyByteArray).ok)
+    assert(!Multimodal.imageInfo(3L, null).ok)
+    // a TRUNCATED real PNG must not kill the task either
+    val png = Multimodal.syntheticPng(16, 16, 1, 2, 3)
+    assert(!Multimodal.imageInfo(4L, java.util.Arrays.copyOf(png, 20)).ok)
+  }
+
+  test("IVF hot-cell salting bounds rows per file; probe semantics unchanged") {
+    import spark.implicits._
+    // worst-case skew: every vector identical -> ONE cell gets the whole table
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-skew-").toString
+    val skewed = spark.range(5000).select(col("id").as("vec_id"),
+      typedLit(Array.fill(8)(1.0f)).as("embedding"))
+    Similarity.buildIvfIndex(skewed, "vec_id", "embedding", k = 4, idx,
+      maxRowsPerFile = 500)
+    // the hot cell must be split across many files, each bounded (collisions of
+    // salt groups into shuffle tasks allow a small multiple of the target)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(idx)).iterator()
+    val dataFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .filter(f => f.toString.endsWith(".parquet") && f.toString.contains("cell="))
+      .map(_.toString).toSeq
+    assert(dataFiles.size >= 4, s"hot cell must salt into several files: $dataFiles")
+    val perFile = dataFiles.map(f => spark.read.parquet(f).count())
+    assert(perFile.sum == 5000L)
+    assert(perFile.max <= 2000L,
+      s"rows per file must stay bounded under skew: $perFile")
+    // probe still exact: all vectors tie on cosine, top-k = lowest ids
+    val got = Similarity.ivfTopK(spark, idx, "vec_id", "embedding",
+      Array.fill(8)(1.0f), 5, nProbe = 1).select("vec_id").as[Long].collect().toSeq
+    assert(got == (0L until 5L), s"probe after salting must stay exact: $got")
+  }
 }

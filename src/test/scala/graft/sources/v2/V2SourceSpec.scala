@@ -1,0 +1,123 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.{DecodeJob, EncodeJob}
+import graft.sources.Webtext
+
+/**
+ * DataSource V2 surface: `spark.read.format("graft").load(root)` must equal the
+ * DecodeJob view, prune columns down to the block scan, prune block groups via
+ * pushed filters, and answer empty-projection counts without touching `encoded`.
+ */
+class V2SourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("v2-source-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val N = 20000L
+  /** One shared store for the suite (encode once). */
+  private lazy val root: String = {
+    val r = Files.createTempDirectory("graft-v2-store-").toString
+    EncodeJob.run(spark, Webtext.generate(spark, N, 8), r, parts = 8)
+    r
+  }
+
+  private def graftTable: DataFrame = spark.read.format("graft").load(root)
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("full scan equals the DecodeJob view (count + content)") {
+    val viaV2 = graftTable
+      .select(col("url"), unix_micros(col("warc_ts")).as("ts"), col("text"), col("lang"),
+        md5(col("html")).as("h"))
+    val viaJob = DecodeJob.decode(spark, root).toDF()
+      .select(col("url"), unix_micros(col("warc_ts")).as("ts"), col("text"), col("lang"),
+        md5(col("html")).as("h"))
+    assert(viaV2.count() == N)
+    assert(sortedRows(viaV2) == sortedRows(viaJob))
+  }
+
+  test("SQL over the registered view works with pushed filters") {
+    graftTable.createOrReplaceTempView("graft_pages_v2")
+    val one = Webtext.page(123L)
+    val out = spark.sql(
+      s"SELECT url, lang FROM graft_pages_v2 WHERE url = '${one.url}'").collect()
+    assert(out.length == 1 && out(0).getString(1) == one.lang)
+    // an exact-url StrEq must have pruned groups during planning
+    val stats = GraftDataSource.lastPlanStats.get
+    assert(stats.predicates >= 1)
+    assert(stats.prunedGroupKeys.exists(_ <= 2),
+      s"exact-url predicate should prune to ~1 group: $stats")
+  }
+
+  test("column pruning reaches the scan (projection in plan, equality of values)") {
+    val df = graftTable.select(col("url"), col("lang"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=[url,lang]"), s"scan must carry pruned columns:\n$plan")
+    val expected = DecodeJob.decodeColumns(spark, root, Seq("url", "lang"))
+    assert(sortedRows(df) == sortedRows(expected))
+  }
+
+  test("url prefix filter prunes block groups and returns exact rows") {
+    val prefix = "https://host-1.example.com/"
+    val df = graftTable.where(col("url").startsWith(prefix)).select(col("url"))
+    val got = sortedRows(df)
+    val want = sortedRows(
+      DecodeJob.decode(spark, root).toDF().where(col("url").startsWith(prefix))
+        .select(col("url")))
+    assert(got == want && got.nonEmpty)
+    val stats = GraftDataSource.lastPlanStats.get
+    val totalGroups = DecodeJob.blocks(spark, root).where(col("column") === "url").count()
+    assert(stats.prunedGroupKeys.exists(k => k > 0 && k < totalGroups),
+      s"prefix must prune block groups: $stats of $totalGroups groups")
+    assert(df.queryExecution.executedPlan.toString.contains("StrPrefix"),
+      "pushed predicate must be visible in the scan description")
+  }
+
+  test("warc_ts range filter prunes and returns exact rows") {
+    // host-0 pages sit at the very bottom of the ts domain (base + 0*3600s)
+    val hi = new java.sql.Timestamp(1735689600000L + 3600L * 1000L)
+    val df = graftTable.where(col("warc_ts") <= hi).select(col("url"))
+    val want = sortedRows(DecodeJob.decode(spark, root).toDF()
+      .where(col("warc_ts") <= hi).select(col("url")))
+    assert(sortedRows(df) == want && want.nonEmpty)
+    assert(GraftDataSource.lastPlanStats.get.predicates >= 1)
+  }
+
+  test("empty projection (count(*)) never reads the encoded column") {
+    assert(graftTable.count() == N)
+    // non-selective residual-only filter: still exact
+    assert(graftTable.where(col("lang").isNotNull).count() ==
+      DecodeJob.decode(spark, root).toDF().where(col("lang").isNotNull).count())
+  }
+
+  test("non-selective pushed filter falls back to no pruning but stays exact") {
+    // lang='en' is in every block's dict (55% of rows) — the gate must refuse
+    // to prune (None) and the residual filter must still produce exact rows
+    val df = graftTable.where(col("lang") === "en").select(col("url"))
+    val got = df.count()
+    val want = DecodeJob.decode(spark, root).toDF().where(col("lang") === "en").count()
+    assert(got == want)
+    val stats = GraftDataSource.lastPlanStats.get
+    assert(stats.prunedGroupKeys.isEmpty,
+      s"non-selective predicate must skip pruning: $stats")
+  }
+
+  test("statistics report manifest row count and decoded size") {
+    val scan = new GraftScan(root, GraftDataSource.PageSchema, Seq.empty, Array.empty)
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == N)
+    assert(st.sizeInBytes().getAsLong > 0)
+  }
+}

@@ -119,4 +119,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == 20)
     assert(got.toSeq == (0L until 20L))
   }
+
+  test("append-mode window DROPS a late row behind the watermark, emits closed windows") {
+    val dir = tmp()
+    val src = s"$dir/src"
+    // batch 1: 4 hour-buckets x 10 rows; buckets 0/2 all-en, 1/3 all-de
+    val b1 = spark.range(40).select(
+      concat(lit("u"), col("id")).as("url"),
+      timestamp_seconds(lit(1600000000L) + (col("id") % 4) * 3600L).as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      lit("t").as("text"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    def age(ms: Long): Unit = {
+      val t = java.nio.file.attribute.FileTime.fromMillis(ms)
+      java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach(f =>
+        if (java.nio.file.Files.getLastModifiedTime(f).toMillis > ms)
+          java.nio.file.Files.setLastModifiedTime(f, t))
+    }
+    val now = System.currentTimeMillis()
+    age(now - 120000L)
+    // batch 2: a far-future sentinel. Spark filters batch N's late rows with
+    // batch N-1's watermark (two-watermark design, SPARK-39931), so the sentinel
+    // first ADVANCES the watermark...
+    spark.range(1).select(
+      lit("sentinel").as("url"), timestamp_seconds(lit(1600000000L + 400L * 3600L)).as("warc_ts"),
+      lit(null).cast("binary").as("html"), lit("t").as("text"), lit("ZZ").as("lang"))
+      .coalesce(1).write.mode("append").parquet(src)
+    age(now - 60000L)
+    // ...batch 3: the LATE row (bucket 0, hours behind the batch-2 watermark)
+    spark.range(1).select(
+      lit("late").as("url"), timestamp_seconds(lit(1600000000L)).as("warc_ts"),
+      lit(null).cast("binary").as("html"), lit("t").as("text"), lit("LATE").as("lang"))
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val q = StreamingEncode.windowedLangCounts(
+      spark.readStream.option("maxFilesPerTrigger", 1).schema(b1.schema).parquet(src))
+      .writeStream.format("memory").queryName("append_window_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sink = spark.table("append_window_sink").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000L, r.getString(1), r.getLong(2))).toSet
+    // hour windows align to epoch hours: bucket b starts at 1599998400 + b*3600
+    val want = (0 until 4).map(b =>
+      (1599998400L + b * 3600L, if (b % 2 == 0) "en" else "de", 10L)).toSet
+    assert(sink == want,
+      s"append sink must hold exactly the on-time windows: got $sink")
+    assert(!sink.exists(_._2 == "LATE"), "late row must be dropped by the watermark")
+    assert(!sink.exists(_._2 == "ZZ"), "sentinel window never closes")
+  }
 }
