@@ -89,8 +89,17 @@ object DecodeJob {
     * pattern (`url LIKE 'https://host/%'`). Prunes via block_str_min/max
     * overlap with [prefix, successor(prefix)). */
   final case class StrPrefix(column: String, prefix: String) extends BlockPredicate
-  /** Inclusive lexicographic range on a string column. */
-  final case class StrRange(column: String, lo: String, hi: String) extends BlockPredicate
+  /** Inclusive lexicographic range on a string column; None = open-ended on
+    * that side. A finite stand-in bound (e.g. a run of U+FFFF) would be
+    * UNSOUND: strings can sort above any finite string, and a pruned block is
+    * never decoded, so the residual filter could not resurrect its rows. */
+  final case class StrRange(column: String, lo: Option[String], hi: Option[String])
+      extends BlockPredicate
+  object StrRange {
+    /** Closed-range convenience (both bounds finite). */
+    def apply(column: String, lo: String, hi: String): StrRange =
+      StrRange(column, Some(lo), Some(hi))
+  }
   /** Inclusive epoch-micros range on `warc_ts`. */
   final case class TsRange(loMicros: Long, hiMicros: Long) extends BlockPredicate {
     def column: String = "warc_ts"
@@ -130,10 +139,13 @@ object DecodeJob {
       (col("block_str_dict").isNull ||
         exists(col("block_str_dict"), v => v.startsWith(p)))
     case StrRange(_, lo, hi) =>
-      (col("block_str_min").isNull || col("block_str_min") <= hi) &&
-      (col("block_str_max").isNull || col("block_str_max") >= lo) &&
+      hi.map(h => col("block_str_min").isNull || col("block_str_min") <= h)
+        .getOrElse(lit(true)) &&
+      lo.map(l => col("block_str_max").isNull || col("block_str_max") >= l)
+        .getOrElse(lit(true)) &&
       (col("block_str_dict").isNull ||
-        exists(col("block_str_dict"), v => v >= lo && v <= hi))
+        exists(col("block_str_dict"), v =>
+          lo.map(v >= _).getOrElse(lit(true)) && hi.map(v <= _).getOrElse(lit(true))))
     case TsRange(lo, hi) =>
       (col("block_min").isNull || col("block_min") <= hi) &&
       (col("block_max").isNull || col("block_max") >= lo)
@@ -144,7 +156,8 @@ object DecodeJob {
     case StrEq(c, v) => col(c) === v
     case StrIn(c, vs) => col(c).isin(vs: _*)
     case StrPrefix(c, p) => col(c).startsWith(p)
-    case StrRange(c, lo, hi) => col(c).between(lo, hi)
+    case StrRange(c, lo, hi) =>
+      lo.map(col(c) >= _).getOrElse(lit(true)) && hi.map(col(c) <= _).getOrElse(lit(true))
     case TsRange(lo, hi) => unix_micros(col("warc_ts")).between(lo, hi)
   }
 
@@ -283,7 +296,8 @@ object DecodeJob {
       case StrEq(c, v) => col(c) === v
       case StrIn(c, vs) => col(c).isin(vs: _*)
       case StrPrefix(c, p) => col(c).startsWith(p)
-      case StrRange(c, lo, hi) => col(c).between(lo, hi)
+      case StrRange(c, lo, hi) =>
+        lo.map(col(c) >= _).getOrElse(lit(true)) && hi.map(col(c) <= _).getOrElse(lit(true))
       case TsRange(lo, hi) => col("warc_ts").between(lo, hi) // projected form IS micros
     }.reduce(_ && _)
     projectedReassemble(spark, filtered, effective)

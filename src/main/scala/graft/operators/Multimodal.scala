@@ -44,7 +44,11 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] = {
     if (payload == null || payload.length == 0) return None
     try {
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream: the
+      // latter defaults to a FileCache stream that spills every payload to a
+      // temp file — a per-image disk round-trip (and a tmpdir dependency) in a
+      // kernel whose bytes are already in memory
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)

@@ -295,11 +295,17 @@ object Similarity {
     import spark.implicits._
     val typed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    // TakeOrdered: per-partition bottom-k + merge — no full sort, no full scan twice
-    val sample = typed.orderBy(xxhash64(col(idCol)), col(idCol))
+    // TakeOrdered: per-partition bottom-k + merge — no full sort, no full scan
+    // twice. The row count rides the SAME pass via an accumulator (a separate
+    // count() would be a third full table scan just to size the salt; task
+    // retries can inflate the accumulator slightly, which only rounds salts up)
+    val rowCount = spark.sparkContext.longAccumulator("graft_ivf_rows")
+    val sample = typed
+      .mapPartitions(it => it.map { r => rowCount.add(1L); r }) // re-tuples to _1/_2
+      .orderBy(xxhash64(col("_1")), col("_1"))
       .limit(sampleSize).collect().map(_._2)
     val centroids = trainCentroids(sample, k)
-    val total = typed.count()
+    val total = rowCount.value
     val freq = sample.map(nearestCell(_, centroids))
       .groupBy(identity).view.mapValues(_.length).toMap
     val saltOf: Map[Int, Int] = centroids.indices.map { c =>

@@ -134,7 +134,7 @@ object SnapshotStore {
     * per-batch runs, so range encoding keeps the sidecar (re-read and rewritten
     * per commit) near-constant size on a long-lived store instead of growing by
     * one line per ever-replaced part. */
-  private def encodeTombstones(ids: Seq[Int]): String = {
+  private def encodeTombstones(ids: Array[Int]): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < ids.length) {
@@ -259,8 +259,11 @@ object SnapshotStore {
     // leaves the new snapshot invisible (manifest+tombstones are orphans)
     val tombs = currentTombstones(root) ++ replaced
     if (tombs.nonEmpty)
+      // Array, not List: the range merge indexes ids(j)/ids(j+1), which is
+      // O(n) per access on a List — quadratic on the per-commit path of a
+      // long-lived store with millions of accumulated tombstones
       Files.write(mfDir.resolve(s"$nextId.tombstones"),
-        encodeTombstones(tombs.toSeq.sorted).getBytes(StandardCharsets.UTF_8),
+        encodeTombstones(tombs.toArray.sorted).getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val tmp = Paths.get(root, s".SNAPSHOT.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, nextId.toString.getBytes(StandardCharsets.UTF_8))

@@ -8,10 +8,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
-import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.SparkSession
@@ -130,10 +128,17 @@ final class GraftScanBuilder(root: String)
     case sources.In(c, vs) if StringCols(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
       Seq(DecodeJob.StrIn(c, vs.toSeq.map(_.asInstanceOf[String])))
     case sources.StringStartsWith(c, p) if StringCols(c) => Seq(DecodeJob.StrPrefix(c, p))
+    // open-ended ranges (a finite stand-in top bound would prune unsoundly —
+    // strings sort above any finite string); strict </> push the closed
+    // superset range, the residual filter restores strictness
     case sources.GreaterThanOrEqual(c, v: String) if StringCols(c) =>
-      Seq(DecodeJob.StrRange(c, v, "￿￿￿￿￿￿￿￿"))
+      Seq(DecodeJob.StrRange(c, Some(v), None))
+    case sources.GreaterThan(c, v: String) if StringCols(c) =>
+      Seq(DecodeJob.StrRange(c, Some(v), None))
     case sources.LessThanOrEqual(c, v: String) if StringCols(c) =>
-      Seq(DecodeJob.StrRange(c, "", v))
+      Seq(DecodeJob.StrRange(c, None, Some(v)))
+    case sources.LessThan(c, v: String) if StringCols(c) =>
+      Seq(DecodeJob.StrRange(c, None, Some(v)))
     case sources.EqualTo("warc_ts", v) =>
       tsMicros(v).map(us => DecodeJob.TsRange(us, us)).toSeq
     case sources.GreaterThan("warc_ts", v) =>
@@ -214,12 +219,13 @@ final class GraftScan(root: String, requiredSchema: StructType,
 
     val packedKeys: Array[Long] =
       keysOpt.map(_.map(k => (k._1.toLong << 32) | (k._2.toLong & 0xffffffffL)).sorted).orNull
-    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val columns = requiredSchema.fieldNames
 
     val partitions = dirs.flatMap { d =>
       val dirPath = new Path(new Path(root), d)
-      val fs = dirPath.getFileSystem(conf.conf)
+      val fs = dirPath.getFileSystem(conf.value)
       fs.listStatus(dirPath).iterator
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
@@ -235,26 +241,26 @@ final class GraftScan(root: String, requiredSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
 }
 
-/** Hadoop Configuration is not Serializable; ship it via its own write/read. */
-final class SerializableHadoopConf(@transient var conf: Configuration) extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    conf.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    conf = new Configuration(false)
-    conf.readFields(in)
-  }
-}
-
 /** One block parquet file; groups are whole within a file by construction. */
 final case class GraftInputPartition(
     file: String,
     columns: Array[String],          // required output columns, in schema order
     liveParts: Array[Int],           // sorted live part ids of the file's dir
     packedKeys: Array[Long],         // sorted (part_id<<32|seq) or null = no pruning
-    conf: SerializableHadoopConf) extends InputPartition
+    conf: org.apache.spark.util.SerializableConfiguration) extends InputPartition
+
+/** GroupReadSupport whose requested schema is a named-field projection of the
+  * file's own schema nodes (exact repetition/type match by construction). */
+private final class ProjectingGroupReadSupport(cols: Seq[String]) extends GroupReadSupport {
+  override def init(conf: Configuration,
+      keyValueMetaData: java.util.Map[String, String],
+      fileSchema: MessageType): org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    val fields: Array[org.apache.parquet.schema.Type] =
+      cols.map(n => fileSchema.getType(Array(n): _*)).toArray
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+      new MessageType(fileSchema.getName, fields: _*))
+  }
+}
 
 object GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -279,19 +285,12 @@ final class GraftPartitionReader(p: GraftInputPartition)
 
   private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
     val path = new Path(p.file)
-    val inFile = HadoopInputFile.fromPath(path, p.conf.conf)
-    // projection from the FILE's own schema nodes (names must bind exactly);
-    // `encoded` is skipped entirely in count-only mode — parquet never touches
-    // those pages
-    val footerReader = ParquetFileReader.open(inFile)
-    val fileSchema = try footerReader.getFileMetaData.getSchema finally footerReader.close()
+    // projection built inside ReadSupport.init from the file schema the reader
+    // already parsed (`encoded` skipped entirely in count-only mode — parquet
+    // never touches those pages); a separate footer pre-read just for the
+    // schema would double the per-file open round-trips on object storage
     val projNames = Seq("part_id", "block_seq", "column", "n") ++
       (if (countOnly) Seq.empty else Seq("encoded"))
-    val fields: Array[org.apache.parquet.schema.Type] =
-      projNames.map(n => fileSchema.getType(Array(n): _*)).toArray
-    val projection = new MessageType(fileSchema.getName, fields: _*)
-    val conf = new Configuration(p.conf.conf)
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
 
     var pred: FilterPredicate =
       FilterApi.in(FilterApi.binaryColumn("column"),
@@ -303,8 +302,8 @@ final class GraftPartitionReader(p: GraftInputPartition)
         FilterApi.and(FilterApi.in(FilterApi.intColumn("part_id"), pids),
           FilterApi.in(FilterApi.intColumn("block_seq"), seqs)))
     }
-    ParquetReader.builder(new GroupReadSupport(), path)
-      .withConf(conf)
+    ParquetReader.builder(new ProjectingGroupReadSupport(projNames), path)
+      .withConf(p.conf.value)
       .withFilter(FilterCompat.get(pred))
       .build()
   }

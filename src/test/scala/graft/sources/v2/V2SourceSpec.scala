@@ -114,6 +114,23 @@ class V2SourceSpec extends AnyFunSuite {
       s"non-selective predicate must skip pruning: $stats")
   }
 
+  test("string >=/< filters push OPEN-ENDED ranges and stay exact") {
+    // regression: a finite stand-in upper bound (e.g. '￿'*8) would prune
+    // blocks whose strings sort above it — rows silently lost. The open-ended
+    // StrRange keeps every url >= lo, including ones above any finite bound.
+    val lo = "https://host-3"
+    val df = graftTable.where(col("url") >= lo).select(col("url"))
+    val want = sortedRows(DecodeJob.decode(spark, root).toDF()
+      .where(col("url") >= lo).select(col("url")))
+    assert(sortedRows(df) == want && want.nonEmpty)
+    assert(df.queryExecution.executedPlan.toString.contains("StrRange"),
+      "string range must be pushed as a block predicate")
+    val strict = graftTable.where(col("url") < lo).select(col("url"))
+    val wantStrict = sortedRows(DecodeJob.decode(spark, root).toDF()
+      .where(col("url") < lo).select(col("url")))
+    assert(sortedRows(strict) == wantStrict && wantStrict.nonEmpty)
+  }
+
   test("statistics report manifest row count and decoded size") {
     val scan = new GraftScan(root, GraftDataSource.PageSchema, Seq.empty, Array.empty)
     val st = scan.estimateStatistics()
