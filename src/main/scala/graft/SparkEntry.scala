@@ -403,6 +403,20 @@ object SparkEntry {
       DecodeJob.decodeWhere(s, root, preds).toDF().select(col("url"), col("lang"))
     }),
 
+    // the SAME metadata-only aggregates through plain SQL over the V2 table:
+    // complete aggregate pushdown (SupportsPushDownAggregates) — no decode, no
+    // aggregation exec, one metadata row; the in-query require proves the push
+    "q_dsv2_agg" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      s.read.format("graft").load(root).createOrReplaceTempView("graft_agg_store")
+      val df = s.sql("SELECT count(*) AS row_count, " +
+        "unix_micros(min(warc_ts)) AS min_warc_ts_us, " +
+        "unix_micros(max(warc_ts)) AS max_warc_ts_us FROM graft_agg_store")
+      require(df.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+        s"aggregates must push to the graft scan:\n${df.queryExecution.executedPlan}")
+      df
+    }),
+
     // metadata-only aggregates: count(*) from manifest nRows, min/max(warc_ts)
     // from block min/max — the in-query require proves the plan never reads the
     // `encoded` column (zero decompression)
@@ -922,6 +936,10 @@ object SparkEntry {
       "AS url, lang FROM documents WHERE doc_id // 100 = 1 AND lang = 'en'"),
     "q_prune_url_prefix" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents WHERE doc_id // 100 = 1"),
+    "q_dsv2_agg" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
+      "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
+      "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +
+      "FROM documents"),
     "q_agg_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +

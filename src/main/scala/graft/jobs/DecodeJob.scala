@@ -317,8 +317,12 @@ object DecodeJob {
    * max(block_max) equal the decoded min/max; nulls don't participate, matching
    * SQL aggregate semantics.
    */
-  def statsFast(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
-    val entries = SnapshotStore.currentEntries(root)
+  def statsFast(spark: SparkSession, root: String,
+                snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val entries = snapshotId match {
+      case Some(id) => SnapshotStore.entriesAt(root, id)
+      case None => SnapshotStore.currentEntries(root)
+    }
     require(entries.nonEmpty, s"no committed snapshot under $root")
     val rowCount = entries.map(_.nRows).sum
     fromEntries(spark, root, entries) // same single manifest read as decode paths

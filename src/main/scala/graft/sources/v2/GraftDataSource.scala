@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -87,6 +88,12 @@ object GraftDataSource {
   /** Last scan's planning decisions (driver-side, for tests/ops visibility). */
   final case class PlanStats(files: Int, predicates: Int, prunedGroupKeys: Option[Int])
   @volatile var lastPlanStats: Option[PlanStats] = None
+
+  /** Aggregates answerable from store metadata alone (see [[GraftAggScan]]). */
+  sealed trait MetaAgg
+  case object AggCountStar extends MetaAgg
+  case object AggMinTs extends MetaAgg
+  case object AggMaxTs extends MetaAgg
 }
 
 final class GraftTable(root: String) extends Table with SupportsRead {
@@ -94,16 +101,22 @@ final class GraftTable(root: String) extends Table with SupportsRead {
   override def schema(): StructType = GraftDataSource.PageSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // time travel: .option("snapshotId", id) reads a historical committed
+    // snapshot (manifests are immutable per id — same mechanism as decodeAt)
+    val snapshotId = Option(options.get("snapshotId")).map(_.toLong)
+    new GraftScanBuilder(root, snapshotId)
+  }
 }
 
-final class GraftScanBuilder(root: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+final class GraftScanBuilder(root: String, snapshotId: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = GraftDataSource.PageSchema
   private var pushed: Array[Filter] = Array.empty
   private var predicates: Seq[DecodeJob.BlockPredicate] = Seq.empty
+  private var pushedAggs: Option[Seq[GraftDataSource.MetaAgg]] = None
 
   /** Epoch micros of a pushed-down timestamp literal (either external form). */
   private def tsMicros(v: Any): Option[Long] = v match {
@@ -166,20 +179,125 @@ final class GraftScanBuilder(root: String)
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
-  override def build(): Scan = new GraftScan(root, requiredSchema, predicates, pushed)
+  // -------- aggregate pushdown: count(*) / min / max (warc_ts) from metadata --------
+
+  private def isWarcTs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+        n.fieldNames.toSeq == Seq("warc_ts")
+      case _ => false
+    }
+
+  /** Convertible iff NOTHING was filtered (metadata reflects the unfiltered
+    * table — a pushed predicate would make manifest counts wrong), there is no
+    * grouping, and every aggregate is count(*)/min(warc_ts)/max(warc_ts). */
+  private def convertAgg(agg: aggregate.Aggregation): Option[Seq[GraftDataSource.MetaAgg]] = {
+    if (pushed.nonEmpty || predicates.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val fns = agg.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some(GraftDataSource.AggCountStar)
+      case m: aggregate.Min if isWarcTs(m.column) => Some(GraftDataSource.AggMinTs)
+      case m: aggregate.Max if isWarcTs(m.column) => Some(GraftDataSource.AggMaxTs)
+      case _ => None
+    }
+    if (fns.nonEmpty && fns.forall(_.isDefined)) Some(fns.flatten) else None
+  }
+
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    convertAgg(agg).isDefined
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    convertAgg(agg) match {
+      case Some(a) => pushedAggs = Some(a); true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new GraftAggScan(root, snapshotId, aggs)
+    case None => new GraftScan(root, snapshotId, requiredSchema, predicates, pushed)
+  }
 }
 
-final class GraftScan(root: String, requiredSchema: StructType,
+/**
+ * Complete aggregate pushdown: `SELECT count(*), min(warc_ts), max(warc_ts)`
+ * over the graft table is answered WITHOUT decoding anything — count(*) from
+ * the manifest's per-part row counts (driver arithmetic, zero file IO) and
+ * min/max from the block min/max metadata columns (a column-pruned scan that
+ * never touches `encoded`) — [[graft.jobs.DecodeJob.statsFast]] surfaced to
+ * plain SQL. Exact: block bounds are exact over non-null values, and nulls
+ * don't participate in SQL min/max.
+ */
+final class GraftAggScan(root: String, snapshotId: Option[Long],
+                         aggs: Seq[GraftDataSource.MetaAgg])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (GraftDataSource.AggCountStar, i) =>
+      StructField(s"count_star_$i", LongType, nullable = false)
+    case (GraftDataSource.AggMinTs, i) =>
+      StructField(s"min_warc_ts_$i", TimestampType, nullable = true)
+    case (GraftDataSource.AggMaxTs, i) =>
+      StructField(s"max_warc_ts_$i", TimestampType, nullable = true)
+  })
+
+  override def description(): String =
+    s"GraftStore root=$root PushedAggregates: [${aggs.mkString(", ")}] (metadata-only)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    // one row: (row_count, min_us, max_us); the statsFast scan reads only the
+    // small metadata columns (asserted by tests on its plan)
+    val row = DecodeJob.statsFast(spark, root, snapshotId).collect()(0)
+    val values: Array[java.lang.Long] = aggs.toArray.map {
+      case GraftDataSource.AggCountStar => java.lang.Long.valueOf(row.getLong(0))
+      case GraftDataSource.AggMinTs =>
+        if (row.isNullAt(1)) null else java.lang.Long.valueOf(row.getLong(1))
+      case GraftDataSource.AggMaxTs =>
+        if (row.isNullAt(2)) null else java.lang.Long.valueOf(row.getLong(2))
+    }
+    Array(GraftAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = GraftAggReaderFactory
+}
+
+final case class GraftAggPartition(values: Array[java.lang.Long]) extends InputPartition
+
+object GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vs = partition.asInstanceOf[GraftAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(vs.length)
+        var i = 0
+        while (i < vs.length) { row.update(i, vs(i)); i += 1 }
+        row
+      }
+      override def close(): Unit = ()
+    }
+}
+
+final class GraftScan(root: String, snapshotId: Option[Long],
+                      requiredSchema: StructType,
                       predicates: Seq[DecodeJob.BlockPredicate],
                       pushed: Array[Filter])
     extends Scan with Batch with SupportsReportStatistics {
+
+  private def snapshotEntries(): Seq[SnapshotStore.PartEntry] = snapshotId match {
+    case Some(id) => SnapshotStore.entriesAt(root, id)
+    case None => SnapshotStore.currentEntries(root)
+  }
 
   override def readSchema(): StructType = requiredSchema
 
   override def description(): String = {
     val cols = requiredSchema.fieldNames.mkString(",")
     val preds = predicates.mkString(", ")
-    s"GraftStore root=$root columns=[$cols] PushedBlockPredicates: [$preds]"
+    val snap = snapshotId.map(id => s" snapshotId=$id").getOrElse("")
+    s"GraftStore root=$root$snap columns=[$cols] PushedBlockPredicates: [$preds]"
   }
 
   override def toBatch: Batch = this
@@ -188,7 +306,7 @@ final class GraftScan(root: String, requiredSchema: StructType,
     // manifest rollup: decoded (original) byte size + exact row count; both are
     // metadata-only. Filter selectivity is left to Spark's own estimation on
     // the residual filters.
-    val entries = SnapshotStore.currentEntries(root)
+    val entries = snapshotEntries()
     val rows = entries.map(_.nRows).sum
     val bytes = entries.map(_.origBytes).sum
     new Statistics {
@@ -199,7 +317,7 @@ final class GraftScan(root: String, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val entries = SnapshotStore.currentEntries(root)
+    val entries = snapshotEntries()
     require(entries.nonEmpty, s"no committed snapshot under $root")
 
     // gated Iceberg-style planning: a metadata-only scan yields the surviving

@@ -131,8 +131,51 @@ class V2SourceSpec extends AnyFunSuite {
     assert(sortedRows(strict) == wantStrict && wantStrict.nonEmpty)
   }
 
+  test("count/min/max aggregate pushdown answers from metadata (no decode, no agg exec)") {
+    graftTable.createOrReplaceTempView("graft_agg_v2")
+    val df = spark.sql(
+      "SELECT count(*) AS c, min(warc_ts) AS mn, max(warc_ts) AS mx FROM graft_agg_v2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"aggregates must push to the scan:\n$plan")
+    val row = df.collect()(0)
+    val want = DecodeJob.decode(spark, root).toDF()
+      .agg(count(lit(1)), min(col("warc_ts")), max(col("warc_ts"))).collect()(0)
+    assert(row.getLong(0) == want.getLong(0))
+    assert(row.getTimestamp(1) == want.getTimestamp(1))
+    assert(row.getTimestamp(2) == want.getTimestamp(2))
+    // a filtered aggregate must NOT push (metadata reflects the whole table)
+    val filtered = spark.sql("SELECT count(*) AS c FROM graft_agg_v2 WHERE lang = 'en'")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(filtered.collect()(0).getLong(0) ==
+      DecodeJob.decode(spark, root).toDF().where(col("lang") === "en").count())
+    // grouped aggregates fall back to the normal scan too
+    val grouped = spark.sql("SELECT lang, count(*) FROM graft_agg_v2 GROUP BY lang")
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(grouped.count() == DecodeJob.decode(spark, root).toDF()
+      .select(col("lang")).distinct().count())
+  }
+
+  test("time travel: option(snapshotId) reads a historical snapshot, aggs included") {
+    // a second committed wave on a COPY of the store (the shared fixture must
+    // stay single-snapshot for the other tests)
+    val r2 = Files.createTempDirectory("graft-v2-tt-").toString
+    EncodeJob.run(spark, Webtext.generate(spark, 4000L, 4), r2, parts = 4, waves = 2)
+    val ids = graft.sources.SnapshotStore.snapshotIds(r2)
+    assert(ids.size == 2)
+    val oldDf = spark.read.format("graft").option("snapshotId", ids.head.toString).load(r2)
+    val newDf = spark.read.format("graft").load(r2)
+    val (nOld, nNew) = (oldDf.count(), newDf.count())
+    assert(nOld > 0 && nOld < nNew && nNew == 4000L,
+      s"old snapshot must be a strict subset: $nOld vs $nNew")
+    // aggregate pushdown respects the snapshot too
+    oldDf.createOrReplaceTempView("graft_tt_old")
+    val c = spark.sql("SELECT count(*) FROM graft_tt_old")
+    assert(c.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(c.collect()(0).getLong(0) == nOld)
+  }
+
   test("statistics report manifest row count and decoded size") {
-    val scan = new GraftScan(root, GraftDataSource.PageSchema, Seq.empty, Array.empty)
+    val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
     val st = scan.estimateStatistics()
     assert(st.numRows().getAsLong == N)
     assert(st.sizeInBytes().getAsLong > 0)
