@@ -225,24 +225,31 @@ object DecodeJob {
     * predicate still meaningfully prunes. */
   private[jobs] val PruneFractionCutoff = 0.5
 
+  /** Total block groups estimated from the manifest alone (per-part
+    * ceil(nRows/BlockSize)) — zero file IO. UNDER-estimates stores whose
+    * fat-row blocks flushed on the byte bound, which only tightens the gate's
+    * fraction threshold (less pruning, never wrong results). */
+  private[graft] def estimatedGroups(entries: Seq[SnapshotStore.PartEntry]): Long =
+    entries.map(e => math.max(1L, (e.nRows + EncodeJob.BlockSize - 1) / EncodeJob.BlockSize)).sum
+
   /**
-   * GATED planning of the pruned-group key set. One metadata-only count sizes
-   * the store (groups of the first predicate's column); surviving keys are then
+   * GATED planning of the pruned-group key set. The store is sized from the
+   * MANIFEST (one estimate, no extra Spark job); surviving keys are then
    * fetched with `take(threshold + 1)`, so a NON-selective predicate never
    * materializes an unbounded key list on the driver: past
    * min([[MaxPrunedKeyCollect]], [[PruneFractionCutoff]]·total) the caller gets
    * None and falls back to decode-everything + exact filter — identical rows by
-   * construction, no driver bottleneck at any table size.
+   * construction, no driver bottleneck at any table size. One metadata-only
+   * Spark job total.
    */
   private[graft] def planPrunedKeys(blocksDf: org.apache.spark.sql.DataFrame,
-                                   predicates: Seq[BlockPredicate]): Option[Array[(Int, Int)]] = {
+                                    predicates: Seq[BlockPredicate],
+                                    totalGroupsEstimate: Long): Option[Array[(Int, Int)]] = {
     val spark = blocksDf.sparkSession
     import spark.implicits._
     val matched = matchingKeysOf(blocksDf, predicates)
-    val totalGroups =
-      blocksDf.where(col("column") === predicates.head.column).count()
     val threshold = math.min(MaxPrunedKeyCollect.toLong,
-      math.max(1L, (totalGroups * PruneFractionCutoff).toLong)).toInt
+      math.max(1L, (totalGroupsEstimate * PruneFractionCutoff).toLong)).toInt
     val keys = matched.select($"part_id", $"block_seq").as[(Int, Int)]
       .take(threshold + 1)
     if (keys.length > threshold) None else Some(keys)
@@ -262,9 +269,11 @@ object DecodeJob {
     // ONE manifest read feeds both the metadata scan and the data scan: a
     // compaction (StoreMaintenance) committing between two reads would re-home
     // rows into part ids the collected keys no longer match — silent row loss
-    val blocksDf = blocks(spark, root)
+    val entries = SnapshotStore.currentEntries(root)
+    require(entries.nonEmpty, s"no committed snapshot under $root")
+    val blocksDf = fromEntries(spark, root, entries)
     val exact = predicates.map(rowCond).reduce(_ && _)
-    planPrunedKeys(blocksDf, predicates) match {
+    planPrunedKeys(blocksDf, predicates, estimatedGroups(entries)) match {
       case Some(keys) => reassemble(spark, keysOnly(blocksDf, keys)).filter(exact)
       // non-selective predicate: pruning can't pay — decode everything and
       // filter exactly (identical rows; no driver-side key materialization)
@@ -285,10 +294,12 @@ object DecodeJob {
     require(wanted.nonEmpty, "no columns requested")
     require(wanted.forall(PageColumns), // fail fast: a typo'd name would silently yield nulls
       s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
-    val blocksDf = blocks(spark, root) // one manifest read for both scans (see decodeWhere)
+    val entries = SnapshotStore.currentEntries(root) // ONE manifest read for both scans (see decodeWhere)
+    require(entries.nonEmpty, s"no committed snapshot under $root")
+    val blocksDf = fromEntries(spark, root, entries)
     val effective = (wanted ++ predicates.map(_.column)).distinct
     val colFiltered = blocksDf.where(col("column").isin(effective: _*))
-    val filtered = planPrunedKeys(blocksDf, predicates) match {
+    val filtered = planPrunedKeys(blocksDf, predicates, estimatedGroups(entries)) match {
       case Some(keys) => keysOnly(colFiltered, keys)
       case None => colFiltered // non-selective: column pruning only (see decodeWhere)
     }

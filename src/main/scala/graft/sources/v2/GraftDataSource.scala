@@ -325,7 +325,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     // per-task In-filter budget (the residuals still make results exact)
     val keysOpt: Option[Array[(Int, Int)]] =
       if (predicates.isEmpty) None
-      else DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), predicates)
+      else DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), predicates,
+          DecodeJob.estimatedGroups(entries))
         .filter(_.length <= DecodeJob.MaxFallbackGroups)
 
     val keyParts: Option[Set[Int]] = keysOpt.map(_.map(_._1).toSet)
@@ -341,15 +342,37 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       spark.sessionState.newHadoopConf())
     val columns = requiredSchema.fieldNames
 
-    val partitions = dirs.flatMap { d =>
+    // Spark's own file bin-packing formula: one task per file would schedule
+    // thousands of tiny tasks on a many-file store (task overhead dominated the
+    // scan in measurement); pack files greedily up to the same target Spark's
+    // FileScan uses. Bins stay within one dir (liveParts is per-dir).
+    val sqlConf = spark.sessionState.conf
+    val maxBytes = sqlConf.filesMaxPartitionBytes
+    val openCost = sqlConf.filesOpenCostInBytes
+    val allFiles = dirs.map { d =>
       val dirPath = new Path(new Path(root), d)
       val fs = dirPath.getFileSystem(conf.value)
-      fs.listStatus(dirPath).iterator
+      d -> fs.listStatus(dirPath)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
           !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-        .map(st => GraftInputPartition(st.getPath.toString, columns,
-          liveByDir(d), packedKeys, conf): InputPartition)
-        .toSeq
+        .map(st => (st.getPath.toString, st.getLen))
+    }
+    val totalBytes = allFiles.iterator.flatMap(_._2).map(_._2 + openCost).sum
+    val bytesPerCore = totalBytes / math.max(spark.sparkContext.defaultParallelism, 1)
+    val target = math.min(maxBytes, math.max(openCost, bytesPerCore))
+    val partitions = allFiles.flatMap { case (d, files) =>
+      val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[String]]()
+      var bin = scala.collection.mutable.ArrayBuffer[String]()
+      var binBytes = 0L
+      files.sortBy(-_._2).foreach { case (path, len) =>
+        if (binBytes > 0 && binBytes + len + openCost > target) {
+          bins += bin; bin = scala.collection.mutable.ArrayBuffer[String](); binBytes = 0L
+        }
+        bin += path; binBytes += len + openCost
+      }
+      if (bin.nonEmpty) bins += bin
+      bins.map(b => GraftInputPartition(b.toArray, columns,
+        liveByDir(d), packedKeys, conf): InputPartition)
     }.toArray
     GraftDataSource.lastPlanStats = Some(GraftDataSource.PlanStats(
       partitions.length, predicates.size, keysOpt.map(_.length)))
@@ -359,11 +382,12 @@ final class GraftScan(root: String, snapshotId: Option[Long],
   override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
 }
 
-/** One block parquet file; groups are whole within a file by construction. */
+/** A bin of whole block parquet files from ONE data dir; groups are whole
+  * within each file by construction. */
 final case class GraftInputPartition(
-    file: String,
+    files: Array[String],
     columns: Array[String],          // required output columns, in schema order
-    liveParts: Array[Int],           // sorted live part ids of the file's dir
+    liveParts: Array[Int],           // sorted live part ids of the files' dir
     packedKeys: Array[Long],         // sorted (part_id<<32|seq) or null = no pruning
     conf: org.apache.spark.util.SerializableConfiguration) extends InputPartition
 
@@ -386,11 +410,12 @@ object GraftReaderFactory extends PartitionReaderFactory {
 }
 
 /**
- * Streams one block file: parquet-level filters (column ∈ wanted, part/seq ∈
- * pruned keys) skip row groups by statistics, consecutive records of one
- * (part_id, block_seq) group are assembled in place, each complete group is
+ * Streams a bin of whole block files: parquet-level filters (column ∈ wanted,
+ * part/seq ∈ pruned keys) skip row groups by statistics, consecutive records of
+ * one (part_id, block_seq) group are assembled in place, each complete group is
  * decoded into its requested columns only. No shuffle, bounded memory (one
- * 64Ki-row group in flight).
+ * 64Ki-row group in flight); files are opened one at a time and the group
+ * buffer flushes at each file boundary (groups are whole per file).
  */
 final class GraftPartitionReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
@@ -401,15 +426,14 @@ final class GraftPartitionReader(p: GraftInputPartition)
   private val readCols: Array[String] = if (countOnly) Array("url") else p.columns
   private val expected: Set[String] = readCols.toSet
 
-  private val reader: ParquetReader[org.apache.parquet.example.data.Group] = {
-    val path = new Path(p.file)
-    // projection built inside ReadSupport.init from the file schema the reader
-    // already parsed (`encoded` skipped entirely in count-only mode — parquet
-    // never touches those pages); a separate footer pre-read just for the
-    // schema would double the per-file open round-trips on object storage
-    val projNames = Seq("part_id", "block_seq", "column", "n") ++
-      (if (countOnly) Seq.empty else Seq("encoded"))
+  // projection built inside ReadSupport.init from the file schema the reader
+  // already parsed (`encoded` skipped entirely in count-only mode — parquet
+  // never touches those pages); a separate footer pre-read just for the
+  // schema would double the per-file open round-trips on object storage
+  private val projNames = Seq("part_id", "block_seq", "column", "n") ++
+    (if (countOnly) Seq.empty else Seq("encoded"))
 
+  private val filter: FilterCompat.Filter = {
     var pred: FilterPredicate =
       FilterApi.in(FilterApi.binaryColumn("column"),
         readCols.map(Binary.fromString).toSet.asJava)
@@ -420,10 +444,26 @@ final class GraftPartitionReader(p: GraftInputPartition)
         FilterApi.and(FilterApi.in(FilterApi.intColumn("part_id"), pids),
           FilterApi.in(FilterApi.intColumn("block_seq"), seqs)))
     }
-    ParquetReader.builder(new ProjectingGroupReadSupport(projNames), path)
-      .withConf(p.conf.value)
-      .withFilter(FilterCompat.get(pred))
-      .build()
+    FilterCompat.get(pred)
+  }
+
+  private val fileQueue = p.files.iterator
+  private var curFile: String = _
+  private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
+
+  /** Open the next file's reader; false when the bin is exhausted. */
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (!fileQueue.hasNext) false
+    else {
+      curFile = fileQueue.next()
+      reader = ParquetReader.builder(new ProjectingGroupReadSupport(projNames),
+          new Path(curFile))
+        .withConf(p.conf.value)
+        .withFilter(filter)
+        .build()
+      true
+    }
   }
 
   private var current: InternalRow = _
@@ -450,7 +490,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
     if (bufCols.keySet != expected)
       throw new java.io.IOException(
         s"block group part_id=${(bufKey >>> 32).toInt} block_seq=${bufKey.toInt} in " +
-        s"${p.file} has columns ${bufCols.keySet.toSeq.sorted.mkString(",")}, expected " +
+        s"$curFile has columns ${bufCols.keySet.toSeq.sorted.mkString(",")}, expected " +
         s"${expected.toSeq.sorted.mkString(",")}: corrupt or foreign store layout")
     val decoded: Array[Int => Any] = readCols.map {
       case "warc_ts" =>
@@ -472,13 +512,27 @@ final class GraftPartitionReader(p: GraftInputPartition)
     }
   }
 
-  /** Pull parquet records until the buffered group completes (next key seen or
-    * EOF); returns that group's decoded rows. */
+  /** Flush and reset the group buffer (file boundary or end of the bin). */
+  private def flushBuffered(): Iterator[InternalRow] = {
+    val out = decodeBuffered()
+    bufKey = -1L; bufCols = Map.empty; bufN = 0
+    out
+  }
+
+  /** Pull parquet records until the buffered group completes (next key seen,
+    * file boundary, or end of bin); returns that group's decoded rows. */
   private def advanceGroup(): Iterator[InternalRow] = {
     while (!eof) {
+      if (reader == null) {
+        if (!openNext()) { eof = true; return flushBuffered() }
+      }
       val g = reader.read()
       if (g == null) {
-        eof = true
+        // file boundary: groups are whole per file, so the buffer must flush
+        // before the next file (the same key cannot legally continue there)
+        reader.close(); reader = null
+        val out = flushBuffered()
+        if (out.hasNext) return out
       } else {
         val packed = (g.getInteger("part_id", 0).toLong << 32) |
           (g.getInteger("block_seq", 0).toLong & 0xffffffffL)
@@ -496,14 +550,12 @@ final class GraftPartitionReader(p: GraftInputPartition)
         }
       }
     }
-    val out = decodeBuffered()
-    bufKey = -1L; bufCols = Map.empty; bufN = 0
-    out
+    Iterator.empty
   }
 
   override def next(): Boolean = {
     while (!pending.hasNext) {
-      if (eof && bufKey < 0) return false
+      if (eof) return false
       pending = advanceGroup()
     }
     current = pending.next()
@@ -511,5 +563,5 @@ final class GraftPartitionReader(p: GraftInputPartition)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }
