@@ -86,7 +86,8 @@ object GraftDataSource {
     StructField("lang", StringType, nullable = true)))
 
   /** Last scan's planning decisions (driver-side, for tests/ops visibility). */
-  final case class PlanStats(files: Int, predicates: Int, prunedGroupKeys: Option[Int])
+  final case class PlanStats(partitions: Int, files: Int, predicates: Int,
+      prunedGroupKeys: Option[Int])
   @volatile var lastPlanStats: Option[PlanStats] = None
 
   /** Aggregates answerable from store metadata alone (see [[GraftAggScan]]). */
@@ -104,7 +105,12 @@ final class GraftTable(root: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel: .option("snapshotId", id) reads a historical committed
     // snapshot (manifests are immutable per id — same mechanism as decodeAt)
-    val snapshotId = Option(options.get("snapshotId")).map(_.toLong)
+    val snapshotId = Option(options.get("snapshotId")).map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"invalid snapshotId option '$v': expected a numeric committed snapshot id")
+      }
+    }
     new GraftScanBuilder(root, snapshotId)
   }
 }
@@ -239,16 +245,28 @@ final class GraftAggScan(root: String, snapshotId: Option[Long],
       StructField(s"max_warc_ts_$i", TimestampType, nullable = true)
   })
 
-  override def description(): String =
-    s"GraftStore root=$root PushedAggregates: [${aggs.mkString(", ")}] (metadata-only)"
+  override def description(): String = {
+    val snap = snapshotId.map(id => s" snapshotId=$id").getOrElse("")
+    s"GraftStore root=$root$snap PushedAggregates: [${aggs.mkString(", ")}] (metadata-only)"
+  }
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    // one row: (row_count, min_us, max_us); the statsFast scan reads only the
-    // small metadata columns (asserted by tests on its plan)
-    val row = DecodeJob.statsFast(spark, root, snapshotId).collect()(0)
+    val needsTsBounds = aggs.exists(a => a == GraftDataSource.AggMinTs ||
+      a == GraftDataSource.AggMaxTs)
+    // count(*)-only: pure manifest arithmetic, zero Spark jobs and zero file
+    // IO; the metadata scan (statsFast) runs only when ts bounds are asked for
+    val row: org.apache.spark.sql.Row =
+      if (needsTsBounds) DecodeJob.statsFast(SparkSession.active, root, snapshotId).collect()(0)
+      else {
+        val entries = snapshotId match {
+          case Some(id) => SnapshotStore.entriesAt(root, id)
+          case None => SnapshotStore.currentEntries(root)
+        }
+        require(entries.nonEmpty, s"no committed snapshot under $root")
+        org.apache.spark.sql.Row(entries.map(_.nRows).sum, null, null)
+      }
     val values: Array[java.lang.Long] = aggs.toArray.map {
       case GraftDataSource.AggCountStar => java.lang.Long.valueOf(row.getLong(0))
       case GraftDataSource.AggMinTs =>
@@ -358,7 +376,9 @@ final class GraftScan(root: String, snapshotId: Option[Long],
         .map(st => (st.getPath.toString, st.getLen))
     }
     val totalBytes = allFiles.iterator.flatMap(_._2).map(_._2 + openCost).sum
-    val bytesPerCore = totalBytes / math.max(spark.sparkContext.defaultParallelism, 1)
+    val minPartitionNum = sqlConf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val bytesPerCore = totalBytes / math.max(minPartitionNum, 1)
     val target = math.min(maxBytes, math.max(openCost, bytesPerCore))
     val partitions = allFiles.flatMap { case (d, files) =>
       val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[String]]()
@@ -375,7 +395,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
         liveByDir(d), packedKeys, conf): InputPartition)
     }.toArray
     GraftDataSource.lastPlanStats = Some(GraftDataSource.PlanStats(
-      partitions.length, predicates.size, keysOpt.map(_.length)))
+      partitions.length, allFiles.iterator.map(_._2.length).sum,
+      predicates.size, keysOpt.map(_.length)))
     partitions
   }
 
