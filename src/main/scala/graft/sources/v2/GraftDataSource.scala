@@ -300,9 +300,38 @@ object GraftAggReaderFactory extends PartitionReaderFactory {
 
 final class GraftScan(root: String, snapshotId: Option[Long],
                       requiredSchema: StructType,
-                      predicates: Seq[DecodeJob.BlockPredicate],
+                      initialPredicates: Seq[DecodeJob.BlockPredicate],
                       pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Compile-time predicates + any runtime (DPP-style) In-filters Spark
+    * delivers just before execution. */
+  @volatile private var predicates: Seq[DecodeJob.BlockPredicate] = initialPredicates
+
+  /** Runtime-filter value-list ceiling: a broadcast join key set larger than
+    * this prunes little per value while bloating the metadata scan's In-list —
+    * ignore it (a no-op runtime filter is always sound; the join still
+    * evaluates exactly). */
+  private val MaxRuntimeInValues = 10000
+
+  // ---- SupportsRuntimeFiltering: a broadcast-join build side over url (the
+  // store's sort/partition key) prunes block groups AT EXECUTION — the V2
+  // analog of dynamic partition pruning, riding the same block metadata ----
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("url"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val extra = filters.toSeq.flatMap {
+      case sources.In("url", vs)
+          if vs.nonEmpty && vs.length <= MaxRuntimeInValues &&
+            vs.forall(_.isInstanceOf[String]) =>
+        Seq(DecodeJob.StrIn("url", vs.toSeq.map(_.asInstanceOf[String])))
+      case sources.EqualTo("url", v: String) => Seq(DecodeJob.StrEq("url", v))
+      case _ => Seq.empty // unconvertible runtime filter: scan stays a superset
+    }
+    if (extra.nonEmpty) predicates = predicates ++ extra
+  }
 
   private def snapshotEntries(): Seq[SnapshotStore.PartEntry] = snapshotId match {
     case Some(id) => SnapshotStore.entriesAt(root, id)

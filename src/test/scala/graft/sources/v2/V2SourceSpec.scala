@@ -193,6 +193,33 @@ class V2SourceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.files.minPartitionNum")
   }
 
+  test("runtime filtering: join-delivered url In-filter prunes groups; joins stay exact") {
+    // deterministic unit check of the runtime-filter hook itself
+    val urls = Seq(Webtext.page(5L).url, Webtext.page(77L).url)
+    val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("url"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("url", urls.toArray[Any])))
+    scan.planInputPartitions()
+    val stats = GraftDataSource.lastPlanStats.get
+    val totalGroups = DecodeJob.blocks(spark, root).where(col("column") === "url").count()
+    assert(stats.prunedGroupKeys.exists(k => k > 0 && k < totalGroups),
+      s"runtime In-filter must prune groups: $stats of $totalGroups")
+    // an oversized or unconvertible runtime filter is a sound no-op
+    val scan2 = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("url", Array.tabulate(20000)(i => s"u$i": Any))))
+    scan2.planInputPartitions()
+    assert(GraftDataSource.lastPlanStats.get.prunedGroupKeys.isEmpty)
+    // end-to-end: broadcast join over the V2 table returns exact rows
+    import spark.implicits._
+    val small = urls.toDF("url")
+    val joined = graftTable.join(broadcast(small), Seq("url")).select(col("url"), col("lang"))
+    val want = DecodeJob.decode(spark, root).toDF()
+      .join(broadcast(small), Seq("url")).select(col("url"), col("lang"))
+    assert(sortedRows(joined) == sortedRows(want) && joined.count() == 2)
+  }
+
   test("statistics report manifest row count and decoded size") {
     val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
     val st = scan.estimateStatistics()
