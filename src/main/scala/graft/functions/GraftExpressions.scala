@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftshim.ShimTypes
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.codec.{IntBlockCodec, StringBlockCodec}
@@ -19,6 +20,10 @@ import graft.core.{GolombCodec, PhysicalIntType}
  * doGenCode and stays inside whole-stage codegen.
  */
 object GraftExprUtil {
+  /** The integral array shapes every codec expression accepts (analysis-time). */
+  val IntegralArrays: ShimTypes.AbstractDataType = ShimTypes.typeCollection(
+    ArrayType(LongType), ArrayType(IntegerType), ArrayType(ShortType), ArrayType(ByteType))
+
   def elementTypeOf(dt: DataType): PhysicalIntType = dt match {
     case ArrayType(LongType, _) => PhysicalIntType.I64
     case ArrayType(IntegerType, _) => PhysicalIntType.I32
@@ -27,28 +32,69 @@ object GraftExprUtil {
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
-  def toLongs(arr: ArrayData, dt: DataType): Array[Long] = dt match {
-    case ArrayType(LongType, _) => arr.toLongArray()
-    case ArrayType(IntegerType, _) => arr.toIntArray().map(_.toLong)
-    case ArrayType(ShortType, _) => arr.toShortArray().map(_.toLong)
-    case ArrayType(ByteType, _) => arr.toByteArray().map(_.toLong)
+  @inline private def getter(arr: ArrayData, dt: DataType): Int => Long = dt match {
+    case ArrayType(LongType, _) => arr.getLong
+    case ArrayType(IntegerType, _) => i => arr.getInt(i).toLong
+    case ArrayType(ShortType, _) => i => arr.getShort(i).toLong
+    case ArrayType(ByteType, _) => i => arr.getByte(i).toLong
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  /** Values for a NULL-FREE bitstream. ArrayData.toLongArray & friends IGNORE
+    * validity bits (an unsafe array's null slot reads as garbage/0), so null
+    * elements must be rejected loudly here — silently encoding null as 0 is
+    * data corruption. */
+  def toLongs(arr: ArrayData, dt: DataType, exprName: String): Array[Long] = {
+    val n = arr.numElements()
+    val get = getter(arr, dt)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$exprName: array element $i is NULL — the bare reference bitstream has no " +
+          "validity; filter nulls out, or use graft_encode/graft_decode (nullable blocks)")
+      out(i) = get(i)
+      i += 1
+    }
+    out
+  }
+
+  /** (values, validity) honoring element nulls (graft block format path). */
+  def toLongsNullable(arr: ArrayData, dt: DataType): (Array[Long], Array[Boolean]) = {
+    val n = arr.numElements()
+    val get = getter(arr, dt)
+    val out = new Array[Long](n)
+    val ok = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { ok(i) = true; out(i) = get(i) }
+      i += 1
+    }
+    (out, ok)
   }
 }
 
-/** eg_encode(array<integral>, k [, 'i8'..'u64']) -> binary (bare reference bitstream). */
+/** eg_encode(array<integral>, k [, 'i8'..'u64']) -> binary (bare reference
+  * bitstream; with no type argument the physical type is INFERRED from the
+  * array element type — same default as eg_encode_adaptive). */
 case class EgEncode(child: Expression, kExpr: Expression, typeExpr: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
   def this(child: Expression, kExpr: Expression) =
-    this(child, kExpr, Literal(UTF8String.fromString("i64"), StringType))
+    this(child, kExpr, Literal(UTF8String.fromString(""), StringType))
 
   override def first: Expression = child
   override def second: Expression = kExpr
   override def third: Expression = typeExpr
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] =
+    Seq(GraftExprUtil.IntegralArrays, IntegerType, StringType)
   override def dataType: DataType = BinaryType
   override def nullSafeEval(arr: Any, k: Any, typ: Any): Any = {
-    val t = PhysicalIntType.fromName(typ.toString)
-    val values = GraftExprUtil.toLongs(arr.asInstanceOf[ArrayData], child.dataType)
+    val t = typ.toString match {
+      case "" => GraftExprUtil.elementTypeOf(child.dataType)
+      case s => PhysicalIntType.fromName(s)
+    }
+    val values = GraftExprUtil.toLongs(arr.asInstanceOf[ArrayData], child.dataType, prettyName)
     GolombCodec.encode(values, k.asInstanceOf[Number].intValue(), t)
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
@@ -58,10 +104,11 @@ case class EgEncode(child: Expression, kExpr: Expression, typeExpr: Expression)
 
 /** eg_decode(binary, k, 'i8'..'u64') -> array<long> (reference decode semantics). */
 case class EgDecode(child: Expression, kExpr: Expression, typeExpr: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
   override def first: Expression = child
   override def second: Expression = kExpr
   override def third: Expression = typeExpr
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] = Seq(BinaryType, IntegerType, StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(bin: Any, k: Any, typ: Any): Any = {
     val t = PhysicalIntType.fromName(typ.toString)
@@ -78,12 +125,26 @@ case class EgEncodeAdaptive(children: Seq[Expression])
     extends Expression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = children.exists(_.nullable)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val shape = children.map(_.dataType)
+    val ok = (children.length == 3 || children.length == 4) &&
+      ShimTypes.accepts(GraftExprUtil.IntegralArrays, shape(0)) &&
+      Seq(shape(1), shape(2)).forall(t =>
+        t == IntegerType || t == LongType || t == ShortType || t == ByteType) &&
+      (children.length == 3 || shape(3) == StringType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<integral>, k int, a int [, type string]), got " +
+      shape.map(_.simpleString).mkString("(", ", ", ")"))
+  }
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.exists(_ == null)) return null
     val t = if (children.length > 3) PhysicalIntType.fromName(vs(3).toString)
             else GraftExprUtil.elementTypeOf(children.head.dataType)
-    val values = GraftExprUtil.toLongs(vs(0).asInstanceOf[ArrayData], children.head.dataType)
+    val values = GraftExprUtil.toLongs(vs(0).asInstanceOf[ArrayData],
+      children.head.dataType, prettyName)
     GolombCodec.adaptiveEncode(values,
       vs(1).asInstanceOf[Number].intValue(), vs(2).asInstanceOf[Number].intValue(), t)
   }
@@ -93,7 +154,9 @@ case class EgEncodeAdaptive(children: Seq[Expression])
 
 /** eg_decode_adaptive(binary, k, a, 'type') -> array<long>. */
 case class EgDecodeAdaptive(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] =
+    Seq(BinaryType, IntegerType, IntegerType, StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -109,17 +172,22 @@ case class EgDecodeAdaptive(children: Seq[Expression])
 
 /** graft_encode(array<integral> [, type]) -> binary self-describing block, auto codec. */
 case class GraftEncode(child: Expression, typeExpr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
   def this(child: Expression) = this(child, Literal(UTF8String.fromString(""), StringType))
   override def left: Expression = child
   override def right: Expression = typeExpr
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] =
+    Seq(GraftExprUtil.IntegralArrays, StringType)
   override def dataType: DataType = BinaryType
   override def nullSafeEval(arr: Any, typ: Any): Any = {
     val t = typ.toString match {
       case "" => GraftExprUtil.elementTypeOf(child.dataType)
       case s => PhysicalIntType.fromName(s)
     }
-    IntBlockCodec.encode(GraftExprUtil.toLongs(arr.asInstanceOf[ArrayData], child.dataType), t)
+    // element nulls ride the block format's validity bitmap (all-valid blocks
+    // are byte-identical to the plain format), round-tripping via graft_decode
+    val (values, valid) = GraftExprUtil.toLongsNullable(arr.asInstanceOf[ArrayData], child.dataType)
+    IntBlockCodec.encodeNullable(values, valid, t)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, typeExpr = r)
@@ -128,7 +196,9 @@ case class GraftEncode(child: Expression, typeExpr: Expression)
 
 /** graft_decode(binary) -> array<long>; the block is self-describing (null elements
   * restored from the validity bitmap of nullable blocks). */
-case class GraftDecode(child: Expression) extends UnaryExpression with CodegenFallback {
+case class GraftDecode(child: Expression) extends UnaryExpression with CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullSafeEval(bin: Any): Any = {
     val (vs, ok) = IntBlockCodec.decodeNullable(bin.asInstanceOf[Array[Byte]])
@@ -142,7 +212,9 @@ case class GraftDecode(child: Expression) extends UnaryExpression with CodegenFa
 }
 
 /** graft_codec(binary) -> string describing the chosen codec tree. */
-case class GraftCodecName(child: Expression) extends UnaryExpression with CodegenFallback {
+case class GraftCodecName(child: Expression) extends UnaryExpression with CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   override def nullSafeEval(bin: Any): Any = {
     val bs = bin.asInstanceOf[Array[Byte]]
@@ -156,7 +228,9 @@ case class GraftCodecName(child: Expression) extends UnaryExpression with Codege
 }
 
 /** graft_encode_str(array<string>) -> binary string block (dict/FSST/plain auto). */
-case class GraftEncodeStr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class GraftEncodeStr(child: Expression) extends UnaryExpression with CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = BinaryType
   override def nullSafeEval(arr: Any): Any = {
     val a = arr.asInstanceOf[ArrayData]
@@ -174,7 +248,9 @@ case class GraftEncodeStr(child: Expression) extends UnaryExpression with Codege
 }
 
 /** graft_decode_str(binary) -> array<string> (null elements preserved). */
-case class GraftDecodeStr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class GraftDecodeStr(child: Expression) extends UnaryExpression with CodegenFallback
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullSafeEval(bin: Any): Any = {
     val decoded = StringBlockCodec.decode(bin.asInstanceOf[Array[Byte]])
@@ -193,20 +269,25 @@ case class GraftDecodeStr(child: Expression) extends UnaryExpression with Codege
  * first (bucket 0). The boundary array rides in the task binary via
  * `ctx.addReferenceObj` (broadcast once per stage, like any plan constant).
  */
-case class RangeBucketId(child: Expression, boundaries: Array[String], offset: Int)
+case class RangeBucketId(child: Expression, boundaries: Seq[String], offset: Int)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
 
+  // Seq field (not Array): case-class equality stays structural, so two
+  // expressions built from the same BOUNDARIES file compare semanticEquals and
+  // common-subexpression elimination can dedup them
+  @transient private lazy val boundaryArr: Array[String] = boundaries.toArray
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    offset + RangeBucketId.bucket(boundaries, if (v == null) null else v.toString)
+    offset + RangeBucketId.bucket(boundaryArr, if (v == null) null else v.toString)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
-    val bRef = ctx.addReferenceObj("boundaries", boundaries, "java.lang.String[]")
+    val bRef = ctx.addReferenceObj("boundaries", boundaryArr, "java.lang.String[]")
     val childGen = child.genCode(ctx)
     val call =
       s"int ${ev.value} = $offset + graft.functions.RangeBucketId$$.MODULE$$.bucket(" +

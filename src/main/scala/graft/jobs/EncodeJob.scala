@@ -97,14 +97,15 @@ object EncodeJob {
     }.distinct
   }
 
-  def loadOrCreateBoundaries(root: String, pages: Dataset[WebPage], parts: Int): Array[String] = {
-    val p = Paths.get(root, "BOUNDARIES")
+  def loadOrCreateBoundaries(root: String, pages: Dataset[WebPage], parts: Int,
+                             boundariesFile: String = "BOUNDARIES"): Array[String] = {
+    val p = Paths.get(root, boundariesFile)
     if (Files.exists(p)) {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
     } else {
       val bs = computeBoundaries(pages, parts)
       Files.createDirectories(p.getParent)
-      val tmp = Paths.get(root, s".BOUNDARIES.tmp.${java.util.UUID.randomUUID()}")
+      val tmp = Paths.get(root, s".$boundariesFile.tmp.${java.util.UUID.randomUUID()}")
       Files.write(tmp, bs.mkString("\n").getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
       bs
@@ -345,7 +346,8 @@ object EncodeJob {
    */
   def run(spark: SparkSession, pages: Dataset[WebPage], root: String, parts: Int,
           waves: Int = 1, maxWaves: Int = Int.MaxValue, partOffset: Long = 0L,
-          maxBlockBytes: Long = MaxBlockBytes): RunResult = {
+          maxBlockBytes: Long = MaxBlockBytes,
+          boundariesFile: String = "BOUNDARIES"): RunResult = {
     // part ids are Int: a streaming batchId*parts namespace past Int.MaxValue
     // would wrap NEGATIVE (colliding with the compaction namespace and earlier
     // batches) and silently drop work in the resume anti-join — fail fast
@@ -353,7 +355,7 @@ object EncodeJob {
       s"part-id namespace [$partOffset, ${partOffset + parts}) exceeds the Int range")
     import spark.implicits._
     Files.createDirectories(Paths.get(root))
-    val boundaries = loadOrCreateBoundaries(root, pages, parts)
+    val boundaries = loadOrCreateBoundaries(root, pages, parts, boundariesFile)
 
     val withPart = withPartIds(pages.toDF(), boundaries, partOffset.toInt)
 

@@ -31,7 +31,7 @@ import graft.functions.{GraftDecode, GraftDecodeStr}
  * leaf relation — metadata of one table never prunes blocks of another, and renamed
  * columns disable the rule rather than mis-prune.
  */
-object BlockMinMaxPruneRule extends Rule[LogicalPlan] {
+object BlockMinMaxPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def literalLong(e: Expression): Option[Long] = e match {
     case Literal(v: Long, LongType) => Some(v)
@@ -51,19 +51,20 @@ object BlockMinMaxPruneRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val out = child.output
-      def meta(name: String) = out.find(_.name.equalsIgnoreCase(name))
-      val minAttr = meta("block_min"); val maxAttr = meta("block_max")
-      val dictAttr = meta("block_dict")
-      val sMinAttr = meta("block_str_min"); val sMaxAttr = meta("block_str_max")
-      val sDictAttr = meta("block_str_dict")
-      if (minAttr.isEmpty && dictAttr.isEmpty && sMinAttr.isEmpty && sDictAttr.isEmpty) f
+      if (!out.exists(a => a.name.equalsIgnoreCase("block_min") ||
+          a.name.equalsIgnoreCase("block_dict") ||
+          a.name.equalsIgnoreCase("block_str_min") ||
+          a.name.equalsIgnoreCase("block_str_dict"))) f
       else {
-        // the metadata must describe the decoded column's own blocks: both sides
-        // must resolve to the SAME leaf relation (post-join name collisions and
-        // renamed tables must not prune each other's rows)
+        // the metadata must describe the decoded column's own blocks, so it is
+        // resolved RELATIVE to the encoded attribute's leaf relation (a
+        // find-first-by-name over a join's output could bind the OTHER table's
+        // metadata, fail the relation check, and silently lose pruning for the
+        // second table even though its own metadata was present)
         val leaves = child.collectLeaves()
-        def sameRelation(enc: Attribute, metas: Seq[Attribute]): Boolean =
-          leaves.exists(l => l.outputSet.contains(enc) && metas.forall(l.outputSet.contains))
+        def metaFor(enc: Attribute, name: String): Option[Attribute] =
+          leaves.find(_.outputSet.contains(enc)).flatMap(l =>
+            out.find(a => a.name.equalsIgnoreCase(name) && l.outputSet.contains(a)))
 
         val conjuncts = splitConjunctivePredicates(cond)
         val extra = conjuncts.flatMap {
@@ -71,24 +72,18 @@ object BlockMinMaxPruneRule extends Rule[LogicalPlan] {
               if enc.name.equalsIgnoreCase("encoded") =>
             literalLong(lit).toSeq.flatMap { v =>
               val range = for {
-                mn <- minAttr; mx <- maxAttr
-                if sameRelation(enc, Seq(mn, mx))
+                mn <- metaFor(enc, "block_min"); mx <- metaFor(enc, "block_max")
               } yield rangeConjunct(mn, mx, Literal(v))
-              val dict = dictAttr
-                .filter(d => sameRelation(enc, Seq(d)))
-                .map(d => dictConjunct(d, Literal(v)))
+              val dict = metaFor(enc, "block_dict").map(d => dictConjunct(d, Literal(v)))
               range.toSeq ++ dict.toSeq
             }
 
           case ArrayContains(GraftDecodeStr(enc: AttributeReference), l @ Literal(s, StringType))
               if s != null && enc.name.equalsIgnoreCase("encoded") =>
             val range = for {
-              mn <- sMinAttr; mx <- sMaxAttr
-              if sameRelation(enc, Seq(mn, mx))
+              mn <- metaFor(enc, "block_str_min"); mx <- metaFor(enc, "block_str_max")
             } yield rangeConjunct(mn, mx, l)
-            val dict = sDictAttr
-              .filter(d => sameRelation(enc, Seq(d)))
-              .map(d => dictConjunct(d, l))
+            val dict = metaFor(enc, "block_str_dict").map(d => dictConjunct(d, l))
             range.toSeq ++ dict.toSeq
 
           case _ => Nil
@@ -100,10 +95,4 @@ object BlockMinMaxPruneRule extends Rule[LogicalPlan] {
         else Filter(extra.foldRight(cond)((e, acc) => And(e, acc)), child)
       }
   }
-
-  private def splitConjunctivePredicates(condition: Expression): Seq[Expression] =
-    condition match {
-      case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-      case other => Seq(other)
-    }
 }

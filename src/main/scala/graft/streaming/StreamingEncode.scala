@@ -26,6 +26,11 @@ object StreamingEncode {
   /** Encode a streaming pages source into the snapshot store, one commit per batch. */
   def encodeStream(pages: DataFrame, root: String, parts: Int,
                    checkpointDir: String): StreamingQuery = {
+    // the exactly-once namespace is batchId*parts — a RESTART with a different
+    // `parts` would re-home a replayed batch into fresh (uncommitted) ids and
+    // the manifest anti-join could no longer drop it (duplicate rows). Pin the
+    // stream's parts in a sidecar and refuse a mismatch.
+    checkStreamParts(root, parts)
     pages.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -34,12 +39,33 @@ object StreamingEncode {
         import batch.sparkSession.implicits._
         // distinct work-unit namespace per micro-batch: appends get fresh part ids,
         // while a REPLAYED batch reuses its ids and is dropped by the resume
-        // anti-join -> exactly-once block commits
+        // anti-join -> exactly-once block commits. Boundaries are PER BATCH:
+        // one global file sampled from micro-batch 0 would skew every later
+        // batch's work units whenever the first file is unrepresentative (e.g.
+        // one host's pages under maxFilesPerTrigger=1); replay determinism
+        // holds either way — the per-batch file is persisted, and recomputing
+        // it from the same replayed batch yields identical boundaries.
         EncodeJob.run(batch.sparkSession, batch.as[WebPage], root, parts,
-          partOffset = batchId * parts)
+          partOffset = batchId * parts, boundariesFile = s"BOUNDARIES.b$batchId")
         ()
       }
       .start()
+  }
+
+  private def checkStreamParts(root: String, parts: Int): Unit = {
+    val p = java.nio.file.Paths.get(root, "STREAM_PARTS")
+    if (java.nio.file.Files.exists(p)) {
+      val prev = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      require(prev == parts,
+        s"stream at $root was started with parts=$prev; restarting with parts=$parts " +
+        "would break the exactly-once part-id namespace (batchId*parts) — keep the " +
+        "original value or start a fresh store+checkpoint")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, parts.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** Watermarked TUMBLING-window page counts per lang (event time = warc_ts). */
@@ -52,7 +78,9 @@ object StreamingEncode {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col("lang"), col("cnt"))
 
-  final case class SeenState(firstSeenBatchMs: Long)
+  /** Existence-only dedup state; the payload is a deterministic constant so
+    * checkpointed state bytes do not vary across task retries. */
+  final case class SeenState(seen: Boolean)
   final case class DedupIn(fp: Long, url: String)
 
   /**
@@ -78,7 +106,7 @@ object StreamingEncode {
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             Iterator.empty // duplicates of an already-seen fingerprint
           } else {
-            state.update(SeenState(System.currentTimeMillis()))
+            state.update(SeenState(seen = true))
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
             rows.take(1) // first occurrence wins; same-batch repeats drop too
           }

@@ -14,3 +14,12 @@ object Shim {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
+
+/** `private[sql]` analysis types re-exported for the graft expression layer. */
+object ShimTypes {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+  def typeCollection(types: org.apache.spark.sql.types.AbstractDataType*): AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
+  def accepts(t: AbstractDataType, dt: org.apache.spark.sql.types.DataType): Boolean =
+    t.acceptsType(dt)
+}

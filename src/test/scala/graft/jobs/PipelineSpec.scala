@@ -736,4 +736,72 @@ class PipelineSpec extends AnyFunSuite {
       "3\n4\n9\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(SnapshotStore.currentTombstones(root) == Set(3, 4, 9))
   }
+
+  test("expression surface: null elements reject (eg) or round-trip (graft); types check at analysis") {
+    import spark.implicits._
+    GraftFunctions.registerAll(spark)
+    // graft_encode/graft_decode carry element nulls via the validity bitmap
+    Seq((1, Seq[java.lang.Long](1L, null, 3L))).toDF("id", "vals")
+      .createOrReplaceTempView("null_vals")
+    val rt = spark.sql("SELECT graft_decode(graft_encode(vals)) AS r FROM null_vals")
+      .collect()(0).getSeq[Any](0)
+    assert(rt == Seq(1L, null, 3L), s"null element must survive the graft block: $rt")
+    // the bare reference bitstream has no validity: loud error, never silent 0
+    val e = intercept[Exception] {
+      spark.sql("SELECT eg_encode(vals, 3) FROM null_vals").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("NULL"),
+      s"eg_encode must name the null element: ${e.getMessage}")
+    // wrong argument TYPES fail at analysis, not as per-row ClassCastException
+    // (a plain string 'abc' implicitly CASTS to binary now — also an upgrade
+    // from the old ClassCastException — so use a genuinely uncastable shape)
+    val analysisErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_decode(array(1L, 2L))").collect()
+    }
+    assert(analysisErr.getMessage.toLowerCase.contains("graft_decode") ||
+      analysisErr.getMessage.toLowerCase.contains("binary"))
+    // garbage bytes now surface as the typed corrupt-block error (cast path)
+    intercept[graft.codec.IntBlockCodec.CorruptBlockException] {
+      spark.sql("SELECT graft_decode('abc')").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT eg_encode_adaptive(array(1L), 'x', 2)").collect()
+    }
+    // 2-arg eg_encode infers the physical type from the element type (matches
+    // eg_encode_adaptive); explicit i32 equals the inferred form on int arrays
+    Seq((1, Seq(5, 6, 7))).toDF("id", "ivals").createOrReplaceTempView("int_vals")
+    val pair = spark.sql(
+      "SELECT eg_encode(ivals, 2), eg_encode(ivals, 2, 'i32') FROM int_vals").collect()(0)
+    assert(java.util.Arrays.equals(pair.getAs[Array[Byte]](0), pair.getAs[Array[Byte]](1)))
+  }
+
+  test("prune rule binds metadata per leaf relation (joins of two block tables)") {
+    import spark.implicits._
+    ensurePruneRule()
+    GraftFunctions.registerAll(spark)
+    def mk(dir: String, shift: Long): Unit =
+      Seq((1, 0L + shift, 99L + shift,
+            graft.codec.IntBlockCodec.encode(Array(0L + shift, 50L + shift, 99L + shift), graft.core.PhysicalIntType.I64)),
+          (2, 100L + shift, 199L + shift,
+            graft.codec.IntBlockCodec.encode(Array(100L + shift, 150L + shift, 199L + shift), graft.core.PhysicalIntType.I64)))
+        .toDF("block_id", "block_min", "block_max", "encoded")
+        .write.mode("overwrite").parquet(dir)
+    val base = freshRoot()
+    mk(s"$base/a", 0L); mk(s"$base/b", 1000L)
+    spark.read.parquet(s"$base/a").createOrReplaceTempView("blocks_a")
+    spark.read.parquet(s"$base/b").createOrReplaceTempView("blocks_b")
+    val q = spark.sql(
+      """SELECT a.block_id, b.block_id FROM blocks_a a JOIN blocks_b b
+        |ON a.block_id = b.block_id
+        |WHERE array_contains(graft_decode(a.encoded), 150L)
+        |  AND array_contains(graft_decode(b.encoded), 1150L)""".stripMargin)
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    // BOTH sides' conjuncts must appear (the second table's metadata previously
+    // resolved to the first table's attributes and was dropped)
+    assert(optimized.contains("150"), s"side-a conjunct missing:\n$optimized")
+    val minRefs = "block_min#\\d+".r.findAllIn(optimized).toSeq.distinct
+    assert(minRefs.size >= 2,
+      s"each join side must get its OWN metadata conjunct, saw $minRefs:\n$optimized")
+    assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 2)))
+  }
 }

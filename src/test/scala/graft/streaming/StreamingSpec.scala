@@ -170,4 +170,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(!sink.exists(_._2 == "LATE"), "late row must be dropped by the watermark")
     assert(!sink.exists(_._2 == "ZZ"), "sentinel window never closes")
   }
+
+  test("restarting a stream with a different parts value is refused (namespace guard)") {
+    import spark.implicits._
+    val dir = tmp()
+    val src = s"$dir/src"; val store = s"$dir/store"; val ckpt = s"$dir/ckpt"
+    val pages = Webtext.generate(spark, 500, 2).toDF()
+    pages.write.mode("overwrite").parquet(src)
+    StreamingEncode.encodeStream(
+      spark.readStream.schema(pages.schema).parquet(src), store, parts = 2, ckpt)
+      .awaitTermination()
+    val e = intercept[IllegalArgumentException] {
+      StreamingEncode.encodeStream(
+        spark.readStream.schema(pages.schema).parquet(src), store, parts = 4, ckpt)
+    }
+    assert(e.getMessage.contains("parts=2") && e.getMessage.contains("parts=4"))
+    // same parts restarts fine and stays exactly-once
+    StreamingEncode.encodeStream(
+      spark.readStream.schema(pages.schema).parquet(src), store, parts = 2, ckpt)
+      .awaitTermination()
+    assert(SnapshotStore.currentEntries(store).map(_.nRows).sum == 500L)
+  }
 }
