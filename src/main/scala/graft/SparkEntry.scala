@@ -478,6 +478,23 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
 
+    // REAL audio decode (JDK javax.sound.sampled): deterministic 16-bit PCM
+    // WAVs generated in-query per doc_id; the distributed kernel recovers
+    // rate/channels/frames/duration and the EXACT peak amplitude — all known
+    // in closed form (lossless PCM)
+    "q_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val wavs = t(s, d, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = 1000 + (id % 500).toInt
+          val amp = 1 + ((id * 31) % 32000).toInt
+          (id, Multimodal.syntheticWav(frames, 8000, amp))
+        }).toDF("media_id", "payload")
+      Multimodal.audioMeta(wavs, "media_id", "payload").toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("frames"), col("duration_ms"), col("peak"))
+    }),
+
     // ---------------- aggregations / stats ----------------
     "q1_agg" -> ((s, d) => t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -950,6 +967,11 @@ object SparkEntry {
       "unnest(generate_series(0, CAST(1000 + (doc_id % 37) * 211 - 1 AS BIGINT), 250)) AS f " +
       "FROM documents)"),
 
+    "q_audio_meta" -> ("SELECT CAST(doc_id AS BIGINT) AS media_id, " +
+      "CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels, " +
+      "CAST(1000 + doc_id % 500 AS BIGINT) AS frames, " +
+      "(1000 + doc_id % 500) * 1000 // 8000 AS duration_ms, " +
+      "CAST(1 + (doc_id * 31) % 32000 AS INTEGER) AS peak FROM documents"),
     "q_image_meta" -> ("SELECT CAST(doc_id AS BIGINT) AS media_id, 'png' AS format, " +
       "CAST(8 + doc_id % 16 AS INTEGER) AS width, CAST(4 + doc_id % 8 AS INTEGER) AS height, " +
       "CAST((doc_id * 37) % 256 AS INTEGER) AS mean_r, " +

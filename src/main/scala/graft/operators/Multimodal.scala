@@ -23,11 +23,13 @@ final case class MediaFeatures(mediaId: Long, kind: String, features: Array[Floa
  * IMAGE decode is REAL: [[imageMeta]] decodes PNG/JPEG/GIF/BMP payloads with the
  * JDK's built-in `javax.imageio` (no external dependency) into dimensions, format
  * and per-channel pixel means, in the same payload-bounded mapPartitions batch
- * shape a vectorized decoder needs. Audio/video decode remains STUBBED (no media
- * codec libraries in this container) behind [[Multimodal.decodeStub]], a
- * deterministic fake keyed on the payload hash so those pipelines stay testable
- * end-to-end; swap `decodeStub` for a real JNI/FFM decoder without touching any
- * plan shape.
+ * shape a vectorized decoder needs. AUDIO decode is REAL for PCM containers:
+ * [[audioMeta]] parses WAV/AIFF/AU via the JDK's `javax.sound.sampled` into
+ * rate/channels/frames/duration plus exact 16-bit peak amplitude. Only VIDEO
+ * decode remains STUBBED (no video codec libraries exist in the JDK or this
+ * container) behind [[Multimodal.decodeStub]], a deterministic fake keyed on the
+ * payload hash so those pipelines stay testable end-to-end; swap `decodeStub`
+ * for a real JNI/FFM decoder without touching any plan shape.
  */
 object Multimodal {
 
@@ -104,6 +106,80 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => imageInfo(id, bytes) })
   }
 
+  /** Decoded audio facts: format geometry + exact frame count + peak amplitude
+    * (16-bit absolute). `ok = false` rows carry the reason in `format`. */
+  final case class AudioInfo(media_id: Long, ok: Boolean, format: String,
+      sample_rate: Int, channels: Int, frames: Long, duration_ms: Long, peak: Int)
+
+  /** Real JDK audio decode (javax.sound.sampled): WAV/AIFF/AU PCM parse with
+    * no external dependency. Corrupt/unsupported payloads yield ok=false —
+    * never a task-killing throw. */
+  def audioInfo(id: Long, payload: Array[Byte]): AudioInfo = {
+    if (payload == null || payload.isEmpty)
+      return AudioInfo(id, ok = false, "empty", 0, 0, 0L, 0L, 0)
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val rate = fmt.getSampleRate.toInt
+        val durMs = if (rate > 0 && frames >= 0) frames * 1000L / rate else 0L
+        // peak over 16-bit signed little/big-endian PCM (the overwhelmingly
+        // common WAV shape); other encodings report geometry with peak = -1
+        val peak =
+          if (fmt.getSampleSizeInBits == 16 &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+            val bytes = in.readAllBytes()
+            var mx = 0
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val v =
+                if (fmt.isBigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+                else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+              val a = math.abs(v)
+              if (a > mx) mx = a
+              i += 2
+            }
+            mx
+          } else -1
+        AudioInfo(id, ok = true, "pcm", rate, fmt.getChannels, frames, durMs, peak)
+      } finally in.close()
+    } catch { case _: Exception => AudioInfo(id, ok = false, "undecodable", 0, 0, 0L, 0L, 0) }
+  }
+
+  /** Distributed audio metadata extraction (same batch shape as [[imageMeta]]). */
+  def audioMeta(media: DataFrame, idCol: String, payloadCol: String): Dataset[AudioInfo] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => audioInfo(id, bytes) })
+  }
+
+  /** Deterministic 16-bit mono PCM WAV: a full-scale square wave of `frames`
+    * samples (peak = exactly `amp`), for tests and closed-form oracles. */
+  def syntheticWav(frames: Int, sampleRate: Int, amp: Int): Array[Byte] = {
+    val dataLen = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1)                  // PCM
+    bb.putShort(1)                  // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2)       // byte rate
+    bb.putShort(2)                  // block align
+    bb.putShort(16)                 // bits per sample
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    var i = 0
+    while (i < frames) {
+      bb.putShort((if ((i & 8) == 0) amp else -amp).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Deterministic solid-color PNG via the JDK encoder (tests + oracles: the
     * decode path then recovers exactly this geometry and color). */
   def syntheticPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
@@ -121,9 +197,10 @@ object Multimodal {
   }
 
   /**
-   * STUB decode/feature-extract for AUDIO/VIDEO payloads: deterministic
-   * pseudo-features from the payload bytes (no audio/video codec libs in this
-   * container). Image payloads have the real path above ([[imageMeta]]).
+   * STUB decode/feature-extract for VIDEO payloads: deterministic
+   * pseudo-features from the payload bytes (no video codec libs in the JDK or
+   * this container). Images ([[imageMeta]]) and PCM audio ([[audioMeta]]) have
+   * real decode paths above.
    */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     var h = 0x9E3779B97F4A7C15L

@@ -381,4 +381,25 @@ class OperatorsSpec extends AnyFunSuite {
       Array.fill(8)(1.0f), 5, nProbe = 1).select("vec_id").as[Long].collect().toSeq
     assert(got == (0L until 5L), s"probe after salting must stay exact: $got")
   }
+
+  test("real audio decode: JDK sound recovers WAV geometry and exact peak; junk is safe") {
+    import spark.implicits._
+    val wavs = spark.range(0, 32, 1, 4).as[Long].map { id =>
+      (id, Multimodal.syntheticWav(800 + (id % 100).toInt, 16000, 100 + id.toInt * 7))
+    }.toDF("media_id", "payload")
+    val out = Multimodal.audioMeta(wavs, "media_id", "payload").collect()
+    assert(out.length == 32 && out.forall(_.ok))
+    out.foreach { a =>
+      assert(a.sample_rate == 16000 && a.channels == 1)
+      assert(a.frames == 800 + (a.media_id % 100))
+      assert(a.duration_ms == a.frames * 1000 / 16000)
+      assert(a.peak == 100 + a.media_id.toInt * 7, s"peak must be exact: $a")
+    }
+    // junk / empty / truncated payloads degrade, never throw
+    assert(!Multimodal.audioInfo(1L, Array[Byte](1, 2, 3)).ok)
+    assert(!Multimodal.audioInfo(2L, Array.emptyByteArray).ok)
+    assert(!Multimodal.audioInfo(3L, null).ok)
+    val wav = Multimodal.syntheticWav(1000, 8000, 5)
+    assert(!Multimodal.audioInfo(4L, java.util.Arrays.copyOf(wav, 20)).ok)
+  }
 }
