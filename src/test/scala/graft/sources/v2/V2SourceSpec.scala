@@ -220,6 +220,16 @@ class V2SourceSpec extends AnyFunSuite {
     assert(sortedRows(joined) == sortedRows(want) && joined.count() == 2)
   }
 
+  test("SQL DDL: CREATE TEMPORARY VIEW ... USING graft works end-to-end") {
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_ddl_v2 USING graft " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) FROM graft_ddl_v2").collect()(0).getLong(0) == N)
+    val one = Webtext.page(42L)
+    val row = spark.sql(
+      s"SELECT lang FROM graft_ddl_v2 WHERE url = '${one.url}'").collect()
+    assert(row.length == 1 && row(0).getString(0) == one.lang)
+  }
+
   test("statistics report manifest row count and decoded size") {
     val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
     val st = scan.estimateStatistics()
