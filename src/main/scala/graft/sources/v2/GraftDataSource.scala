@@ -388,6 +388,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val columns = requiredSchema.fieldNames
+    val columnar = spark.conf.getOption("spark.graft.v2.columnar")
+      .map(_.toBoolean).getOrElse(false)
 
     // Spark's own file bin-packing formula: one task per file would schedule
     // thousands of tiny tasks on a many-file store (task overhead dominated the
@@ -421,7 +423,7 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       }
       if (bin.nonEmpty) bins += bin
       bins.map(b => GraftInputPartition(b.toArray, columns,
-        liveByDir(d), packedKeys, conf): InputPartition)
+        liveByDir(d), packedKeys, conf, columnar): InputPartition)
     }.toArray
     GraftDataSource.lastPlanStats = Some(GraftDataSource.PlanStats(
       partitions.length, allFiles.iterator.map(_._2.length).sum,
@@ -439,7 +441,8 @@ final case class GraftInputPartition(
     columns: Array[String],          // required output columns, in schema order
     liveParts: Array[Int],           // sorted live part ids of the files' dir
     packedKeys: Array[Long],         // sorted (part_id<<32|seq) or null = no pruning
-    conf: org.apache.spark.util.SerializableConfiguration) extends InputPartition
+    conf: org.apache.spark.util.SerializableConfiguration,
+    columnar: Boolean) extends InputPartition
 
 /** GroupReadSupport whose requested schema is a named-field projection of the
   * file's own schema nodes (exact repetition/type match by construction). */
@@ -457,23 +460,31 @@ private final class ProjectingGroupReadSupport(cols: Seq[String]) extends GroupR
 object GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition])
+
+  // columnar is a per-scan choice (spark.graft.v2.columnar): copying multi-KB
+  // text/html blobs into ColumnVectors measurably LOSES to the row path's
+  // zero-copy UTF8String wrapping on this workload, while narrow projections
+  // are comparable — see BASELINE.md round-4 notes
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[GraftInputPartition].columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition])
 }
 
 /**
- * Streams a bin of whole block files: parquet-level filters (column ∈ wanted,
- * part/seq ∈ pruned keys) skip row groups by statistics, consecutive records of
- * one (part_id, block_seq) group are assembled in place, each complete group is
- * decoded into its requested columns only. No shuffle, bounded memory (one
- * 64Ki-row group in flight); files are opened one at a time and the group
- * buffer flushes at each file boundary (groups are whole per file).
+ * Streams a bin of whole block files as LIVE complete (part_id, block_seq)
+ * groups: parquet-level filters (column ∈ wanted, part/seq ∈ pruned keys) skip
+ * row groups by statistics, consecutive records assemble in place, the group
+ * buffer flushes at file boundaries (groups are whole per file). Bounded
+ * memory: one 64Ki-row group in flight.
  */
-final class GraftPartitionReader(p: GraftInputPartition)
-    extends PartitionReader[InternalRow] {
+private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[String],
+                                     countOnly: Boolean) {
+  /** One live, complete block group (encoded bytes per requested column). */
+  final case class GroupData(cols: Map[String, Array[Byte]], n: Int)
 
-  private val countOnly = p.columns.isEmpty
-  // empty projection (count(*)): only the row count of one reference column's
-  // blocks is needed — url is present in every group
-  private val readCols: Array[String] = if (countOnly) Array("url") else p.columns
   private val expected: Set[String] = readCols.toSet
 
   // projection built inside ReadSupport.init from the file schema the reader
@@ -501,7 +512,6 @@ final class GraftPartitionReader(p: GraftInputPartition)
   private var curFile: String = _
   private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
 
-  /** Open the next file's reader; false when the bin is exhausted. */
   private def openNext(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (!fileQueue.hasNext) false
@@ -516,8 +526,6 @@ final class GraftPartitionReader(p: GraftInputPartition)
     }
   }
 
-  private var current: InternalRow = _
-  private var pending: Iterator[InternalRow] = Iterator.empty
   // one-group lookahead buffer
   private var bufKey: Long = -1L
   private var bufCols: Map[String, Array[Byte]] = Map.empty
@@ -530,59 +538,37 @@ final class GraftPartitionReader(p: GraftInputPartition)
       (p.packedKeys == null || java.util.Arrays.binarySearch(p.packedKeys, packed) >= 0)
   }
 
-  /** Decode the buffered group into output rows (requested columns only). */
-  private def decodeBuffered(): Iterator[InternalRow] = {
-    if (bufKey < 0 || !liveGroup(bufKey)) return Iterator.empty
-    if (countOnly) {
-      val empty: InternalRow = new GenericInternalRow(0)
-      return Iterator.fill(bufN)(empty)
-    }
-    if (bufCols.keySet != expected)
-      throw new java.io.IOException(
-        s"block group part_id=${(bufKey >>> 32).toInt} block_seq=${bufKey.toInt} in " +
-        s"$curFile has columns ${bufCols.keySet.toSeq.sorted.mkString(",")}, expected " +
-        s"${expected.toSeq.sorted.mkString(",")}: corrupt or foreign store layout")
-    val decoded: Array[Int => Any] = readCols.map {
-      case "warc_ts" =>
-        val (us, ok) = IntBlockCodec.decodeNullable(bufCols("warc_ts"))
-        (i: Int) => if (ok(i)) java.lang.Long.valueOf(us(i)) else null
-      case "html" =>
-        val vs = StringBlockCodec.decode(bufCols("html"))
-        (i: Int) => vs(i)
-      case c =>
-        val vs = StringBlockCodec.decode(bufCols(c))
-        (i: Int) => if (vs(i) == null) null else UTF8String.fromBytes(vs(i))
-    }
-    val n = bufN
-    (0 until n).iterator.map { i =>
-      val row = new GenericInternalRow(decoded.length)
-      var j = 0
-      while (j < decoded.length) { row.update(j, decoded(j)(i)); j += 1 }
-      row
-    }
-  }
-
-  /** Flush and reset the group buffer (file boundary or end of the bin). */
-  private def flushBuffered(): Iterator[InternalRow] = {
-    val out = decodeBuffered()
+  private def takeBuffered(): GroupData = {
+    val out =
+      if (bufKey < 0 || !liveGroup(bufKey)) null
+      else if (!countOnly && bufCols.keySet != expected)
+        throw new java.io.IOException(
+          s"block group part_id=${(bufKey >>> 32).toInt} block_seq=${bufKey.toInt} in " +
+          s"$curFile has columns ${bufCols.keySet.toSeq.sorted.mkString(",")}, expected " +
+          s"${expected.toSeq.sorted.mkString(",")}: corrupt or foreign store layout")
+      else GroupData(bufCols, bufN)
     bufKey = -1L; bufCols = Map.empty; bufN = 0
     out
   }
 
-  /** Pull parquet records until the buffered group completes (next key seen,
-    * file boundary, or end of bin); returns that group's decoded rows. */
-  private def advanceGroup(): Iterator[InternalRow] = {
+  /** The next LIVE complete group, or null at end of the bin. */
+  def nextGroup(): GroupData = {
     while (!eof) {
       if (reader == null) {
-        if (!openNext()) { eof = true; return flushBuffered() }
+        if (!openNext()) {
+          eof = true
+          val out = takeBuffered()
+          if (out != null) return out
+          return null
+        }
       }
       val g = reader.read()
       if (g == null) {
         // file boundary: groups are whole per file, so the buffer must flush
         // before the next file (the same key cannot legally continue there)
         reader.close(); reader = null
-        val out = flushBuffered()
-        if (out.hasNext) return out
+        val out = takeBuffered()
+        if (out != null) return out
       } else {
         val packed = (g.getInteger("part_id", 0).toLong << 32) |
           (g.getInteger("block_seq", 0).toLong & 0xffffffffL)
@@ -590,28 +576,140 @@ final class GraftPartitionReader(p: GraftInputPartition)
         val n = g.getInteger("n", 0)
         val enc = if (countOnly) null else g.getBinary("encoded", 0).getBytes
         if (packed != bufKey) {
-          val out = decodeBuffered()
+          val out = takeBuffered()
           bufKey = packed
           bufCols = if (countOnly) Map.empty else Map(colName -> enc)
           bufN = n
-          if (out.hasNext) return out
+          if (out != null) return out
         } else if (!countOnly) {
           bufCols = bufCols.updated(colName, enc)
         }
       }
     }
-    Iterator.empty
+    null
+  }
+
+  def close(): Unit = if (reader != null) { reader.close(); reader = null }
+}
+
+/** Row-based reader over [[BlockGroupStream]] (fallback surface; normal scans
+  * take [[GraftColumnarReader]]). */
+final class GraftPartitionReader(p: GraftInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val countOnly = p.columns.isEmpty
+  // empty projection (count(*)): only the row count of one reference column's
+  // blocks is needed — url is present in every group
+  private val readCols: Array[String] = if (countOnly) Array("url") else p.columns
+  private val stream = new BlockGroupStream(p, readCols, countOnly)
+
+  private var current: InternalRow = _
+  private var pending: Iterator[InternalRow] = Iterator.empty
+  private var done = false
+
+  private def decodeGroup(gd: BlockGroupStream#GroupData): Iterator[InternalRow] = {
+    if (countOnly) {
+      val empty: InternalRow = new GenericInternalRow(0)
+      return Iterator.fill(gd.n)(empty)
+    }
+    val decoded: Array[Int => Any] = readCols.map {
+      case "warc_ts" =>
+        val (us, ok) = IntBlockCodec.decodeNullable(gd.cols("warc_ts"))
+        (i: Int) => if (ok(i)) java.lang.Long.valueOf(us(i)) else null
+      case "html" =>
+        val vs = StringBlockCodec.decode(gd.cols("html"))
+        (i: Int) => vs(i)
+      case c =>
+        val vs = StringBlockCodec.decode(gd.cols(c))
+        (i: Int) => if (vs(i) == null) null else UTF8String.fromBytes(vs(i))
+    }
+    (0 until gd.n).iterator.map { i =>
+      val row = new GenericInternalRow(decoded.length)
+      var j = 0
+      while (j < decoded.length) { row.update(j, decoded(j)(i)); j += 1 }
+      row
+    }
   }
 
   override def next(): Boolean = {
     while (!pending.hasNext) {
-      if (eof) return false
-      pending = advanceGroup()
+      if (done) return false
+      val gd = stream.nextGroup()
+      if (gd == null) { done = true; return false }
+      pending = decodeGroup(gd)
     }
     current = pending.next()
     true
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = if (reader != null) reader.close()
+  override def close(): Unit = stream.close()
+}
+
+/**
+ * Columnar reader: each 64Ki-row block group becomes ONE ColumnarBatch —
+ * decoded column arrays fill OnHeapColumnVectors directly (no per-row
+ * InternalRow/boxing), and Spark's ColumnarToRow/WholeStageCodegen consumes
+ * the batch with vectorized access.
+ */
+final class GraftColumnarReader(p: GraftInputPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val countOnly = p.columns.isEmpty
+  private val readCols: Array[String] = if (countOnly) Array("url") else p.columns
+  private val stream = new BlockGroupStream(p, readCols, countOnly)
+  private val schema: StructType = StructType(p.columns.map {
+    case "warc_ts" => StructField("warc_ts", TimestampType, nullable = true)
+    case "html" => StructField("html", BinaryType, nullable = true)
+    case c => StructField(c, StringType, nullable = true)
+  })
+
+  private var current: ColumnarBatch = _
+  private var done = false
+
+  private def toBatch(gd: BlockGroupStream#GroupData): ColumnarBatch = {
+    if (countOnly)
+      return new ColumnarBatch(Array.empty[ColumnVector], gd.n)
+    val vectors = OnHeapColumnVector.allocateColumns(gd.n, schema)
+    var j = 0
+    while (j < p.columns.length) {
+      val vec = vectors(j)
+      p.columns(j) match {
+        case "warc_ts" =>
+          val (us, ok) = IntBlockCodec.decodeNullable(gd.cols("warc_ts"))
+          var i = 0
+          while (i < gd.n) {
+            if (ok(i)) vec.putLong(i, us(i)) else vec.putNull(i)
+            i += 1
+          }
+        case c =>
+          val vs = StringBlockCodec.decode(gd.cols(c))
+          var i = 0
+          while (i < gd.n) {
+            val b = vs(i)
+            if (b == null) vec.putNull(i) else vec.putByteArray(i, b)
+            i += 1
+          }
+      }
+      j += 1
+    }
+    new ColumnarBatch(vectors.map(v => v: ColumnVector), gd.n)
+  }
+
+  override def next(): Boolean = {
+    if (current != null) { current.close(); current = null }
+    if (done) return false
+    val gd = stream.nextGroup()
+    if (gd == null) { done = true; return false }
+    current = toBatch(gd)
+    true
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = {
+    if (current != null) { current.close(); current = null }
+    stream.close()
+  }
 }

@@ -230,6 +230,28 @@ class V2SourceSpec extends AnyFunSuite {
     assert(row.length == 1 && row(0).getString(0) == one.lang)
   }
 
+  test("opt-in COLUMNAR scans: batches feed ColumnarToRow, values stay exact") {
+    // columnar is opt-in (measured: copying multi-KB blobs into vectors loses
+    // 2x to zero-copy row wrapping on full scans; narrow projections are ~even)
+    spark.conf.set("spark.graft.v2.columnar", "true")
+    try {
+      val df = graftTable.select(col("url"), col("lang"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ColumnarToRow"),
+        s"scan must produce ColumnarBatches consumed via ColumnarToRow:\n$plan")
+      // equality through the columnar path incl. nullable warc_ts + binary html
+      val full = graftTable.select(col("url"), unix_micros(col("warc_ts")).as("ts"),
+        md5(col("html")).as("h"), col("text"))
+      val want = sortedRows(DecodeJob.decode(spark, root).toDF()
+        .select(col("url"), unix_micros(col("warc_ts")).as("ts"),
+          md5(col("html")).as("h"), col("text")))
+      assert(sortedRows(full) == want)
+    } finally spark.conf.unset("spark.graft.v2.columnar")
+    // default stays ROW-based (no ColumnarToRow over the graft scan)
+    val rowPlan = graftTable.select(col("url")).queryExecution.executedPlan.toString
+    assert(!rowPlan.contains("ColumnarToRow"), s"default must be row-based:\n$rowPlan")
+  }
+
   test("statistics report manifest row count and decoded size") {
     val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
     val st = scan.estimateStatistics()
