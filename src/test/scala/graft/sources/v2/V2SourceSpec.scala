@@ -234,6 +234,7 @@ class V2SourceSpec extends AnyFunSuite {
     // columnar is opt-in (measured: copying multi-KB blobs into vectors loses
     // 2x to zero-copy row wrapping on full scans; narrow projections are ~even)
     spark.conf.set("spark.graft.v2.columnar", "true")
+    graftTable.createOrReplaceTempView("graft_count_cols_v2")
     try {
       val df = graftTable.select(col("url"), col("lang"))
       val plan = df.queryExecution.executedPlan.toString
@@ -246,6 +247,18 @@ class V2SourceSpec extends AnyFunSuite {
         .select(col("url"), unix_micros(col("warc_ts")).as("ts"),
           md5(col("html")).as("h"), col("text")))
       assert(sortedRows(full) == want)
+      // empty-projection (constant select) through the zero-column batch path
+      assert(spark.sql("SELECT 1 FROM graft_count_cols_v2").count() == N)
+      // forced group splitting: a tiny per-column byte ceiling must slice every
+      // group into many batches with identical results (the 2GB-contiguous
+      // OnHeapColumnVector guard at scale)
+      val saved = GraftColumnarReader.MaxBatchColumnBytes
+      try {
+        GraftColumnarReader.MaxBatchColumnBytes = 4096L
+        val sliced = graftTable.select(col("url"), unix_micros(col("warc_ts")).as("ts"),
+          md5(col("html")).as("h"), col("text"))
+        assert(sortedRows(sliced) == want, "split batches must lose/duplicate nothing")
+      } finally GraftColumnarReader.MaxBatchColumnBytes = saved
     } finally spark.conf.unset("spark.graft.v2.columnar")
     // default stays ROW-based (no ColumnarToRow over the graft scan)
     val rowPlan = graftTable.select(col("url")).queryExecution.executedPlan.toString
