@@ -52,8 +52,11 @@ object CompactJob {
 
     val pages = DecodeJob.decodeParts(spark, root, smallIds)
     // fresh boundaries for the compacted subset; the store-level BOUNDARIES file
-    // (the batch job's work-unit definition) is deliberately left untouched
-    val boundaries = EncodeJob.computeBoundaries(pages, newParts)
+    // (the batch job's work-unit definition) is deliberately left untouched.
+    // totalRows comes from the manifest: pages is a full DECODE, so the
+    // boundary sampler's count() fallback would decompress everything once
+    // more for a number the manifest already has
+    val boundaries = EncodeJob.computeBoundaries(pages, newParts, Some(totalRows))
     val prepared = EncodeJob.withPartIds(pages.toDF(), boundaries, base)
     val (_, newEntries, _) = EncodeJob.stageEncode(spark, prepared, newParts, root)
 

@@ -266,6 +266,7 @@ object DecodeJob {
    */
   def decodeWhere(spark: SparkSession, root: String,
                   predicates: Seq[BlockPredicate]): Dataset[WebPage] = {
+    if (predicates.isEmpty) return decode(spark, root) // no filter = plain decode
     // ONE manifest read feeds both the metadata scan and the data scan: a
     // compaction (StoreMaintenance) committing between two reads would re-home
     // rows into part ids the collected keys no longer match — silent row loss
@@ -294,6 +295,7 @@ object DecodeJob {
     require(wanted.nonEmpty, "no columns requested")
     require(wanted.forall(PageColumns), // fail fast: a typo'd name would silently yield nulls
       s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
+    if (predicates.isEmpty) return decodeColumns(spark, root, wanted) // projection-only
     val entries = SnapshotStore.currentEntries(root) // ONE manifest read for both scans (see decodeWhere)
     require(entries.nonEmpty, s"no committed snapshot under $root")
     val blocksDf = fromEntries(spark, root, entries)
@@ -304,12 +306,10 @@ object DecodeJob {
       case None => colFiltered // non-selective: column pruning only (see decodeWhere)
     }
     val exact = predicates.map {
-      case StrEq(c, v) => col(c) === v
-      case StrIn(c, vs) => col(c).isin(vs: _*)
-      case StrPrefix(c, p) => col(c).startsWith(p)
-      case StrRange(c, lo, hi) =>
-        lo.map(col(c) >= _).getOrElse(lit(true)) && hi.map(col(c) <= _).getOrElse(lit(true))
-      case TsRange(lo, hi) => col("warc_ts").between(lo, hi) // projected form IS micros
+      // only the TsRange arm differs from rowCond: the projected form carries
+      // warc_ts AS raw micros, so no unix_micros conversion applies
+      case TsRange(lo, hi) => col("warc_ts").between(lo, hi)
+      case p => rowCond(p)
     }.reduce(_ && _)
     projectedReassemble(spark, filtered, effective)
       .where(exact)

@@ -80,12 +80,16 @@ object EncodeJob {
    * the whole input, unlike limit(), which would only see the first files read and
    * skew every boundary at scale.
    */
-  def computeBoundaries(pages: Dataset[WebPage], parts: Int): Array[String] = {
+  def computeBoundaries(pages: Dataset[WebPage], parts: Int,
+                        knownTotal: Option[Long] = None): Array[String] = {
     if (parts <= 1) return Array.empty
     val spark = pages.sparkSession
     import spark.implicits._
     val targetSample = math.min(parts * 200L, 200000L)
-    val total = math.max(pages.count(), 1L)
+    // knownTotal skips the count() pass — for PARQUET inputs count is
+    // metadata-only, but compaction's input is a full decode, where an extra
+    // count() decompresses every block again
+    val total = math.max(knownTotal.getOrElse(pages.count()), 1L)
     val rateDenom = 1000000L
     val threshold = math.min((targetSample * rateDenom) / total + 1, rateDenom)
     val urls = pages.select($"url")
@@ -356,6 +360,15 @@ object EncodeJob {
     import spark.implicits._
     Files.createDirectories(Paths.get(root))
     val boundaries = loadOrCreateBoundaries(root, pages, parts, boundariesFile)
+    // a smaller `parts` than the persisted range layout would leave buckets
+    // >= partOffset+parts outside every wave's pending set: rows bucketed there
+    // would be SILENTLY skipped (never encoded, never an error). Boundaries
+    // define bucket count for the life of the store — fail fast instead.
+    require(parts >= boundaries.length + 1,
+      s"store at $root is range-partitioned into ${boundaries.length + 1} buckets " +
+      s"($boundariesFile); parts=$parts would silently skip buckets " +
+      s"${partOffset + parts}..${partOffset + boundaries.length} — " +
+      s"pass parts >= ${boundaries.length + 1}")
 
     val withPart = withPartIds(pages.toDF(), boundaries, partOffset.toInt)
 

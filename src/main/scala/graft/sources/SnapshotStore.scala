@@ -38,6 +38,25 @@ object SnapshotStore {
       case c => c.toString
     } + "\""
 
+  /** Exact inverse of [[q]]'s escaping (\" \\ \n \uXXXX). */
+  private def unescape(v: String): String = {
+    if (v.indexOf('\\') < 0) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'u' if i + 5 < v.length =>
+            sb.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2 // \" and \\
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def entryToJson(e: PartEntry): String =
     s"""{"part_id":${e.partId},"data_dir":${q(e.dataDir)},"n_rows":${e.nRows},""" +
     s""""orig_bytes":${e.origBytes},"enc_bytes":${e.encBytes},"codecs":${e.codecsJson}}"""
@@ -50,7 +69,7 @@ object SnapshotStore {
     }
     def strField(k: String): String = {
       val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(line)
-      m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+      m.map(g => unescape(g.group(1))).getOrElse("")
     }
     val codecs = {
       val i = line.indexOf("\"codecs\":")
@@ -201,7 +220,29 @@ object SnapshotStore {
   def expireSnapshots(root: String, keepLast: Int = 1,
                       orphanGraceMs: Long = 3600000L): ExpireResult = synchronized {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val ids = snapshotIds(root)
+    // "current" is the POINTER, not the highest manifest file: a commit killed
+    // between manifest write and pointer swap leaves an orphan manifest with a
+    // HIGHER id — keeping by directory listing would keep the orphan and drop
+    // the genuinely current snapshot (bricking the store and, after a crashed
+    // compaction, deleting data dirs the live snapshot still references)
+    val current = currentSnapshotId(root)
+    val allIds = snapshotIds(root)
+    val ids = current match {
+      case Some(c) => allIds.filter(_ <= c)
+      case None => allIds
+    }
+    val nowMs = System.currentTimeMillis()
+    // aged crash-orphan manifests beyond the pointer (grace: a commit may be
+    // in its write-then-swap window right now)
+    val orphanManifestIds = current.map(c => allIds.filter(_ > c)).getOrElse(Seq.empty)
+      .filter { id =>
+        val mf = Paths.get(root, "manifests", s"$id.jsonl")
+        nowMs - Files.getLastModifiedTime(mf).toMillis >= orphanGraceMs
+      }
+    orphanManifestIds.foreach { id =>
+      Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl"))
+      Files.deleteIfExists(Paths.get(root, "manifests", s"$id.tombstones"))
+    }
     val (drop, keep) = ids.splitAt(math.max(ids.size - keepLast, 0))
     val keptDirs = keep.flatMap(id => entriesAt(root, id).map(_.dataDir)).toSet
     var removedBytes = 0L
@@ -212,7 +253,16 @@ object SnapshotStore {
     }
     // dirs referenced only by dropped manifests
     val dropDirs = drop.flatMap(id => entriesAt(root, id).map(_.dataDir)).toSet -- keptDirs
-    // orphans: staged dirs no manifest (kept or dropped) ever referenced
+    // orphans: staged dirs no manifest (kept or dropped) ever referenced.
+    // Liveness = the NEWEST mtime anywhere in the subtree: a multi-minute
+    // distributed write keeps touching nested files while the top-level dir's
+    // mtime stays at creation — judging by the top level alone could sweep a
+    // LIVE in-flight staging out from under its encode job
+    def newestMtime(p: Path): Long = {
+      var m = Files.getLastModifiedTime(p).toMillis
+      if (Files.isDirectory(p)) listDir(p).foreach(c => m = math.max(m, newestMtime(c)))
+      m
+    }
     val allRef = keptDirs ++ dropDirs
     val dataRoot = Paths.get(root, "data")
     val now = System.currentTimeMillis()
@@ -220,12 +270,19 @@ object SnapshotStore {
       if (!Files.exists(dataRoot)) Seq.empty[String]
       else listDir(dataRoot).iterator
         .filter(p => !allRef.contains(s"data/${p.getFileName}"))
-        .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+        .filter(p => now - newestMtime(p) >= orphanGraceMs)
         .map(p => s"data/${p.getFileName}").toSeq
-    // pointer-swap tmp files stranded by a crash between write and ATOMIC_MOVE
-    // live in the table root (outside data/), so the data-dir sweep misses them
+    // root-level crash debris: pointer-swap and boundary tmp files stranded
+    // between write and ATOMIC_MOVE, plus aged per-batch streaming boundary
+    // files (BOUNDARIES.b<N> is a determinism CACHE — a replayed batch
+    // recomputes identical boundaries from its identical checkpointed input,
+    // so sweeping old ones is safe and bounds root-dir growth on long streams)
     val staleTmps = listDir(Paths.get(root)).iterator
-      .filter(p => p.getFileName.toString.startsWith(".SNAPSHOT.tmp."))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".SNAPSHOT.tmp.") || (n.startsWith(".BOUNDARIES") && n.contains(".tmp.")) ||
+        n.startsWith("BOUNDARIES.b")
+      }
       .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
       .map(p => p.getFileName.toString).toSeq
     val removable = dropDirs.toSeq ++ orphans ++ staleTmps
@@ -265,6 +322,11 @@ object SnapshotStore {
       Files.write(mfDir.resolve(s"$nextId.tombstones"),
         encodeTombstones(tombs.toArray.sorted).getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    else
+      // a commit killed after writing <nextId>.tombstones but before the swap
+      // leaves a stale sidecar this id would otherwise ADOPT (live parts
+      // permanently reported as compacted-away) — reconcile explicitly
+      Files.deleteIfExists(mfDir.resolve(s"$nextId.tombstones"))
     val tmp = Paths.get(root, s".SNAPSHOT.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, nextId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapshotPointer(root), StandardCopyOption.ATOMIC_MOVE,

@@ -804,4 +804,80 @@ class PipelineSpec extends AnyFunSuite {
       s"each join side must get its OWN metadata conjunct, saw $minRefs:\n$optimized")
     assert(q.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 2)))
   }
+
+  test("crash recovery: expiry respects the POINTER, stale sidecars are reconciled") {
+    val root = freshRoot()
+    val e1 = SnapshotStore.PartEntry(1, "data/d1", 10L, 100L, 50L, "{}")
+    SnapshotStore.commit(root, Seq(e1))
+    val cur = SnapshotStore.currentSnapshotId(root).get
+    // simulate a commit killed AFTER manifest+sidecar write, BEFORE pointer swap
+    val mfDir = java.nio.file.Paths.get(root, "manifests")
+    val orphanId = cur + 1
+    java.nio.file.Files.write(mfDir.resolve(s"$orphanId.jsonl"),
+      "{\"part_id\":9,\"data_dir\":\"data/dead\",\"n_rows\":1,\"orig_bytes\":1,\"enc_bytes\":1,\"codecs\":{}}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(mfDir.resolve(s"$orphanId.tombstones"),
+      "1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // expiry must keep the POINTED snapshot and remove the aged orphan, never
+    // the live manifest (the old listing-based logic kept the orphan instead)
+    SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0L)
+    assert(SnapshotStore.currentSnapshotId(root).contains(cur))
+    assert(SnapshotStore.currentEntries(root).map(_.partId) == Seq(1))
+    assert(!java.nio.file.Files.exists(mfDir.resolve(s"$orphanId.jsonl")),
+      "aged orphan manifest must be swept")
+    // a stale orphan SIDECAR alone must not be adopted by the next commit
+    java.nio.file.Files.write(mfDir.resolve(s"${cur + 1}.tombstones"),
+      "1\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    SnapshotStore.commit(root, Seq(SnapshotStore.PartEntry(2, "data/d2", 5L, 10L, 5L, "{}")))
+    assert(SnapshotStore.currentTombstones(root).isEmpty,
+      "commit must reconcile (delete) a stale crash-orphaned tombstone sidecar")
+  }
+
+  test("crash recovery: orphan sweep judges staged dirs by NEWEST nested mtime") {
+    val root = freshRoot()
+    SnapshotStore.commit(root, Seq(SnapshotStore.PartEntry(1, "data/d1", 1L, 1L, 1L, "{}")))
+    // an in-flight staging: top-level dir is old, nested write is FRESH
+    val staged = java.nio.file.Paths.get(root, "data", "in-flight-uuid")
+    java.nio.file.Files.createDirectories(staged.resolve("_temporary"))
+    java.nio.file.Files.write(staged.resolve("_temporary").resolve("part-0"),
+      Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L)
+    java.nio.file.Files.setLastModifiedTime(staged, old)
+    java.nio.file.Files.setLastModifiedTime(staged.resolve("_temporary"), old)
+    val res = SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 3600000L)
+    assert(java.nio.file.Files.exists(staged),
+      s"live in-flight staging must survive the sweep: $res")
+    // once the WHOLE tree is aged it is reclaimable
+    java.nio.file.Files.setLastModifiedTime(staged.resolve("_temporary").resolve("part-0"), old)
+    val res2 = SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 3600000L)
+    assert(!java.nio.file.Files.exists(staged), s"aged orphan staging must be swept: $res2")
+  }
+
+  test("smaller parts than the persisted range layout fails fast (no silent skips)") {
+    val root = freshRoot()
+    EncodeJob.run(spark, Webtext.generate(spark, 4000, 8), root, parts = 8)
+    val e = intercept[IllegalArgumentException] {
+      EncodeJob.run(spark, Webtext.generate(spark, 8000, 8), root, parts = 4)
+    }
+    assert(e.getMessage.contains("parts=4") && e.getMessage.contains("buckets"))
+    // equal or larger parts resumes fine
+    EncodeJob.run(spark, Webtext.generate(spark, 4000, 8), root, parts = 8)
+  }
+
+  test("empty predicate lists degrade to plain decode / projection") {
+    import spark.implicits._
+    val root = freshRoot()
+    EncodeJob.run(spark, Webtext.generate(spark, 2000, 4), root, parts = 4)
+    assert(DecodeJob.decodeWhere(spark, root, Seq.empty).count() == 2000L)
+    val cols = DecodeJob.decodeColumnsWhere(spark, root, Seq("url", "lang"), Seq.empty)
+    assert(cols.columns.toSeq == Seq("url", "lang") && cols.count() == 2000L)
+  }
+
+  test("manifest string escaping round-trips control characters") {
+    val root = freshRoot()
+    val weird = "data/a\"b\\c\nd\u0001e"
+    SnapshotStore.commit(root, Seq(SnapshotStore.PartEntry(1, weird, 1L, 1L, 1L, "{}")))
+    assert(SnapshotStore.currentEntries(root).head.dataDir == weird,
+      "q()/unescape must be exact inverses")
+  }
 }
