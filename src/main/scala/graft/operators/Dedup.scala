@@ -33,7 +33,11 @@ object Dedup {
    * steps backwards and `slice(words, 0, n)` throws INVALID_PARAMETER_VALUE.START.
    */
   def shingles(textCol: Column, n: Int): Column = {
-    val words = split(lower(trim(textCol)), "\\s+")
+    // empty edge tokens dropped: Spark trim strips spaces ONLY, so edge \t/\n
+    // previously fabricated empty-word shingles here while the one-pass kernel
+    // ([[distinctShingles]]) split them — the documented equivalence now holds
+    // for every whitespace shape
+    val words = filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
     // sliding n-grams via transform over word indexes
     val cnt = greatest(size(words) - (n - 1), lit(0))
     when(cnt === 0, array().cast("array<string>")).otherwise(
@@ -247,7 +251,12 @@ object Dedup {
   /** Drop rows in LSH buckets larger than `cap` (quadratic-blowup guard).
     * Dropped volume is observed and logged, never silent. */
   private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
-    if (cap <= 0 || cap == Int.MaxValue) return banded
+    if (cap <= 0 || cap == Int.MaxValue) {
+      // clear the thread-local: an UNCAPPED query must not inherit the
+      // previous query's metric name (stale CapReport attribution)
+      capMetricTL.remove()
+      return banded
+    }
     registerCapListener(banded.sparkSession)
     val metric = s"graft_lsh_cap_${capSeq.incrementAndGet()}"
     capMetricTL.set(metric)
@@ -400,18 +409,19 @@ object Dedup {
                         minCosine: Double = 0.95, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // null embeddings can't participate in near-dup mining (see Similarity.withBuckets)
-    val keyed = df.where(col(vecCol).isNotNull)
+    // null/empty embeddings can't participate in near-dup mining
+    val src = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // GLOBAL plane dimensionality: deriving it from each partition's first row
+    // made an empty/ragged first vector silently key that whole partition with
+    // different planes than the rest (partition-dependent buckets, lost recall)
+    val dim = Similarity.globalDim(src.toDF("id", "v"), "v")
+    val keyed = src
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          val buf = it.buffered
-          val m = Similarity.planeMatrix(bands * bandBits, buf.head._2.length)
-          buf.map { case (id, v) =>
-            (id, v, Array.tabulate(bands)(b => Similarity.signBits(v, m, b * bandBits, bandBits)))
-          }
+        val m = Similarity.planeMatrix(bands * bandBits, dim)
+        it.map { case (id, v) =>
+          (id, v, Array.tabulate(bands)(b => Similarity.signBits(v, m, b * bandBits, bandBits)))
         }
       }
       .toDF("id", "v", "keys")

@@ -60,7 +60,8 @@ object Multimodal {
           try {
             r.setInput(in)
             val img = r.read(0)
-            if (img == null) None else Some((r.getFormatName.toLowerCase, img))
+            if (img == null) None
+            else Some((r.getFormatName.toLowerCase(java.util.Locale.ROOT), img))
           } finally r.dispose()
         }
       } finally in.close()
@@ -143,7 +144,13 @@ object Multimodal {
             }
             mx
           } else -1
-        AudioInfo(id, ok = true, "pcm", rate, fmt.getChannels, frames, durMs, peak)
+        val enc = fmt.getEncoding
+        val encName = // actual payload encoding, not a hardcoded "pcm"
+          if (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED ||
+              enc == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT) "pcm"
+          else enc.toString.toLowerCase(java.util.Locale.ROOT)
+        AudioInfo(id, ok = true, encName, rate, fmt.getChannels, frames, durMs, peak)
       } finally in.close()
     } catch { case _: Exception => AudioInfo(id, ok = false, "undecodable", 0, 0, 0L, 0L, 0) }
   }

@@ -64,6 +64,15 @@ object Similarity {
   def withBucket(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
     withBuckets(df, idCol, vecCol, planes, tables = 1).drop("table")
 
+  /** GLOBAL embedding dimensionality (max element count over non-empty vectors):
+    * one tiny aggregate job. Deriving dim from each partition's FIRST row keyed
+    * a partition with different hyperplanes whenever its first vector was empty
+    * or ragged — partition-dependent buckets, silent recall loss. */
+  private[operators] def globalDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.agg(max(size(col(vecCol)))).head()
+    if (r.isNullAt(0)) 0 else r.getInt(0)
+  }
+
   /**
    * (id, vec, table, bucket) with one `planes`-bit sign-LSH bucket per vector per
    * table — `tables` independent hash tables drawn from disjoint rows of one
@@ -74,21 +83,17 @@ object Similarity {
                   planes: Int, tables: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // null embeddings cannot be bucketed — drop them (a null first row would
-    // otherwise NPE deriving the plane dimensionality, and any null row NPEs
-    // in the projection kernel)
-    df.where(col(vecCol).isNotNull)
+    // null/EMPTY embeddings cannot be bucketed — drop them (a null row NPEs in
+    // the projection kernel; an empty one contributes nothing but noise)
+    val src = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
+    val dim = globalDim(src.toDF("id", "v"), "v") // global, not first-row-of-partition
+    src.as[(Long, Array[Double])]
       .mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          val buf = it.buffered
-          val m = planeMatrix(planes * tables, buf.head._2.length)
-          buf.flatMap { case (id, v) =>
-            (0 until tables).iterator.map(l =>
-              (id, v, l, signBits(v, m, l * planes, planes)))
-          }
+        val m = planeMatrix(planes * tables, dim)
+        it.flatMap { case (id, v) =>
+          (0 until tables).iterator.map(l =>
+            (id, v, l, signBits(v, m, l * planes, planes)))
         }
       }
       .toDF(idCol, vecCol, "table", "bucket")
@@ -135,13 +140,16 @@ object Similarity {
 
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,
                  planes: Int, path: String, tables: Int = 1): Unit = {
+    val dim = globalDim(
+      df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0).select(col(vecCol)), vecCol)
     withBuckets(df, idCol, vecCol, planes, tables)
       .repartition(col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
-    // persist the LSH geometry: a probe with mismatched (planes, tables) would
-    // compute buckets from the wrong plane rows and silently lose recall
+    // persist the LSH geometry INCLUDING dim: a probe with mismatched
+    // (planes, tables) — or a query vector from a different embedding model —
+    // would compute buckets from the wrong plane rows and silently lose recall
     writeSidecar(df.sparkSession, path, "_lsh_meta.json",
-      s"""{"planes":$planes,"tables":$tables}""")
+      s"""{"planes":$planes,"tables":$tables,"dim":$dim}""")
   }
 
   /** The query's own bucket plus all Hamming-1 neighbors (multi-probe recall)
@@ -199,6 +207,10 @@ object Similarity {
             s"probe requested (planes=$planes, tables=$tables)")
         case _ =>
       }
+      // wrong-dimension queries (different embedding model) derive different
+      // sign bits and probe the wrong buckets with zero error otherwise
+      field("dim").foreach(d => require(d == query.length,
+        s"index at $indexPath holds $d-dim embeddings; query has ${query.length}"))
     }
     // graceful legacy read: indexes persisted before the multi-table layout have
     // only a `bucket` partition column — probe them as one table (their buckets
@@ -258,7 +270,8 @@ object Similarity {
         val c = nearestCell(v, centroids)
         counts(c) += 1
         var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        val lim = math.min(dim, v.length) // ragged sample vectors must not AIOOBE
+        while (i < lim) { sums(c)(i) += v(i); i += 1 }
       }
       centroids = Array.tabulate(kk) { c =>
         if (counts(c) == 0) centroids(c) // keep empty cells stable
@@ -293,7 +306,10 @@ object Similarity {
                     maxRowsPerFile: Int = 1 << 20): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // null/empty embeddings cannot be assigned to a cell (NPE in the sample
+    // or assignment kernel otherwise — same guard as the LSH paths)
+    val typed = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
     // TakeOrdered: per-partition bottom-k + merge — no full sort, no full scan
     // twice. The row count rides the SAME pass via an accumulator (a separate

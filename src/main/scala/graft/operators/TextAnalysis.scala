@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** Tokens = maximal non-whitespace runs. Spark's `trim` strips U+0020 ONLY
+    * and `split` keeps empty edge tokens, so the old trim+split counted
+    * phantom tokens on text with leading/trailing \t or \n (most real web
+    * text); dropping empties is exact for every whitespace shape. */
+  private def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
   /** Whitespace token count (0 for blank text). */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: word-boundary pieces + digit runs + punctuation singles.
     * Uses lookarounds (camelCase splits), so it has no RE2/DuckDB mirror —
@@ -43,9 +48,9 @@ object TextAnalysis {
 
   /** Fraction of tokens that are English stopwords (quality / language signal). */
   def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = tokens(lower(text))
     val sw = typedLit(stopwords)
-    when(size(toks) === 0 || length(trim(text)) === 0, lit(0.0))
+    when(size(toks) === 0, lit(0.0))
       .otherwise(size(array_intersect_count(toks, sw)).cast("double") / size(toks).cast("double"))
   }
 
@@ -55,8 +60,8 @@ object TextAnalysis {
 
   /** Mean word length (0 for blank). */
   def meanWordLen(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    when(length(trim(text)) === 0, lit(0.0))
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
       .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks).cast("double"))
   }
@@ -71,7 +76,9 @@ object TextAnalysis {
     val swOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.0)
     val mwl = meanWordLen(text)
     val mwlOk = when(mwl >= 2.5 && mwl <= 12.0, 1.0).otherwise(0.0)
-    (lenScore + punctOk + swOk + mwlOk) / 4.0
+    // an ABSENT document scores 0, not 0.25: least(null, 1.0) skips nulls, so
+    // the length component alone otherwise granted null text full credit
+    when(text.isNull, lit(0.0)).otherwise((lenScore + punctOk + swOk + mwlOk) / 4.0)
   }
 
   /**
@@ -85,7 +92,7 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, pattern, ""))).cast("double") / total.cast("double")
     }
     def votes(words: Seq[String]): Column = {
-      val toks = split(t, "\\s+")
+      val toks = tokens(t)
       size(filter(toks, w => array_contains(typedLit(words), w)))
     }
     val enV = votes(Seq("the", "and", "of", "to", "is", "that", "for", "with"))
@@ -109,5 +116,7 @@ object TextAnalysis {
    * collision-safe at corpus scale for dedup candidate keys).
    */
   def fingerprint(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+    // edge-trim ALL whitespace (Spark trim is spaces-only — a trailing newline
+    // previously changed the fingerprint of otherwise-identical content)
+    xxhash64(regexp_replace(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+", " "))
 }

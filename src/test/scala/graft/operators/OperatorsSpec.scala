@@ -402,4 +402,39 @@ class OperatorsSpec extends AnyFunSuite {
     val wav = Multimodal.syntheticWav(1000, 8000, 5)
     assert(!Multimodal.audioInfo(4L, java.util.Arrays.copyOf(wav, 20)).ok)
   }
+
+  test("empty/null/ragged embeddings: filtered out, bucketing dim stays GLOBAL") {
+    import spark.implicits._
+    val clean = Seq((2L, Array.fill(8)(1.0f)), (4L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    // an EMPTY vector sorted first in the partition previously keyed the whole
+    // partition with 0-dim planes (every bucket = 0) — buckets must now match
+    // the clean layout exactly
+    val dirty = Seq((1L, Array[Float]()), (2L, Array.fill(8)(1.0f)),
+        (3L, null.asInstanceOf[Array[Float]]), (4L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    val bClean = Similarity.withBucket(clean, "vec_id", "embedding", planes = 6)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val bDirty = Similarity.withBucket(dirty, "vec_id", "embedding", planes = 6)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(bDirty.keySet == Set(2L, 4L), "empty/null embeddings must be dropped")
+    assert(bDirty == bClean, s"buckets must not depend on partition layout: $bDirty vs $bClean")
+    // IVF build survives the same degenerate rows and probes correctly
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-degenerate-").toString
+    Similarity.buildIvfIndex(dirty.union(
+      spark.range(16).select((col("id") + 100L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(typedLit(Array.fill(8)(0.1f)),
+          x => x * col("id").cast("float")).as("embedding"))),
+      "vec_id", "embedding", k = 4, idx)
+    val got = Similarity.ivfTopK(spark, idx, "vec_id", "embedding",
+      Array.fill(8)(1.0f), 1, nProbe = 4).collect()
+    assert(got.nonEmpty)
+    // wrong-dimension ANN probe is refused (sidecar carries dim)
+    val lsh = java.nio.file.Files.createTempDirectory("graft-lsh-dim-").toString
+    Similarity.buildIndex(clean, "vec_id", "embedding", planes = 4, lsh)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annTopK(spark, lsh, "vec_id", "embedding", Array.fill(16)(1.0f), 1, planes = 4)
+    }
+    assert(e.getMessage.contains("8-dim") && e.getMessage.contains("16"))
+  }
 }
