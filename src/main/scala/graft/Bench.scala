@@ -282,15 +282,18 @@ object Bench {
     val best = scala.collection.mutable.Map[String, Double]()
     for (_ <- 0 until 3; name <- headline; fn <- SparkEntry.queries.get(name)) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          // a broken query must not masquerade as a fast one: keep timing
-          // the rest of the bench but say so loudly on stderr
-          System.err.println(s"BENCH QUERY FAILED: $name: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            // a broken query must not masquerade as a fast one: say so loudly
+            // on stderr and DO NOT record the (typically tiny) failure time —
+            // a regression would otherwise read as a round-over-round speedup
+            System.err.println(s"BENCH QUERY FAILED: $name: ${e.getMessage}")
+            false
+        }
       val secs = (System.nanoTime() - t0) / 1e9
-      if (!best.contains(name) || secs < best(name)) best(name) = secs
+      if (ok && (!best.contains(name) || secs < best(name))) best(name) = secs
     }
     val timings = headline.flatMap(n => best.get(n).map(n -> _))
     spark.stop()

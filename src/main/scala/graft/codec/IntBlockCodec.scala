@@ -315,12 +315,20 @@ object IntBlockCodec {
 
     case ID_BITPACK =>
       val bits = c.u8()
+      // the encoder never writes bits > width; a larger value is corruption
+      // that would otherwise mechanically decode garbage without error
+      if (bits > t.width)
+        throw new CorruptBlockException(s"corrupt bitpack width $bits for ${t.name}", null)
       val (off, len) = c.sizedSlice()
       val br = new BitReader(c.buf, off, len)
       val out = new Array[Long](n)
       var i = 0
       while (i < n) {
-        br.readBits(bits)
+        // a false read means the sized payload ran short of n*bits — stale
+        // lastRead values repeated silently would pass checkCount (pre-sized
+        // array), the exact 'short must throw, not truncate' hole
+        if (!br.readBits(bits))
+          throw new CorruptBlockException(s"bitpack payload truncated at value $i of $n", null)
         out(i) = t.toIntegral(br.lastRead)
         i += 1
       }
@@ -356,6 +364,10 @@ object IntBlockCodec {
         while (r > 0) { out(o) = v; o += 1; r -= 1 }
         i += 1
       }
+      // overrun throws via the array bound above; UNDERRUN would leave a
+      // silent zero-filled tail that passes checkCount (pre-sized array)
+      if (o != n)
+        throw new CorruptBlockException(s"RLE runs cover $o of $n values", null)
       out
 
     case ID_DICT =>
@@ -366,7 +378,15 @@ object IntBlockCodec {
       val codes = decodeNode(c, n, PhysicalIntType.U64)
       val out = new Array[Long](n)
       var i = 0
-      while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
+      while (i < n) {
+        val code = codes(i)
+        // bound-check the LONG: .toInt aliased corrupt codes >= 2^32 whose low
+        // bits landed in [0, card) onto valid dictionary slots silently
+        if (code < 0L || code >= card)
+          throw new CorruptBlockException(s"corrupt dict code $code (card $card)", null)
+        out(i) = dict(code.toInt)
+        i += 1
+      }
       out
 
     case ID_CONST =>

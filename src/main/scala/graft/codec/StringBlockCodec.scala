@@ -138,11 +138,23 @@ object StringBlockCodec {
         out.sized(payload.toByteArray)
 
       case ID_DICT =>
-        val keys = values.map(bs => new String(bs, StandardCharsets.ISO_8859_1))
-        val sortedDistinct = keys.distinct.sorted
-        val index = sortedDistinct.zipWithIndex.toMap
-        val codes = keys.map(k => index(k).toLong)
-        out.sized(encodeAs(sortedDistinct.map(_.getBytes(StandardCharsets.ISO_8859_1)), ID_PLAIN))
+        // byte-array keyed throughout: the previous ISO-8859-1 String per value
+        // plus boxed Map lookups allocated on the hot low-cardinality path this
+        // codec exists for (64Ki lang-like values per block). Unsigned byte
+        // order == the old ISO-8859-1 String order, so the emitted dict payload
+        // and codes are BYTE-IDENTICAL to the previous format.
+        val cmp: java.util.Comparator[Array[Byte]] =
+          (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+        val set = new java.util.TreeSet[Array[Byte]](cmp)
+        values.foreach(set.add)
+        val sortedDistinct = set.toArray(new Array[Array[Byte]](set.size))
+        val codes = new Array[Long](values.length)
+        var i = 0
+        while (i < values.length) {
+          codes(i) = java.util.Arrays.binarySearch(sortedDistinct, values(i), cmp).toLong
+          i += 1
+        }
+        out.sized(encodeAs(sortedDistinct, ID_PLAIN))
         out.sized(IntBlockCodec.encode(codes, PhysicalIntType.U32))
 
       case other => throw new IllegalArgumentException(s"unknown string codec id $other")

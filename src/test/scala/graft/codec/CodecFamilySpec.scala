@@ -318,4 +318,31 @@ class CodecFamilySpec extends AnyFunSuite {
     val back = FsstLite.decompress(table, enc, 0, enc.length)
     assert(java.util.Arrays.equals(back, bigText))
   }
+
+  test("inflated header count cannot yield a silent zero/stale tail (RLE/bitpack/dict)") {
+    import graft.core.PhysicalIntType
+    // header layout: 'G','1' | typeId u8 | n i32 — patch n from 100 to 150; the
+    // payload only covers 100 values, so decode MUST throw, never return 150
+    // values whose tail is zero-filled (RLE underrun), stale-repeated
+    // (bitpack short read), or aliased (dict)
+    def patchN(block: Array[Byte], n: Int): Array[Byte] = {
+      val c = block.clone()
+      c(3) = (n & 0xff).toByte; c(4) = ((n >> 8) & 0xff).toByte
+      c(5) = ((n >> 16) & 0xff).toByte; c(6) = ((n >> 24) & 0xff).toByte
+      c
+    }
+    val vals = Array.tabulate(100)(i => (i / 10).toLong) // runs of 10, card 10
+    val specs = Seq(
+      CodecSpec.Rle(CodecSpec.Eg(2), CodecSpec.Eg(0)),
+      CodecSpec.BitPack,
+      CodecSpec.Dict(CodecSpec.Eg(1), CodecSpec.BitPack))
+    for (spec <- specs) {
+      val enc = IntBlockCodec.encodeAs(vals, PhysicalIntType.I64, spec)
+      // sanity: the unpatched block decodes exactly
+      assert(IntBlockCodec.decode(enc).toSeq == vals.toSeq)
+      intercept[IntBlockCodec.CorruptBlockException] {
+        IntBlockCodec.decode(patchN(enc, 150))
+      }
+    }
+  }
 }
