@@ -390,6 +390,24 @@ object SparkEntry {
       df
     }),
 
+    // the opt-in COLUMNAR V2 read path, driver-oracled: batches fill
+    // OnHeapColumnVectors per block group and feed ColumnarToRow (plan-proven
+    // in-query); rows are materialized inside the conf scope and returned as a
+    // local relation so the driver's write replans nothing under the flag
+    "q_dsv2_columnar" -> ((s, d) => {
+      import s.implicits._
+      val root = encodedDocsStore(s, d)
+      s.conf.set("spark.graft.v2.columnar", "true")
+      try {
+        val df = s.read.format("graft").load(root)
+          .select(col("url"), unix_seconds(col("warc_ts")).as("ts_s"), col("lang"))
+        require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+          "columnar conf must route the scan through ColumnarBatches")
+        df.collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          .toDF("url", "ts_s", "lang")
+      } finally s.conf.unset("spark.graft.v2.columnar")
+    }),
+
     // url-prefix block pruning on the decoded-view API (the most common
     // web-archive access pattern): block_str_min/max overlap with
     // [prefix, successor(prefix)) prunes groups before any decompression
@@ -953,6 +971,9 @@ object SparkEntry {
       "AS url, lang FROM documents WHERE doc_id // 100 = 1 AND lang = 'en'"),
     "q_prune_url_prefix" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents WHERE doc_id // 100 = 1"),
+    "q_dsv2_columnar" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600 AS ts_s, lang " +
+      "FROM documents"),
     "q_dsv2_agg" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +
