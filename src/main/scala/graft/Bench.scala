@@ -296,6 +296,10 @@ object Bench {
       if (ok && (!best.contains(name) || secs < best(name))) best(name) = secs
     }
     val timings = headline.flatMap(n => best.get(n).map(n -> _))
+    // failures must be visible IN the JSON the round comparison consumes — a
+    // query missing from `queries` with a quietly smaller total otherwise
+    // reads as a speedup
+    val failedQueries = headline.filter(n => SparkEntry.queries.contains(n) && !best.contains(n))
     spark.stop()
 
     deleteRecursively(new java.io.File(scratch))
@@ -303,6 +307,6 @@ object Bench {
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"decode_job_gbps_local$cpus":$decodeJobGbps%.3f,"v2_scan_gbps_local$cpus":$v2ScanGbps%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_efficiency_8_to_32_hw_normalized":$eff832Normalized%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"decode_job_gbps_local$cpus":$decodeJobGbps%.3f,"v2_scan_gbps_local$cpus":$v2ScanGbps%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_efficiency_8_to_32_hw_normalized":$eff832Normalized%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }

@@ -399,7 +399,11 @@ object SparkEntry {
       val root = encodedDocsStore(s, d)
       s.conf.set("spark.graft.v2.columnar", "true")
       try {
+        // BOUNDED driver materialization (100 rows at any sf): rows must be
+        // collected inside the conf scope, and an unfiltered collect would be
+        // the one unbounded driver pull in the whole contract
         val df = s.read.format("graft").load(root)
+          .where(col("url").startsWith("doc://000001"))
           .select(col("url"), unix_seconds(col("warc_ts")).as("ts_s"), col("lang"))
         require(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
           "columnar conf must route the scan through ColumnarBatches")
@@ -973,7 +977,7 @@ object SparkEntry {
       "AS url, lang FROM documents WHERE doc_id // 100 = 1"),
     "q_dsv2_columnar" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600 AS ts_s, lang " +
-      "FROM documents"),
+      "FROM documents WHERE doc_id // 100 = 1"),
     "q_dsv2_agg" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +

@@ -237,7 +237,15 @@ object StringBlockCodec {
         val dict = decode(java.util.Arrays.copyOfRange(c.buf, doff, doff + dlen))
         val (io, il) = c.sizedSlice()
         val codes = IntBlockCodec.decode(java.util.Arrays.copyOfRange(c.buf, io, io + il))
-        Array.tabulate(n)(i => dict(codes(i).toInt))
+        Array.tabulate(n) { i =>
+          val code = codes(i)
+          // bound-check the LONG (same aliasing hole as the int-dict path:
+          // .toInt mapped corrupt codes >= 2^32 onto valid slots silently)
+          if (code < 0L || code >= dict.length)
+            throw new IntBlockCodec.CorruptBlockException(
+              s"corrupt string dict code $code (card ${dict.length})", null)
+          dict(code.toInt)
+        }
 
       case ID_FSST =>
         val table = FsstLite.deserializeTable(c)

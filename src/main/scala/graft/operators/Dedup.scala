@@ -33,11 +33,10 @@ object Dedup {
    * steps backwards and `slice(words, 0, n)` throws INVALID_PARAMETER_VALUE.START.
    */
   def shingles(textCol: Column, n: Int): Column = {
-    // empty edge tokens dropped: Spark trim strips spaces ONLY, so edge \t/\n
-    // previously fabricated empty-word shingles here while the one-pass kernel
-    // ([[distinctShingles]]) split them — the documented equivalence now holds
-    // for every whitespace shape
-    val words = filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
+    // ONE tokenizer definition ([[TextAnalysis.tokens]]): empty edge tokens
+    // dropped, so the documented equivalence with the one-pass kernel
+    // ([[distinctShingles]]) holds for every whitespace shape
+    val words = TextAnalysis.tokens(lower(textCol))
     // sliding n-grams via transform over word indexes
     val cnt = greatest(size(words) - (n - 1), lit(0))
     when(cnt === 0, array().cast("array<string>")).otherwise(

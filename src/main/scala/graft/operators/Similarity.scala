@@ -80,14 +80,17 @@ object Similarity {
    * [[Dedup.embeddingNearDups]]). Each row fans out to `tables` output rows.
    */
   def withBuckets(df: DataFrame, idCol: String, vecCol: String,
-                  planes: Int, tables: Int): DataFrame = {
+                  planes: Int, tables: Int, dimHint: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // null/EMPTY embeddings cannot be bucketed — drop them (a null row NPEs in
     // the projection kernel; an empty one contributes nothing but noise)
     val src = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-    val dim = globalDim(src.toDF("id", "v"), "v") // global, not first-row-of-partition
+    // global, not first-row-of-partition; callers that already computed it
+    // (buildIndex) pass the hint — an extra full scan of an uncached upstream
+    // tree just to re-derive the same number is the documented recompute trap
+    val dim = dimHint.getOrElse(globalDim(src.toDF("id", "v"), "v"))
     src.as[(Long, Array[Double])]
       .mapPartitions { it =>
         val m = planeMatrix(planes * tables, dim)
@@ -142,7 +145,7 @@ object Similarity {
                  planes: Int, path: String, tables: Int = 1): Unit = {
     val dim = globalDim(
       df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0).select(col(vecCol)), vecCol)
-    withBuckets(df, idCol, vecCol, planes, tables)
+    withBuckets(df, idCol, vecCol, planes, tables, dimHint = Some(dim))
       .repartition(col("table"), col("bucket"))
       .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
     // persist the LSH geometry INCLUDING dim: a probe with mismatched
@@ -261,9 +264,14 @@ object Similarity {
   def trainCentroids(sample: Array[Array[Double]], k: Int, iters: Int = 10): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty centroid training sample")
     val kk = math.min(k, sample.length)
-    var centroids = Array.tabulate(kk)(c => sample((c.toLong * sample.length / kk).toInt).clone())
+    // MAX length, not the first vector's: a ragged short first sample would
+    // silently train truncated centroids (order-dependent, like the LSH dim)
+    val dim = sample.iterator.map(_.length).max
+    var centroids = Array.tabulate(kk) { c =>
+      val src = sample((c.toLong * sample.length / kk).toInt)
+      java.util.Arrays.copyOf(src, dim)
+    }
     for (_ <- 0 until iters) {
-      val dim = sample(0).length
       val sums = Array.ofDim[Double](kk, dim)
       val counts = new Array[Long](kk)
       sample.foreach { v =>
@@ -364,6 +372,11 @@ object Similarity {
               query: Array[Float], k: Int, nProbe: Int): DataFrame = {
     val qd = query.map(_.toDouble)
     val centroids = loadCentroids(spark, indexPath)
+    // wrong-model queries silently rank cells with truncated geometry and
+    // null out the cosine rerank — refuse, like the LSH probe's dim check
+    require(centroids.nonEmpty && centroids(0).length == query.length,
+      s"index at $indexPath holds ${centroids.headOption.map(_.length).getOrElse(0)}-dim " +
+      s"embeddings; query has ${query.length}")
     val cells = centroids.indices
       .sortBy(c => sqDist(qd, centroids(c)))
       .take(nProbe)

@@ -14,7 +14,7 @@ object TextAnalysis {
     * and `split` keeps empty edge tokens, so the old trim+split counted
     * phantom tokens on text with leading/trailing \t or \n (most real web
     * text); dropping empties is exact for every whitespace shape. */
-  private def tokens(text: Column): Column =
+  private[operators] def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count (0 for blank text). */
