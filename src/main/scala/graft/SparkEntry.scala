@@ -382,7 +382,7 @@ object SparkEntry {
       val df = s.sql("SELECT url, lang FROM graft_store_v2 " +
         "WHERE url LIKE 'doc://000001%' AND lang = 'en'")
       df.count() // force one planning pass so the pruning decision is observable
-      val stats = graft.sources.v2.GraftDataSource.lastPlanStats
+      val stats = graft.sources.v2.GraftDataSource.planStatsFor(root)
         .getOrElse(sys.error("V2 scan did not record plan stats"))
       val total = DecodeJob.blocks(s, root).where(col("column") === "url").count()
       require(stats.predicates >= 2 && stats.prunedGroupKeys.exists(k => k > 0 && k < total),

@@ -222,8 +222,11 @@ object DecodeJob {
     * at least halves the decode. The driver-memory guard is the ABSOLUTE
     * [[MaxPrunedKeyCollect]] cap — this fraction is purely a break-even
     * heuristic, so it must not gate small stores where a 50%-selective
-    * predicate still meaningfully prunes. */
-  private[jobs] val PruneFractionCutoff = 0.5
+    * predicate still meaningfully prunes. `private[graft] var` so tests can
+    * widen it: [[estimatedGroups]] under-estimates byte-bound toy stores, and
+    * exercising the many-thousand-key pruning path at test scale needs the
+    * heuristic (not the mechanism) out of the way. */
+  private[graft] var PruneFractionCutoff = 0.5
 
   /** Total block groups estimated from the manifest alone (per-part
     * ceil(nRows/BlockSize)) — zero file IO. UNDER-estimates stores whose

@@ -78,11 +78,16 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         var sr = 0L; var sg = 0L; var sb = 0L
+        // bulk row reads: per-pixel getRGB(x, y) does a ColorModel conversion
+        // per call (~5-10× the row form) and image decode dominates this
+        // operator's per-row cost; one reusable row buffer, no per-row alloc
+        val rowBuf = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = rowBuf(x)
             sr += (rgb >>> 16) & 0xff; sg += (rgb >>> 8) & 0xff; sb += rgb & 0xff
             x += 1
           }

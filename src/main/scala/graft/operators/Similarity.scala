@@ -302,12 +302,20 @@ object Similarity {
    * HOT-CELL SKEW: real embedding distributions cluster, so one cell can hold a
    * large share of the table — a bare `repartition(cell)` made that one shuffle
    * task write one giant file (straggler at write, zero read parallelism at
-   * probe). Cells whose ESTIMATED row count (training-sample share × table
-   * size — the sample is unbiased, so shares are accurate exactly for the cells
-   * big enough to matter) exceeds `maxRowsPerFile` are salted into
-   * ceil(rows/maxRowsPerFile) shuffle groups, giving that many files under the
-   * same `cell=` dir — partition pruning is unaffected, write and probe
+   * probe). Cells whose EXACT row count exceeds `maxRowsPerFile` are salted
+   * into ceil(rows/maxRowsPerFile) shuffle groups, giving that many files under
+   * the same `cell=` dir — partition pruning is unaffected, write and probe
    * parallelism scale with the cell. Cold cells keep salt 1 (no file blowup).
+   *
+   * The counts are exact by construction — a k-row `groupBy(cell).count()` on
+   * the assignment pass — NOT estimated from the training sample's cell shares:
+   * a sample share is Poisson-noisy exactly where it matters most, and any cell
+   * holding between `maxRowsPerFile` and ~total/sampleSize rows EXPECTS zero
+   * sample hits (at 10^12 rows with the 4096 default, every cell in
+   * [10^6, ~2.4x10^8] rows), which would leave it salt-1 and straggling. The
+   * price is one extra scan (cell assignment computed twice — the assignment
+   * frame is deliberately NOT cached: at index-build scale it wouldn't fit);
+   * the aggregate itself is map-side partial into k rows.
    */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, path: String, sampleSize: Int = 4096,
@@ -319,27 +327,24 @@ object Similarity {
     val typed = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    // TakeOrdered: per-partition bottom-k + merge — no full sort, no full scan
-    // twice. The row count rides the SAME pass via an accumulator (a separate
-    // count() would be a third full table scan just to size the salt; task
-    // retries can inflate the accumulator slightly, which only rounds salts up)
-    val rowCount = spark.sparkContext.longAccumulator("graft_ivf_rows")
-    val sample = typed
-      .mapPartitions(it => it.map { r => rowCount.add(1L); r }) // re-tuples to _1/_2
-      .orderBy(xxhash64(col("_1")), col("_1"))
-      .limit(sampleSize).collect().map(_._2)
+    // TakeOrdered: per-partition bottom-k + merge — no full sort
+    val sample = typed.toDF("id", "v")
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(sampleSize).select(col("v")).as[Array[Double]].collect()
     val centroids = trainCentroids(sample, k)
-    val total = rowCount.value
-    val freq = sample.map(nearestCell(_, centroids))
-      .groupBy(identity).view.mapValues(_.length).toMap
-    val saltOf: Map[Int, Int] = centroids.indices.map { c =>
-      val est = freq.getOrElse(c, 0).toLong * total / math.max(sample.length, 1)
-      c -> math.max(1, ((est + maxRowsPerFile - 1) / maxRowsPerFile).toInt)
-    }.toMap
     val bc = spark.sparkContext.broadcast(centroids)
-    typed
+    val assigned = typed
       .mapPartitions(_.map { case (id, v) => (id, v, nearestCell(v, bc.value)) })
       .toDF(idCol, vecCol, "cell")
+    // EXACT per-cell counts (see scaladoc): k collected rows, map-side partial
+    // aggregate; `assigned` is recomputed by the write below on purpose
+    val cellCounts: Map[Int, Long] = assigned.groupBy(col("cell")).count()
+      .as[(Int, Long)].collect().toMap
+    val saltOf: Map[Int, Int] = centroids.indices.map { c =>
+      val rows = cellCounts.getOrElse(c, 0L)
+      c -> math.max(1, ((rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt)
+    }.toMap
+    assigned
       .withColumn("salt",
         pmod(xxhash64(col(idCol)), element_at(typedLit(saltOf), col("cell"))).cast("int"))
       // explicit count: one target partition per (cell, salt) group — an

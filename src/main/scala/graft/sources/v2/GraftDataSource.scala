@@ -87,8 +87,38 @@ object GraftDataSource {
 
   /** Last scan's planning decisions (driver-side, for tests/ops visibility). */
   final case class PlanStats(partitions: Int, files: Int, predicates: Int,
-      prunedGroupKeys: Option[Int])
+      prunedGroupKeys: Option[Int], pushedLimit: Option[Int] = None)
+
+  /** Single-query convenience only — concurrent V2 scans clobber it (use
+    * [[planStatsFor]] whenever more than one graft scan can be in flight). */
   @volatile var lastPlanStats: Option[PlanStats] = None
+
+  /** Per-root plan stats, bounded LRU (mirrors `Dedup.capReports`): concurrent
+    * scans over DIFFERENT stores no longer race each other's assertions; two
+    * concurrent scans of the SAME root last-write-win, which is inherent to a
+    * per-root key and fine for the gating/ops use. */
+  private val planStatsByRoot =
+    new java.util.LinkedHashMap[String, PlanStats](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, PlanStats]): Boolean = size > 64
+    }
+
+  private[v2] def recordPlanStats(root: String, s: PlanStats): Unit = {
+    lastPlanStats = Some(s)
+    planStatsByRoot.synchronized { planStatsByRoot.put(root, s); () }
+  }
+
+  /** Planning stats of the most recent scan over `root`. */
+  def planStatsFor(root: String): Option[PlanStats] =
+    planStatsByRoot.synchronized(Option(planStatsByRoot.get(root)))
+
+  /** Per-task parquet In-filter value budget: row-group stats evaluation of an
+    * In probes the value set per row group, so a huge set costs more than the
+    * IO it saves; past the budget only the part_id component is pushed (still
+    * row-group pruning on dead parts) and the reader's exact `liveGroup` check
+    * keeps results identical. `private[v2]` var so tests can force the
+    * over-budget branch without a 65k-group fixture. */
+  private[v2] var InFilterMaxKeys = 65536
 
   /** Aggregates answerable from store metadata alone (see [[GraftAggScan]]). */
   sealed trait MetaAgg
@@ -368,13 +398,17 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     require(entries.nonEmpty, s"no committed snapshot under $root")
 
     // gated Iceberg-style planning: a metadata-only scan yields the surviving
-    // group keys, or None when the predicate is not selective / keys exceed the
-    // per-task In-filter budget (the residuals still make results exact)
+    // group keys, or None when the predicate is not selective (past the
+    // MaxPrunedKeyCollect / half-the-groups gate — the residuals still make
+    // results exact). The key set ships as a BROADCAST and each task slices
+    // out its own dir's contiguous runs, so the per-task payload no longer
+    // bounds pruning depth: the SQL surface now prunes as deep as the
+    // decodeWhere API (10^6 keys), where r4 silently dropped ALL pruning past
+    // 4096 surviving groups because the whole array rode every InputPartition.
     val keysOpt: Option[Array[(Int, Int)]] =
       if (predicates.isEmpty) None
       else DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), predicates,
           DecodeJob.estimatedGroups(entries))
-        .filter(_.length <= DecodeJob.MaxFallbackGroups)
 
     val keyParts: Option[Set[Int]] = keysOpt.map(_.map(_._1).toSet)
     val liveByDir: Map[String, Array[Int]] = entries.groupBy(_.dataDir)
@@ -383,8 +417,9 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     val dirs = entries.map(_.dataDir).distinct
       .filter(d => keyParts.forall(kp => liveByDir(d).exists(kp)))
 
-    val packedKeys: Array[Long] =
-      keysOpt.map(_.map(k => (k._1.toLong << 32) | (k._2.toLong & 0xffffffffL)).sorted).orNull
+    val keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]] =
+      keysOpt.map(ks => spark.sparkContext.broadcast(
+        ks.map(k => (k._1.toLong << 32) | (k._2.toLong & 0xffffffffL)).sorted)).orNull
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val columns = requiredSchema.fieldNames
@@ -428,9 +463,9 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       }
       if (bin.nonEmpty) bins += bin
       bins.map(b => GraftInputPartition(b.toArray, columns,
-        liveByDir(d), packedKeys, conf, columnar): InputPartition)
+        liveByDir(d), keysBc, conf, columnar): InputPartition)
     }.toArray
-    GraftDataSource.lastPlanStats = Some(GraftDataSource.PlanStats(
+    GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
       partitions.length, allFiles.iterator.map(_._2.length).sum,
       predicates.size, keysOpt.map(_.length)))
     partitions
@@ -445,7 +480,9 @@ final case class GraftInputPartition(
     files: Array[String],
     columns: Array[String],          // required output columns, in schema order
     liveParts: Array[Int],           // sorted live part ids of the files' dir
-    packedKeys: Array[Long],         // sorted (part_id<<32|seq) or null = no pruning
+    // broadcast of ALL surviving sorted (part_id<<32|seq) keys, or null = no
+    // pruning; each task slices its dir's runs out (bounded per-task payload)
+    keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
     conf: org.apache.spark.util.SerializableConfiguration,
     columnar: Boolean) extends InputPartition
 
@@ -499,16 +536,63 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
   private val projNames = Seq("part_id", "block_seq", "column", "n") ++
     (if (countOnly) Seq.empty else Seq("encoded"))
 
+  /** First index in sorted `a` with value >= target. */
+  private def lowerBound(a: Array[Long], target: Long): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** This bin's slice of the globally pruned key set: keys are sorted by
+    * packed (part_id<<32|seq), so each part's keys form one contiguous run —
+    * one lower-bound search per live part of the bin's dir extracts the dir's
+    * share. Per-task work is O(dir keys), independent of the global survivor
+    * count, which is what lifts the r4 per-task 4096-key ceiling. */
+  private val slicedKeys: Array[Long] =
+    if (p.keysBc == null) null
+    else {
+      val all = p.keysBc.value
+      val ranges = new Array[Int](p.liveParts.length * 2)
+      var total = 0
+      var i = 0
+      while (i < p.liveParts.length) {
+        val pid = p.liveParts(i)
+        val lo = lowerBound(all, pid.toLong << 32)
+        val hi = lowerBound(all, (pid.toLong + 1) << 32)
+        ranges(2 * i) = lo; ranges(2 * i + 1) = hi
+        total += hi - lo
+        i += 1
+      }
+      val out = new Array[Long](total)
+      var o = 0
+      i = 0
+      while (i < p.liveParts.length) {
+        val lo = ranges(2 * i); val n = ranges(2 * i + 1) - lo
+        System.arraycopy(all, lo, out, o, n)
+        o += n
+        i += 1
+      }
+      out
+    }
+
+  private def inFilterMaxKeys: Int = GraftDataSource.InFilterMaxKeys
+
   private val filter: FilterCompat.Filter = {
     var pred: FilterPredicate =
       FilterApi.in(FilterApi.binaryColumn("column"),
         readCols.map(Binary.fromString).toSet.asJava)
-    if (p.packedKeys != null) {
-      val pids = p.packedKeys.map(k => Int.box((k >>> 32).toInt)).toSet.asJava
-      val seqs = p.packedKeys.map(k => Int.box(k.toInt)).toSet.asJava
+    if (slicedKeys != null && slicedKeys.length > 0 && slicedKeys.length <= inFilterMaxKeys) {
+      val pids = slicedKeys.map(k => Int.box((k >>> 32).toInt)).toSet.asJava
+      val seqs = slicedKeys.map(k => Int.box(k.toInt)).toSet.asJava
       pred = FilterApi.and(pred,
         FilterApi.and(FilterApi.in(FilterApi.intColumn("part_id"), pids),
           FilterApi.in(FilterApi.intColumn("block_seq"), seqs)))
+    } else if (slicedKeys != null && slicedKeys.length > 0) {
+      val pids = slicedKeys.map(k => Int.box((k >>> 32).toInt)).toSet.asJava
+      pred = FilterApi.and(pred, FilterApi.in(FilterApi.intColumn("part_id"), pids))
     }
     FilterCompat.get(pred)
   }
@@ -535,12 +619,14 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
   private var bufKey: Long = -1L
   private var bufCols: Map[String, Array[Byte]] = Map.empty
   private var bufN: Int = 0
-  private var eof = false
+  // a dir with zero surviving keys never plans (defensive: empty In-sets are
+  // rejected by parquet's FilterApi, so don't build a filter from nothing)
+  private var eof = slicedKeys != null && slicedKeys.length == 0
 
   @inline private def liveGroup(packed: Long): Boolean = {
     val pid = (packed >>> 32).toInt
     java.util.Arrays.binarySearch(p.liveParts, pid) >= 0 &&
-      (p.packedKeys == null || java.util.Arrays.binarySearch(p.packedKeys, packed) >= 0)
+      (slicedKeys == null || java.util.Arrays.binarySearch(slicedKeys, packed) >= 0)
   }
 
   private def takeBuffered(): GroupData = {
@@ -708,9 +794,35 @@ final class GraftColumnarReader(p: GraftInputPartition)
     val slices: Seq[(Int, Int)] =
       if (maxCol <= maxBatchColumnBytes) Seq((0, gd.n))
       else {
-        val perRow = math.max(1L, maxCol / math.max(gd.n, 1))
-        val rowsPerBatch = math.max(1, (maxBatchColumnBytes / perRow).toInt)
-        (0 until gd.n by rowsPerBatch).map(s => (s, math.min(s + rowsPerBatch, gd.n)))
+        // slice on ACTUAL per-row bytes, not the mean: a skewed group (one run
+        // of giant blobs among small rows) sliced by maxCol/n can still pack
+        // >2GiB into one slice — total.toInt then goes negative, the reserve is
+        // skipped, and putByteArray growth dies at the 2GiB child-array limit
+        val cols = decodedStr.values.toArray
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        val run = new Array[Long](cols.length)
+        var start = 0
+        var i = 0
+        while (i < gd.n) {
+          var overflow = false
+          var c = 0
+          while (c < cols.length && !overflow) {
+            val v = cols(c)(i)
+            if (run(c) + (if (v == null) 0L else v.length.toLong) > maxBatchColumnBytes)
+              overflow = true
+            c += 1
+          }
+          if (overflow && i > start) { // a single over-ceiling row still gets its own slice
+            out += ((start, i)); start = i; java.util.Arrays.fill(run, 0L)
+          }
+          c = 0
+          while (c < cols.length) {
+            val v = cols(c)(i); run(c) += (if (v == null) 0L else v.length.toLong); c += 1
+          }
+          i += 1
+        }
+        out += ((start, gd.n))
+        out.toSeq
       }
     slices.iterator.map { case (from, until) =>
       val n = until - from
@@ -731,6 +843,12 @@ final class GraftColumnarReader(p: GraftInputPartition)
             // the contiguous array ~a dozen times per multi-MB column otherwise
             var total = 0L; var i = 0
             while (i < n) { if (vs(from + i) != null) total += vs(from + i).length; i += 1 }
+            // slicing bounds total at max(maxBatchColumnBytes, one row); only a
+            // misconfigured >2GiB MaxBatchColumnBytes can breach — fail loudly,
+            // a negative toInt here would skip the reserve and corrupt later
+            require(total <= Int.MaxValue, s"columnar batch column '$c' needs " +
+              s"$total contiguous bytes (> 2GiB JVM array limit); lower " +
+              "GraftColumnarReader.MaxBatchColumnBytes or use the row path")
             vec.arrayData().reserve(total.toInt)
             i = 0
             while (i < n) {

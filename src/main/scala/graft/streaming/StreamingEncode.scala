@@ -62,9 +62,16 @@ object StreamingEncode {
         "would break the exactly-once part-id namespace (batchId*parts) — keep the " +
         "original value or start a fresh store+checkpoint")
     } else {
+      // tmp + ATOMIC_MOVE like every other sidecar (SNAPSHOT/BOUNDARIES): a
+      // crash mid-write must not leave a truncated file whose trim.toInt throws
+      // on every later restart, permanently blocking the stream
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, parts.toString.getBytes(
+      val tmp = java.nio.file.Paths.get(root,
+        s".STREAM_PARTS.tmp.${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, parts.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 
@@ -79,7 +86,13 @@ object StreamingEncode {
       .select(col("window.start").as("ws"), col("lang"), col("cnt"))
 
   /** Existence-only dedup state; the payload is a deterministic constant so
-    * checkpointed state bytes do not vary across task retries. */
+    * checkpointed state bytes do not vary across task retries.
+    *
+    * Compatibility: this shape replaced an earlier `firstSeenBatchMs: Long`
+    * field. Spark's state-schema check rejects a restart of a PRE-change
+    * checkpoint against the new shape — dedup streams checkpointed on the old
+    * schema need a fresh checkpoint directory (the store itself is unaffected:
+    * its exactly-once guarantee is the manifest anti-join, not this state). */
   final case class SeenState(seen: Boolean)
   final case class DedupIn(fp: Long, url: String)
 

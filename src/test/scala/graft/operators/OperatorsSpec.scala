@@ -382,6 +382,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == (0L until 5L), s"probe after salting must stay exact: $got")
   }
 
+  test("IVF salts a hot cell the training sample PROVABLY never saw (exact counts)") {
+    import spark.implicits._
+    // r4 regression: salts were estimated from the training sample's cell
+    // shares, so a cell with expected ZERO sample hits but > maxRowsPerFile
+    // rows went unsalted (one straggler file). Construction makes the blindness
+    // deterministic: the sample is the bottom-64 ids by xxhash64, the planted
+    // hot cluster lives on the TOP-300 ids by the same hash — provably disjoint.
+    val dim = 8
+    val total = 2860L
+    val planted = spark.range(total)
+      .select(col("id"), xxhash64(col("id")).as("h"))
+      .orderBy(col("h").desc).limit(300).select("id").as[Long].collect().toSet
+    def anchor(a: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == a % dim) (a / dim + 1) * 10.0f else 0.0f)
+    val pVec: Array[Float] = { val v = anchor(0); v(1) = 3.0f; v } // anchor-0's cell, not colinear
+    val bPlanted = spark.sparkContext.broadcast(planted)
+    val df = spark.range(total).map { id =>
+      val v = if (bPlanted.value(id)) pVec else anchor((id % 64L).toInt)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-blind-").toString
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", k = 64, idx,
+      sampleSize = 64, maxRowsPerFile = 100)
+    // the planted cell holds ~40 anchor rows + 300 planted = well over the cap;
+    // exact counts must salt it into >= 2 files (the sample-share estimator
+    // gave it salt 1: its only sample hits were the ~40-row anchor's)
+    val cents = Similarity.loadCentroids(idx)
+    val cellOfP = Similarity.nearestCell(pVec.map(_.toDouble), cents)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/cell=$cellOfP"))
+    val cellFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
+      .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq
+    assert(cellFiles.size >= 2,
+      s"sample-blind hot cell $cellOfP must be salted from exact counts: $cellFiles")
+    val perFile = cellFiles.map(f => spark.read.parquet(f).count())
+    assert(perFile.sum >= 300L && perFile.max <= 300L,
+      s"rows per file must stay bounded in the blind cell: $perFile")
+    // probe: the planted twins dominate cosine against pVec
+    val got = Similarity.ivfTopK(spark, idx, "vec_id", "embedding", pVec, 5, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == planted.toSeq.sorted.take(5),
+      s"probe must return the 5 lowest planted ids: $got")
+  }
+
   test("real audio decode: JDK sound recovers WAV geometry and exact peak; junk is safe") {
     import spark.implicits._
     val wavs = spark.range(0, 32, 1, 4).as[Long].map { id =>

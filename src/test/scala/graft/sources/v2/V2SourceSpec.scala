@@ -265,6 +265,41 @@ class V2SourceSpec extends AnyFunSuite {
     assert(!rowPlan.contains("ColumnarToRow"), s"default must be row-based:\n$rowPlan")
   }
 
+  test("pruning survives >4096 surviving groups (broadcast keys, per-bin slicing)") {
+    // r4 regression: the scan dropped ALL pruning past DecodeJob.MaxFallbackGroups
+    // (4096) because the whole packed-key array rode every InputPartition. With
+    // broadcast + per-dir slicing the SQL surface must prune as deep as the
+    // decodeWhere API. Fixture: 1-row block groups (maxBlockBytes=1) make 12k
+    // groups from 12k rows; the byte-bound store under-estimates the manifest
+    // group count, so the break-even FRACTION heuristic (not the mechanism under
+    // test) is widened for the duration.
+    val r2 = Files.createTempDirectory("graft-v2-manykeys-").toString
+    EncodeJob.run(spark, Webtext.generate(spark, 12000L, 8), r2, parts = 8,
+      maxBlockBytes = 1L)
+    val savedCutoff = DecodeJob.PruneFractionCutoff
+    try {
+      DecodeJob.PruneFractionCutoff = 1e9
+      val pred = col("url") < "https://host-2" // ~37% of zipf-hosted urls
+      val want = sortedRows(DecodeJob.decode(spark, r2).toDF()
+        .where(pred).select(col("url")))
+      assert(want.length > DecodeJob.MaxFallbackGroups,
+        s"fixture must survive in >4096 groups, got ${want.length}")
+      val df = spark.read.format("graft").load(r2).where(pred).select(col("url"))
+      assert(sortedRows(df) == want)
+      val stats = GraftDataSource.planStatsFor(r2).get
+      assert(stats.prunedGroupKeys.exists(_ > DecodeJob.MaxFallbackGroups),
+        s"scan must prune past the old 4096 ceiling: $stats")
+      // over the per-task In-filter budget: only part_id pushes to parquet, the
+      // exact liveGroup check keeps rows identical
+      val savedBudget = GraftDataSource.InFilterMaxKeys
+      try {
+        GraftDataSource.InFilterMaxKeys = 16
+        val capped = spark.read.format("graft").load(r2).where(pred).select(col("url"))
+        assert(sortedRows(capped) == want, "over-budget In-filter must stay exact")
+      } finally GraftDataSource.InFilterMaxKeys = savedBudget
+    } finally DecodeJob.PruneFractionCutoff = savedCutoff
+  }
+
   test("statistics report manifest row count and decoded size") {
     val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
     val st = scan.estimateStatistics()
