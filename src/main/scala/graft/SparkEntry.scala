@@ -439,6 +439,39 @@ object SparkEntry {
       df
     }),
 
+    // SQL WRITE path: pages written through the distributed V2 BatchWrite
+    // (range-distributed on url, per-task encode kernels writing their own
+    // block files, staged atomic manifest commit) — then read back through
+    // BOTH the V2 scan and the job API; the in-query require proves the two
+    // reads agree row-for-row, the oracle proves content against the source
+    "q_dsv2_write" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-v2w-").toString
+      docsAsPages(s, d).write.format("graft").mode("append").save(root)
+      val viaV2 = s.read.format("graft").load(root)
+        .select(col("url"), md5(col("text")).as("h"))
+      val viaJob = DecodeJob.decode(s, root).toDF()
+        .select(col("url"), md5(col("text")).as("h"))
+      require(viaV2.exceptAll(viaJob).isEmpty && viaJob.exceptAll(viaV2).isEmpty,
+        "V2 scan and DecodeJob must agree on the SQL-written store")
+      viaV2
+    }),
+
+    // LIMIT pushdown on the V2 surface: the scan carries the pushed limit and
+    // each task stops pulling/decoding block groups once it has produced n
+    // rows; the oracle compares the COUNT (which rows a LIMIT picks is
+    // nondeterministic on both engines, the count is not)
+    "q_limit_pushdown" -> ((s, d) => {
+      import s.implicits._
+      val root = encodedDocsStore(s, d)
+      val df = s.read.format("graft").load(root).limit(123)
+      val n = df.count()
+      val stats = graft.sources.v2.GraftDataSource.planStatsFor(root)
+        .getOrElse(sys.error("V2 scan did not record plan stats"))
+      require(stats.pushedLimit.contains(123),
+        s"limit must push down to the graft scan: $stats")
+      Seq(n).toDF("cnt")
+    }),
+
     // metadata-only aggregates: count(*) from manifest nRows, min/max(warc_ts)
     // from block min/max — the in-query require proves the plan never reads the
     // `encoded` column (zero decompression)
@@ -982,6 +1015,10 @@ object SparkEntry {
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +
       "FROM documents"),
+    "q_dsv2_write" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, md5(text) AS h FROM documents"),
+    "q_limit_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM (SELECT * FROM documents LIMIT 123) t"),
     "q_agg_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +

@@ -130,8 +130,10 @@ object EncodeJob {
   /** Max chars for a stored string bound (a truncated max would be unsound). */
   val StrBoundMaxLen = 64
 
-  /** Encode one buffered block (all 5 columns) into BlockRows. */
-  private def flushBlock(partId: Int, seq: Int,
+  /** Encode one buffered block (all 5 columns) into BlockRows. `private[graft]`:
+    * the V2 write path ([[graft.sources.v2.GraftBatchWrite]]) runs the same
+    * kernel push-style inside each DataWriter task. */
+  private[graft] def flushBlock(partId: Int, seq: Int,
       urls: java.util.ArrayList[Array[Byte]],
       ts: Array[Long], tsValid: Array[Boolean], tsN: Int,
       htmls: java.util.ArrayList[Array[Byte]],

@@ -88,6 +88,11 @@ object SnapshotStore {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  /** Names of regular files directly under `dir` (stream closed). */
+  def listFileNames(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else listDir(dir).filter(Files.isRegularFile(_)).map(_.getFileName.toString)
+
   def currentSnapshotId(root: String): Option[Long] = {
     val p = snapshotPointer(root)
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)

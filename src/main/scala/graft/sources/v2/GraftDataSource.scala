@@ -127,11 +127,18 @@ object GraftDataSource {
   case object AggMaxTs extends MetaAgg
 }
 
-final class GraftTable(root: String) extends Table with SupportsRead {
+final class GraftTable(root: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType = GraftDataSource.PageSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel: .option("snapshotId", id) reads a historical committed
     // snapshot (manifests are immutable per id — same mechanism as decodeAt)
@@ -147,12 +154,23 @@ final class GraftTable(root: String) extends Table with SupportsRead {
 
 final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = GraftDataSource.PageSchema
   private var pushed: Array[Filter] = Array.empty
   private var predicates: Seq[DecodeJob.BlockPredicate] = Seq.empty
   private var pushedAggs: Option[Seq[GraftDataSource.MetaAgg]] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (isPartiallyPushed stays true): each task stops
+    * pulling and decoding block groups once it has produced `limit` rows —
+    * `SELECT * FROM graft LIMIT n` stops after ~one group per launched task
+    * instead of decoding the store — and Spark's own GlobalLimit still trims
+    * the cross-task union exactly. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
 
   /** Epoch micros of a pushed-down timestamp literal (either external form). */
   private def tsMicros(v: Any): Option[Long] = v match {
@@ -248,8 +266,10 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     }
 
   override def build(): Scan = pushedAggs match {
+    // a pushed aggregate yields one metadata row — a limit on top is moot
     case Some(aggs) => new GraftAggScan(root, snapshotId, aggs)
-    case None => new GraftScan(root, snapshotId, requiredSchema, predicates, pushed)
+    case None =>
+      new GraftScan(root, snapshotId, requiredSchema, predicates, pushed, pushedLimit)
   }
 }
 
@@ -331,7 +351,8 @@ object GraftAggReaderFactory extends PartitionReaderFactory {
 final class GraftScan(root: String, snapshotId: Option[Long],
                       requiredSchema: StructType,
                       initialPredicates: Seq[DecodeJob.BlockPredicate],
-                      pushed: Array[Filter])
+                      pushed: Array[Filter],
+                      pushedLimit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -374,7 +395,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     val cols = requiredSchema.fieldNames.mkString(",")
     val preds = predicates.mkString(", ")
     val snap = snapshotId.map(id => s" snapshotId=$id").getOrElse("")
-    s"GraftStore root=$root$snap columns=[$cols] PushedBlockPredicates: [$preds]"
+    val lim = pushedLimit.map(n => s" PushedLimit: $n").getOrElse("")
+    s"GraftStore root=$root$snap columns=[$cols] PushedBlockPredicates: [$preds]$lim"
   }
 
   override def toBatch: Batch = this
@@ -463,11 +485,11 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       }
       if (bin.nonEmpty) bins += bin
       bins.map(b => GraftInputPartition(b.toArray, columns,
-        liveByDir(d), keysBc, conf, columnar): InputPartition)
+        liveByDir(d), keysBc, conf, columnar, pushedLimit.getOrElse(-1)): InputPartition)
     }.toArray
     GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
       partitions.length, allFiles.iterator.map(_._2.length).sum,
-      predicates.size, keysOpt.map(_.length)))
+      predicates.size, keysOpt.map(_.length), pushedLimit))
     partitions
   }
 
@@ -484,7 +506,8 @@ final case class GraftInputPartition(
     // pruning; each task slices its dir's runs out (bounded per-task payload)
     keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
     conf: org.apache.spark.util.SerializableConfiguration,
-    columnar: Boolean) extends InputPartition
+    columnar: Boolean,
+    limit: Int = -1) extends InputPartition // pushed per-task row cap; -1 = none
 
 /** GroupReadSupport whose requested schema is a named-field projection of the
   * file's own schema nodes (exact repetition/type match by construction). */
@@ -698,6 +721,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
   private var current: InternalRow = _
   private var pending: Iterator[InternalRow] = Iterator.empty
   private var done = false
+  private var produced = 0L
 
   private def decodeGroup(gd: BlockGroupStream#GroupData): Iterator[InternalRow] = {
     if (countOnly) {
@@ -724,6 +748,9 @@ final class GraftPartitionReader(p: GraftInputPartition)
   }
 
   override def next(): Boolean = {
+    // pushed limit: stop pulling (and decoding) further groups once this task
+    // has produced enough rows — Spark's GlobalLimit still trims exactly
+    if (p.limit >= 0 && produced >= p.limit) return false
     while (!pending.hasNext) {
       if (done) return false
       val gd = stream.nextGroup()
@@ -731,6 +758,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
       pending = decodeGroup(gd)
     }
     current = pending.next()
+    produced += 1
     true
   }
 
@@ -771,6 +799,7 @@ final class GraftColumnarReader(p: GraftInputPartition)
   private var current: ColumnarBatch = _
   private var pendingBatches: Iterator[ColumnarBatch] = Iterator.empty
   private var done = false
+  private var produced = 0L
 
   /** Decode a group into one or more batches (split when any column's decoded
     * bytes would exceed [[MaxBatchColumnBytes]] in one contiguous child). */
@@ -865,6 +894,8 @@ final class GraftColumnarReader(p: GraftInputPartition)
 
   override def next(): Boolean = {
     if (current != null) { current.close(); current = null }
+    // pushed limit: whole batches only (the limit is partial — Spark trims)
+    if (p.limit >= 0 && produced >= p.limit) return false
     while (!pendingBatches.hasNext) {
       if (done) return false
       val gd = stream.nextGroup()
@@ -872,6 +903,7 @@ final class GraftColumnarReader(p: GraftInputPartition)
       pendingBatches = toBatches(gd)
     }
     current = pendingBatches.next()
+    produced += current.numRows()
     true
   }
 

@@ -1,0 +1,319 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.jobs.{BlockRow, EncodeJob}
+import graft.sources.SnapshotStore
+
+/**
+ * DataSource V2 WRITE path: `df.write.format("graft").mode("append").save(root)`
+ * and SQL `INSERT INTO` (over a `USING graft` relation) run the SAME staged
+ * encode-and-commit pipeline as [[graft.jobs.EncodeJob]] — fully distributed,
+ * with no inner Spark job:
+ *
+ *  - **Distribution/ordering** ([[RequiresDistributionAndOrdering]]): Spark is
+ *    asked for a RANGE distribution on `url` with url-ascending order inside
+ *    each partition — the V2 equivalent of the batch job's explicit sampled
+ *    boundaries + sortWithinPartitions. Blocks therefore carry tight
+ *    url min/max metadata, so the prefix/range pruning the read paths rely on
+ *    works identically on SQL-written data.
+ *  - **Each task IS an encode kernel**: the partition's rows stream through the
+ *    same per-block buffering and [[EncodeJob.flushBlock]] codec auto-selection,
+ *    and the task writes its own block parquet file (same schema as the batch
+ *    writer's, one file per task) straight into a staged data dir. Commit
+ *    messages carry the per-part lineage rollup (rows, orig/enc bytes, per-
+ *    column codecs) computed in-task — no post-write metrics job.
+ *  - **Exactly-once commit**: tasks write attempt-unique files; the driver's
+ *    [[GraftBatchWrite.commit]] deletes any staged file NOT named in a commit
+ *    message (zombie/speculative attempts), then atomically commits the
+ *    manifest (append, or replace-all for `mode("overwrite")` via
+ *    [[SupportsTruncate]]). A crash before commit leaves only an orphaned
+ *    staging dir for the expiry sweep — the store never sees partial writes.
+ *
+ * Part-id namespace: each SQL write allocates fresh part ids above every
+ * committed (and tombstoned) id, like streaming batches — appends never collide
+ * with prior work units. A store grown through SQL writes should keep growing
+ * through SQL writes (or streaming): `EncodeJob.run`'s resume-by-part-id
+ * semantics treat its 0..parts range as already-done work if SQL appends
+ * occupied those ids (same caveat as mixing batch resume with streaming).
+ */
+final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replaceAll = false
+
+  override def truncate(): WriteBuilder = { replaceAll = true; this }
+
+  override def build(): Write = {
+    val s = info.schema()
+    val expected = GraftDataSource.PageSchema
+    require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
+        expected.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft table schema is ${expected.simpleString}; cannot write ${s.simpleString}")
+    new GraftWrite(root, replaceAll)
+  }
+}
+
+final class GraftWrite(root: String, replaceAll: Boolean)
+    extends Write with RequiresDistributionAndOrdering {
+
+  // range-partition + sort on url: the store's physical layout invariant
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(
+      Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING)))
+
+  override def requiredOrdering(): Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING))
+
+  // 0 = let Spark pick task count (shuffle partitions / AQE)
+  override def requiredNumPartitions(): Int = 0
+
+  override def toBatch: BatchWrite = new GraftBatchWrite(root, replaceAll)
+
+  override def description(): String =
+    s"GraftStore root=$root mode=${if (replaceAll) "truncate" else "append"}"
+}
+
+final case class GraftWriterCommitMessage(
+    partId: Int,
+    fileName: String, // null when the task saw no rows (no file written)
+    nRows: Long,
+    origBytes: Long,
+    encBytes: Long,
+    codecsJson: String) extends WriterCommitMessage
+
+final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrite {
+
+  // staged on the DRIVER at factory creation: one data dir per write, fresh
+  // part-id namespace above everything committed or tombstoned
+  private val (relDir, absDir) = SnapshotStore.newDataDir(root)
+  private val partOffset: Int = {
+    val used = SnapshotStore.committedPartIds(root)
+    if (used.isEmpty) 0 else used.max + 1
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftDataWriterFactory(absDir, partOffset)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[GraftWriterCommitMessage])
+    val committed: Set[String] = msgs.iterator.filter(_.fileName != null).map(_.fileName).toSet
+    // exactly-once: a crashed/zombie attempt may have left a file no commit
+    // message names — it must not be readable through the manifest's dir scan
+    val dir = Paths.get(absDir)
+    if (Files.exists(dir)) {
+      val stray = SnapshotStore.listFileNames(dir).filterNot(committed)
+      stray.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    }
+    val entries = msgs.iterator.filter(m => m.nRows > 0).map { m =>
+      SnapshotStore.PartEntry(m.partId, relDir, m.nRows, m.origBytes, m.encBytes,
+        m.codecsJson)
+    }.toSeq
+    if (entries.isEmpty && !replaceAll) {
+      // empty append: nothing to commit, drop the unused staging dir
+      if (Files.exists(dir) && SnapshotStore.listFileNames(dir).isEmpty)
+        Files.deleteIfExists(dir)
+      return
+    }
+    val replaced: Set[Int] =
+      if (replaceAll) SnapshotStore.currentEntries(root).map(_.partId).toSet
+      else Set.empty
+    SnapshotStore.commitReplacing(root, entries, replaced)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(absDir)
+    if (Files.exists(dir)) {
+      SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      Files.deleteIfExists(dir)
+    }
+  }
+}
+
+final case class GraftDataWriterFactory(absDir: String, partOffset: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(absDir, partOffset + partitionId, partitionId, taskId)
+}
+
+object GraftDataWriter {
+  /** Test hook (single-JVM/local only): when set, exactly ONE writer task
+    * throws mid-write after staging a partial file — drives the task-retry
+    * abort/cleanup path deterministically. */
+  private[v2] val failNextWriteOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** The block-file schema, byte-compatible with what Spark writes for
+    * `Dataset[BlockRow]` in [[EncodeJob.stageEncode]] (standard 3-level lists,
+    * UTF8-annotated strings) — verified against a staged file's footer. */
+  private[v2] val BlockFileSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  required int32 part_id;
+      |  required int32 block_seq;
+      |  optional binary column (UTF8);
+      |  optional binary typ (UTF8);
+      |  optional binary codec (UTF8);
+      |  required int32 n;
+      |  optional int64 block_min;
+      |  optional int64 block_max;
+      |  optional group block_dict (LIST) {
+      |    repeated group list {
+      |      required int64 element;
+      |    }
+      |  }
+      |  optional binary block_str_min (UTF8);
+      |  optional binary block_str_max (UTF8);
+      |  optional group block_str_dict (LIST) {
+      |    repeated group list {
+      |      optional binary element (UTF8);
+      |    }
+      |  }
+      |  required int64 orig_bytes;
+      |  required int64 enc_bytes;
+      |  optional binary encoded;
+      |}""".stripMargin)
+}
+
+/**
+ * One task's encode kernel: buffers the (url-sorted) partition rows into
+ * bounded blocks — the same 64Ki-row / [[EncodeJob.MaxBlockBytes]] flush rule
+ * as [[EncodeJob.encodePartition]], push-style — and appends each flushed
+ * block's 5 column rows to this task's own parquet file. Memory is one block
+ * in flight; the file is attempt-unique so speculative twins cannot collide.
+ */
+final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import graft.jobs.EncodeJob.{BlockSize, MaxBlockBytes}
+
+  // attempt-unique name: partitionId for human mapping, taskId disambiguates
+  // retries/speculation (the driver keeps only files named in commit messages)
+  private val fileName = s"part-$partitionId-task-$taskId.parquet"
+
+  private var writer: ParquetWriter[Group] = _
+  private val factory = new SimpleGroupFactory(GraftDataWriter.BlockFileSchema)
+
+  // ---- block buffers (mirrors EncodeJob.encodePartition) ----
+  private var blockSeq = 0
+  private val urls = new java.util.ArrayList[Array[Byte]](BlockSize)
+  private val htmls = new java.util.ArrayList[Array[Byte]](BlockSize)
+  private val texts = new java.util.ArrayList[Array[Byte]](BlockSize)
+  private val langs = new java.util.ArrayList[Array[Byte]](BlockSize)
+  private val ts = new Array[Long](BlockSize)
+  private val tsValid = new Array[Boolean](BlockSize)
+  private var n = 0
+  private var bufBytes = 0L
+
+  // ---- per-part lineage rollup (computed in-task; no metrics job) ----
+  private var rows = 0L
+  private var origBytes = 0L
+  private var encBytes = 0L
+  private val codecsByColumn = scala.collection.mutable.Map.empty[String,
+    scala.collection.mutable.TreeSet[String]]
+
+  @inline private def lenOf(b: Array[Byte]): Int = if (b == null) 0 else b.length
+
+  private def openWriter(): Unit = {
+    val path = new Path(new Path(absDir), fileName)
+    writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path,
+          new org.apache.hadoop.conf.Configuration()))
+      .withType(GraftDataWriter.BlockFileSchema)
+      // `encoded` dominates and is already codec-compressed high-entropy bytes;
+      // snappy over it costs CPU for ~0 size win (same choice as stageEncode)
+      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .build()
+  }
+
+  private def toGroup(b: BlockRow): Group = {
+    val g = factory.newGroup()
+    g.add("part_id", b.part_id)
+    g.add("block_seq", b.block_seq)
+    g.add("column", b.column)
+    g.add("typ", b.typ)
+    g.add("codec", b.codec)
+    g.add("n", b.n)
+    b.block_min.foreach(v => g.add("block_min", v))
+    b.block_max.foreach(v => g.add("block_max", v))
+    b.block_dict.foreach { vs =>
+      val lg = g.addGroup("block_dict")
+      vs.foreach(v => lg.addGroup("list").add("element", v))
+    }
+    b.block_str_min.foreach(v => g.add("block_str_min", v))
+    b.block_str_max.foreach(v => g.add("block_str_max", v))
+    b.block_str_dict.foreach { vs =>
+      val lg = g.addGroup("block_str_dict")
+      vs.foreach(v => lg.addGroup("list").add("element", v))
+    }
+    g.add("orig_bytes", b.orig_bytes)
+    g.add("enc_bytes", b.enc_bytes)
+    g.add("encoded", org.apache.parquet.io.api.Binary.fromConstantByteArray(b.encoded))
+    g
+  }
+
+  private def flush(): Unit = {
+    if (n == 0) return
+    if (writer == null) openWriter()
+    val blocks = EncodeJob.flushBlock(partId, blockSeq, urls, ts, tsValid, n,
+      htmls, texts, langs)
+    blocks.foreach { b =>
+      writer.write(toGroup(b))
+      origBytes += b.orig_bytes
+      encBytes += b.enc_bytes
+      if (b.column == "url") rows += b.n
+      codecsByColumn.getOrElseUpdate(b.column,
+        scala.collection.mutable.TreeSet.empty[String]) ++= b.codec.split('+')
+    }
+    urls.clear(); htmls.clear(); texts.clear(); langs.clear()
+    n = 0; bufBytes = 0L; blockSeq += 1
+  }
+
+  override def write(row: InternalRow): Unit = {
+    // PageSchema order: url, warc_ts (micros), html, text, lang
+    val url = if (row.isNullAt(0)) null else row.getUTF8String(0).getBytes
+    if (row.isNullAt(1)) { ts(n) = 0L; tsValid(n) = false }
+    else { ts(n) = row.getLong(1); tsValid(n) = true }
+    val html = if (row.isNullAt(2)) null else row.getBinary(2)
+    val text = if (row.isNullAt(3)) null else row.getUTF8String(3).getBytes
+    val lang = if (row.isNullAt(4)) null else row.getUTF8String(4).getBytes
+    urls.add(url); htmls.add(html); texts.add(text); langs.add(lang)
+    n += 1
+    bufBytes += lenOf(url) + lenOf(html) + lenOf(text) + lenOf(lang) + 16L
+    if (n == 50 && GraftDataWriter.failNextWriteOnce.compareAndSet(true, false)) {
+      flush() // leave a partial staged file so abort/cleanup is actually exercised
+      throw new RuntimeException("graft test hook: injected write failure")
+    }
+    if (n == BlockSize || bufBytes >= MaxBlockBytes) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    if (writer != null) { writer.close(); writer = null }
+    val codecsJson = codecsByColumn.toSeq.sortBy(_._1)
+      .map { case (c, s) => s""""$c":"${s.mkString("+")}"""" }
+      .mkString("{", ",", "}")
+    GraftWriterCommitMessage(partId, if (rows > 0) fileName else null,
+      rows, origBytes, encBytes, codecsJson)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+    Files.deleteIfExists(Paths.get(absDir, fileName))
+  }
+
+  override def close(): Unit =
+    if (writer != null) { writer.close(); writer = null }
+}

@@ -300,6 +300,27 @@ class V2SourceSpec extends AnyFunSuite {
     } finally DecodeJob.PruneFractionCutoff = savedCutoff
   }
 
+  test("limit pushdown: scan carries the limit, tasks stop early, counts exact") {
+    val df = graftTable.limit(777)
+    assert(df.count() == 777)
+    val stats = GraftDataSource.planStatsFor(root).get
+    assert(stats.pushedLimit.contains(777), s"limit must reach the scan: $stats")
+    val builder = new GraftScanBuilder(root, None)
+    builder.pushLimit(777)
+    assert(builder.build().description().contains("PushedLimit: 777"),
+      "pushed limit must be visible in the scan description")
+    // limit larger than the table is exact too
+    assert(graftTable.limit((N + 5).toInt).count() == N)
+    // a RESIDUAL filter blocks limit pushdown (pushing through a post-scan
+    // filter would under-produce) — results must still be exact
+    val filtered = graftTable.where(col("lang") === "en").limit(50)
+    assert(filtered.count() == 50)
+    // columnar path honors the cap at batch granularity
+    spark.conf.set("spark.graft.v2.columnar", "true")
+    try assert(graftTable.limit(777).count() == 777)
+    finally spark.conf.unset("spark.graft.v2.columnar")
+  }
+
   test("statistics report manifest row count and decoded size") {
     val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
     val st = scan.estimateStatistics()
