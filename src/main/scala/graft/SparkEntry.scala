@@ -439,6 +439,29 @@ object SparkEntry {
       df
     }),
 
+    // streaming READ of the store: readStream.format("graft") replays the
+    // committed snapshot sequence as micro-batches (offset = snapshot id);
+    // the union of the drained batches must equal the full decoded table
+    "q_stream_v2_read" -> ((s, d) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft-sread-").toString
+      val root = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+      EncodeJob.run(s, docsAsPages(s, d).as(Encoders.product[WebPage]), root,
+        parts = 4, waves = 2)
+      require(SnapshotStore.snapshotIds(root).size == 2, "two committed snapshots")
+      val got = scala.collection.mutable.HashSet.empty[String]
+      val q = s.readStream.format("graft").load(root).select(col("url"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val urls = b.collect().map(_.getString(0))
+          got.synchronized { got ++= urls }
+          ()
+        }.start()
+      q.awaitTermination(120000)
+      got.toSeq.toDF("url")
+    }),
+
     // SQL WRITE path: pages written through the distributed V2 BatchWrite
     // (range-distributed on url, per-task encode kernels writing their own
     // block files, staged atomic manifest commit) — then read back through
@@ -1015,6 +1038,8 @@ object SparkEntry {
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +
       "FROM documents"),
+    "q_stream_v2_read" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url FROM documents"),
     "q_dsv2_write" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, md5(text) AS h FROM documents"),
     "q_limit_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS cnt " +

@@ -120,6 +120,60 @@ object GraftDataSource {
     * over-budget branch without a 65k-group fixture. */
   private[v2] var InFilterMaxKeys = 65536
 
+  /**
+   * Bin-pack the data files of `entries` into [[GraftInputPartition]]s using
+   * Spark's own file-partition formula (maxSplitBytes/openCost/minPartitionNum
+   * — one task per file measured 3× slower on many-file stores). Bins stay
+   * within one dir, whose sorted live part ids gate the reader exactly.
+   * Shared by the batch [[GraftScan]] and the [[GraftMicroBatchStream]] (which
+   * passes only the parts NEW in its offset range). Returns (partitions,
+   * total file count).
+   */
+  private[v2] def packPartitions(spark: SparkSession, root: String,
+      entries: Seq[SnapshotStore.PartEntry], columns: Array[String],
+      keyParts: Option[Set[Int]],
+      keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      columnar: Boolean, limit: Int): (Array[InputPartition], Int) = {
+    val liveByDir: Map[String, Array[Int]] = entries.groupBy(_.dataDir)
+      .map { case (d, es) => d -> es.map(_.partId).sorted.toArray }
+    // manifest-level file pruning: skip whole data dirs owning no surviving part
+    val dirs = entries.map(_.dataDir).distinct
+      .filter(d => keyParts.forall(kp => liveByDir(d).exists(kp)))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val sqlConf = spark.sessionState.conf
+    val maxBytes = sqlConf.filesMaxPartitionBytes
+    val openCost = sqlConf.filesOpenCostInBytes
+    val allFiles = dirs.map { d =>
+      val dirPath = new Path(new Path(root), d)
+      val fs = dirPath.getFileSystem(conf.value)
+      d -> fs.listStatus(dirPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+        .map(st => (st.getPath.toString, st.getLen))
+    }
+    val totalBytes = allFiles.iterator.flatMap(_._2).map(_._2 + openCost).sum
+    val minPartitionNum = sqlConf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val bytesPerCore = totalBytes / math.max(minPartitionNum, 1)
+    val target = math.min(maxBytes, math.max(openCost, bytesPerCore))
+    val partitions = allFiles.flatMap { case (d, files) =>
+      val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[String]]()
+      var bin = scala.collection.mutable.ArrayBuffer[String]()
+      var binBytes = 0L
+      files.sortBy(-_._2).foreach { case (path, len) =>
+        if (binBytes > 0 && binBytes + len + openCost > target) {
+          bins += bin; bin = scala.collection.mutable.ArrayBuffer[String](); binBytes = 0L
+        }
+        bin += path; binBytes += len + openCost
+      }
+      if (bin.nonEmpty) bins += bin
+      bins.map(b => GraftInputPartition(b.toArray, columns,
+        liveByDir(d), keysBc, conf, columnar, limit): InputPartition)
+    }.toArray
+    (partitions, allFiles.iterator.map(_._2.length).sum)
+  }
+
   /** Aggregates answerable from store metadata alone (see [[GraftAggScan]]). */
   sealed trait MetaAgg
   case object AggCountStar extends MetaAgg
@@ -133,6 +187,7 @@ final class GraftTable(root: String) extends Table with SupportsRead
   override def schema(): StructType = GraftDataSource.PageSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(
@@ -433,18 +488,9 @@ final class GraftScan(root: String, snapshotId: Option[Long],
           DecodeJob.estimatedGroups(entries))
 
     val keyParts: Option[Set[Int]] = keysOpt.map(_.map(_._1).toSet)
-    val liveByDir: Map[String, Array[Int]] = entries.groupBy(_.dataDir)
-      .map { case (d, es) => d -> es.map(_.partId).sorted.toArray }
-    // manifest-level file pruning: skip whole data dirs owning no surviving part
-    val dirs = entries.map(_.dataDir).distinct
-      .filter(d => keyParts.forall(kp => liveByDir(d).exists(kp)))
-
     val keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]] =
       keysOpt.map(ks => spark.sparkContext.broadcast(
         ks.map(k => (k._1.toLong << 32) | (k._2.toLong & 0xffffffffL)).sorted)).orNull
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    val columns = requiredSchema.fieldNames
     val columnar = spark.conf.getOption("spark.graft.v2.columnar") match {
       case None => false
       case Some(v) if v.equalsIgnoreCase("true") => true
@@ -452,48 +498,26 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       case Some(v) => throw new IllegalArgumentException(
         s"spark.graft.v2.columnar must be true or false, got '$v'")
     }
-
-    // Spark's own file bin-packing formula: one task per file would schedule
-    // thousands of tiny tasks on a many-file store (task overhead dominated the
-    // scan in measurement); pack files greedily up to the same target Spark's
-    // FileScan uses. Bins stay within one dir (liveParts is per-dir).
-    val sqlConf = spark.sessionState.conf
-    val maxBytes = sqlConf.filesMaxPartitionBytes
-    val openCost = sqlConf.filesOpenCostInBytes
-    val allFiles = dirs.map { d =>
-      val dirPath = new Path(new Path(root), d)
-      val fs = dirPath.getFileSystem(conf.value)
-      d -> fs.listStatus(dirPath)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-        .map(st => (st.getPath.toString, st.getLen))
-    }
-    val totalBytes = allFiles.iterator.flatMap(_._2).map(_._2 + openCost).sum
-    val minPartitionNum = sqlConf.filesMinPartitionNum
-      .getOrElse(spark.sparkContext.defaultParallelism)
-    val bytesPerCore = totalBytes / math.max(minPartitionNum, 1)
-    val target = math.min(maxBytes, math.max(openCost, bytesPerCore))
-    val partitions = allFiles.flatMap { case (d, files) =>
-      val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[String]]()
-      var bin = scala.collection.mutable.ArrayBuffer[String]()
-      var binBytes = 0L
-      files.sortBy(-_._2).foreach { case (path, len) =>
-        if (binBytes > 0 && binBytes + len + openCost > target) {
-          bins += bin; bin = scala.collection.mutable.ArrayBuffer[String](); binBytes = 0L
-        }
-        bin += path; binBytes += len + openCost
-      }
-      if (bin.nonEmpty) bins += bin
-      bins.map(b => GraftInputPartition(b.toArray, columns,
-        liveByDir(d), keysBc, conf, columnar, pushedLimit.getOrElse(-1)): InputPartition)
-    }.toArray
+    val (partitions, fileCount) = GraftDataSource.packPartitions(spark, root, entries,
+      requiredSchema.fieldNames, keyParts, keysBc, columnar, pushedLimit.getOrElse(-1))
     GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
-      partitions.length, allFiles.iterator.map(_._2.length).sum,
+      partitions.length, fileCount,
       predicates.size, keysOpt.map(_.length), pushedLimit))
     partitions
   }
 
   override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
+
+  /** Micro-batch streaming read over the snapshot-id sequence (see
+    * [[GraftMicroBatchStream]]); pushed predicates run only as Spark-side
+    * residuals here, column pruning still applies. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(snapshotId.isEmpty,
+      "snapshotId (time travel) and readStream are mutually exclusive: a stream " +
+      "already replays the snapshot sequence from its checkpointed offset")
+    new GraftMicroBatchStream(root, requiredSchema.fieldNames)
+  }
 }
 
 /** A bin of whole block parquet files from ONE data dir; groups are whole

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.{CompactJob, DecodeJob, EncodeJob}
+import graft.sources.{SnapshotStore, Webtext}
+import graft.sources.v2.GraftOffset
+
+/**
+ * Streaming READ of the store (`spark.readStream.format("graft")`): each
+ * committed snapshot's new parts arrive exactly once, compaction commits
+ * contribute nothing (their rows were already emitted from the parts that
+ * born them), and a checkpointed restart resumes behind the last offset.
+ */
+class V2StreamReadSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("v2-stream-read-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-sread-").toString + "/d"
+
+  /** Drain the stream AvailableNow into a driver-side set; returns the urls
+    * THIS run delivered. */
+  private def drain(root: String, ckpt: String): Set[String] = {
+    val got = scala.collection.mutable.HashSet.empty[String]
+    val q = spark.readStream.format("graft").load(root)
+      .select(col("url"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val urls = batch.collect().map(_.getString(0))
+        got.synchronized { got ++= urls }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    got.toSet
+  }
+
+  test("incremental reads: append-only commits stream once; compaction adds nothing; restart resumes") {
+    import spark.implicits._
+    val root = tmp()
+    val ckpt = tmp()
+    // wave 1 via the batch job
+    EncodeJob.run(spark, Webtext.generate(spark, 3000L, 4), root, parts = 4)
+    val first = drain(root, ckpt)
+    assert(first.size == 3000)
+    assert(first == DecodeJob.decode(spark, root).select($"url").as[String].collect().toSet)
+
+    // wave 2 via the SQL write path (fresh part-id namespace)
+    Webtext.generate(spark, 800L, 4).toDF()
+      .select(concat(lit("w2-"), col("url")).as("url"), col("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .write.format("graft").mode("append").save(root)
+    val second = drain(root, ckpt)
+    assert(second.size == 800 && second.forall(_.startsWith("w2-")),
+      s"restart must deliver ONLY the new commit's rows, got ${second.size}")
+
+    // compaction: rows re-home into new parts, tombstones grow — the stream
+    // must emit NOTHING for it
+    val compacted = CompactJob.run(spark, root)
+    assert(SnapshotStore.currentTombstones(root).nonEmpty, s"compaction must tombstone: $compacted")
+    val third = drain(root, ckpt)
+    assert(third.isEmpty, s"compaction commit must not replay rows: ${third.size}")
+
+    // a post-compaction append still streams exactly its own rows
+    Webtext.generate(spark, 500L, 2).toDF()
+      .select(concat(lit("w4-"), col("url")).as("url"), col("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .write.format("graft").mode("append").save(root)
+    val fourth = drain(root, ckpt)
+    assert(fourth.size == 500 && fourth.forall(_.startsWith("w4-")))
+
+    // nothing new => empty drain
+    assert(drain(root, ckpt).isEmpty)
+  }
+
+  test("offset json round-trips; replaying an offset range plans identical parts") {
+    val root = tmp()
+    EncodeJob.run(spark, Webtext.generate(spark, 2000L, 4), root, parts = 4, waves = 2)
+    assert(GraftOffset.fromJson(GraftOffset(7L).json()) == GraftOffset(7L))
+    val stream = new graft.sources.v2.GraftMicroBatchStream(root, Array("url", "lang"))
+    val p1 = stream.planInputPartitions(GraftOffset(0L), GraftOffset(1L))
+    val p2 = stream.planInputPartitions(GraftOffset(1L), GraftOffset(2L))
+    val p1again = stream.planInputPartitions(GraftOffset(0L), GraftOffset(1L))
+    def filesOf(ps: Array[org.apache.spark.sql.connector.read.InputPartition]): Set[String] =
+      ps.flatMap(_.asInstanceOf[graft.sources.v2.GraftInputPartition].files).toSet
+    assert(filesOf(p1).nonEmpty && filesOf(p2).nonEmpty)
+    assert(filesOf(p1).intersect(filesOf(p2)).isEmpty, "batches must not overlap")
+    assert(filesOf(p1) == filesOf(p1again), "replay must plan identical partitions")
+    // empty / inverted ranges plan nothing
+    assert(stream.planInputPartitions(GraftOffset(2L), GraftOffset(2L)).isEmpty)
+  }
+
+  test("time travel option and readStream are mutually exclusive") {
+    val root = tmp()
+    EncodeJob.run(spark, Webtext.generate(spark, 500L, 2), root, parts = 2)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft").option("snapshotId", "1").load(root)
+        .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(60000)
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      e.getCause != null && e.getCause.getMessage.contains("mutually exclusive"))
+  }
+}
