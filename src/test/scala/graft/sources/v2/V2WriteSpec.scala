@@ -18,10 +18,8 @@ import graft.sources.{SnapshotStore, Webtext}
  */
 class V2WriteSpec extends AnyFunSuite {
 
-  // local[8, 2]: TWO task attempts, so the injected writer failure retries
-  // instead of failing the job (local default maxFailures=1)
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8, 2]")
+    .master("local[8]")
     .appName("v2-write-spec")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
@@ -97,20 +95,63 @@ class V2WriteSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 500L)
   }
 
-  test("task retry stays exactly-once: aborted attempt's file is not committed") {
+  test("task retries/crashes stay exactly-once: only files named in commit messages survive") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // drive the write PROTOCOL by hand (deterministic under any task-retry
+    // conf, and covers the crash-without-abort case the engine can't inject):
+    //  - attempt 1 of partition 0 stages a partial file then DIES (no abort)
+    //  - attempt 2 of partition 0 commits
+    //  - an aborted attempt of partition 1 deletes its own file
+    //  - a committed attempt of partition 1 wins
+    //  - a zombie twin of partition 1 commits a file whose message LOSES
+    // driver commit must keep exactly the two winning files.
     val root = freshRoot()
+    def row(i: Int): org.apache.spark.sql.catalyst.InternalRow =
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(f"https://w.example.com/$i%05d"),
+        1735689600000000L + i * 1000000L,
+        Array[Byte](1, 2, 3),
+        UTF8String.fromString(s"text $i"),
+        UTF8String.fromString("en")))
+    val bw = new GraftBatchWrite(root, replaceAll = false)
+    val factory = bw.createBatchWriterFactory(null)
+
+    val crashed = factory.createWriter(0, 100L).asInstanceOf[GraftDataWriter]
     GraftDataWriter.failNextWriteOnce.set(true)
-    try {
-      pages(3000L).write.format("graft").mode("append").save(root)
-    } finally GraftDataWriter.failNextWriteOnce.set(false)
-    // exact rows, no duplicates from the failed attempt's partial file
-    assert(DecodeJob.verifyAgainst(Webtext.generate(spark, 3000L, 8),
-      DecodeJob.decode(spark, root)) == 0L)
+    val ex = intercept[RuntimeException] {
+      (0 until 60).foreach(i => crashed.write(row(i))) // hook flushes a partial file at 50, then throws
+    }
+    assert(ex.getMessage.contains("injected"))
+
+    val w0 = factory.createWriter(0, 101L)
+    (0 until 120).foreach(i => w0.write(row(i)))
+    val m0 = w0.commit()
+
+    val abortedW1 = factory.createWriter(1, 102L).asInstanceOf[GraftDataWriter]
+    (200 until 260).foreach(i => abortedW1.write(row(i)))
+    abortedW1.commit() // closes + names a file...
+    abortedW1.abort()  // ...which a Spark-side abort then removes
+
+    val w1 = factory.createWriter(1, 103L)
+    (200 until 280).foreach(i => w1.write(row(i)))
+    val m1 = w1.commit()
+
+    val zombie = factory.createWriter(1, 104L)
+    (200 until 280).foreach(i => zombie.write(row(i)))
+    zombie.commit() // message is DROPPED below (lost the commit race)
+
+    bw.commit(Array(m0, m1))
     val entries = SnapshotStore.currentEntries(root)
+    assert(entries.map(_.nRows).sum == 200L, s"exactly-once rows: $entries")
     val dir = Paths.get(root, entries.head.dataDir)
     val files = SnapshotStore.listFileNames(dir).filter(_.endsWith(".parquet"))
-    assert(files.size == entries.size,
-      s"aborted attempt must leave no stray staged file: $files vs ${entries.size} entries")
+    assert(files.size == 2,
+      s"crash/zombie staged files must not survive the commit: $files")
+    assert(DecodeJob.decode(spark, root).count() == 200L)
+    assert(DecodeJob.decode(spark, root).toDF()
+      .agg(countDistinct(col("url"))).collect()(0).getLong(0) == 200L,
+      "no duplicated rows from zombie attempts")
   }
 
   test("schema mismatch is rejected before any staging") {
