@@ -458,7 +458,7 @@ object SparkEntry {
           got.synchronized { got ++= urls }
           ()
         }.start()
-      q.awaitTermination(120000)
+      require(q.awaitTermination(120000), "stream drain timed out")
       got.toSeq.toDF("url")
     }),
 

@@ -60,7 +60,10 @@ object CompactJob {
     val prepared = EncodeJob.withPartIds(pages.toDF(), boundaries, base)
     val (_, newEntries, _) = EncodeJob.stageEncode(spark, prepared, newParts, root)
 
-    val snap = SnapshotStore.commitReplacing(root, newEntries, smallIds.toSet)
+    // rowsRehomed: this commit's parts carry only rows earlier snapshots
+    // already delivered — the streaming reader must skip it
+    val snap = SnapshotStore.commitReplacing(root, newEntries, smallIds.toSet,
+      rowsRehomed = true)
     CompactResult(snap, small.size, newEntries.size, newEntries.map(_.nRows).sum)
   }
 }

@@ -247,6 +247,7 @@ object SnapshotStore {
     orphanManifestIds.foreach { id =>
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl"))
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.tombstones"))
+      Files.deleteIfExists(Paths.get(root, "manifests", s"$id.rehomed"))
     }
     val (drop, keep) = ids.splitAt(math.max(ids.size - keepLast, 0))
     val keptDirs = keep.flatMap(id => entriesAt(root, id).map(_.dataDir)).toSet
@@ -296,19 +297,48 @@ object SnapshotStore {
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl"))
       // kept snapshots carry the full accumulated tombstone set themselves
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.tombstones"))
+      Files.deleteIfExists(Paths.get(root, "manifests", s"$id.rehomed"))
     }
     ExpireResult(keep, drop, removable.sorted, removedBytes)
   }
 
   /**
+   * Was snapshot `id` a rows-REHOMED commit (compaction)? Such a commit's new
+   * parts hold only rows that earlier snapshots already carried — the streaming
+   * reader ([[graft.sources.v2.GraftMicroBatchStream]]) must emit nothing for
+   * it, while a truncate/overwrite commit (which also grows tombstones) carries
+   * genuinely NEW rows and must stream. Tombstone growth alone cannot tell the
+   * two apart, so the kind is persisted explicitly as a marker sidecar.
+   */
+  def isRehomedCommit(root: String, id: Long): Boolean =
+    Files.exists(Paths.get(root, "manifests", s"$id.rehomed"))
+
+  /**
    * Atomic commit that REPLACES the entries of `replaced` part ids with
-   * `newEntries` (compaction): the new manifest drops the replaced parts and adds
-   * the new ones. Old snapshots keep referencing the old data dirs — nothing is
-   * deleted, so time travel across a compaction still works.
+   * `newEntries` (compaction/truncate): the new manifest drops the replaced
+   * parts and adds the new ones. Old snapshots keep referencing the old data
+   * dirs — nothing is deleted, so time travel across a compaction still works.
+   * `rowsRehomed = true` marks the commit as carrying only re-homed rows
+   * (compaction) for the streaming reader — see [[isRehomedCommit]].
    */
   def commitReplacing(root: String, newEntries: Seq[PartEntry],
-                      replaced: Set[Int]): Long = synchronized {
-    val prev = currentEntries(root).filterNot(e => replaced(e.partId))
+                      replaced: Set[Int], rowsRehomed: Boolean = false): Long = synchronized {
+    val prevAll = currentEntries(root)
+    // single-writer guard, atomic under this lock: a part id committed twice
+    // (two concurrent writers racing the same offset, or a buggy caller) would
+    // make every reader key-collide (part_id, block_seq) groups across dirs —
+    // duplicated/merged rows. Fail the LOSING commit loudly before the swap;
+    // its staged dir stays orphaned (swept by expiry), the store stays intact.
+    val newIds = newEntries.map(_.partId)
+    require(newIds.distinct.size == newIds.size,
+      s"duplicate part ids within one commit: ${newIds.diff(newIds.distinct).distinct}")
+    val clash = (prevAll.map(_.partId).toSet ++ currentTombstones(root))
+      .intersect(newIds.toSet)
+    require(clash.isEmpty,
+      s"part ids ${clash.toSeq.sorted.take(10)} are already committed under $root — " +
+      "concurrent writers to one store are not supported; this commit is refused " +
+      "before the pointer swap (the store is unchanged)")
+    val prev = prevAll.filterNot(e => replaced(e.partId))
     val nextId = currentSnapshotId(root).getOrElse(0L) + 1L
     val mfDir = Paths.get(root, "manifests")
     Files.createDirectories(mfDir)
@@ -332,6 +362,12 @@ object SnapshotStore {
       // leaves a stale sidecar this id would otherwise ADOPT (live parts
       // permanently reported as compacted-away) — reconcile explicitly
       Files.deleteIfExists(mfDir.resolve(s"$nextId.tombstones"))
+    // commit-kind marker, with the same crash reconciliation as tombstones
+    if (rowsRehomed)
+      Files.write(mfDir.resolve(s"$nextId.rehomed"), Array.emptyByteArray,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    else
+      Files.deleteIfExists(mfDir.resolve(s"$nextId.rehomed"))
     val tmp = Paths.get(root, s".SNAPSHOT.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, nextId.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapshotPointer(root), StandardCopyOption.ATOMIC_MOVE,

@@ -6,16 +6,23 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 
 import graft.sources.SnapshotStore
 
-/** Stream offset = committed snapshot id (0 = before the first commit). The
-  * snapshot-id sequence is already a total order of atomic commits — exactly
-  * an offset log. */
-final case class GraftOffset(snapshotId: Long) extends Offset {
-  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+/** Stream offset = committed snapshot id. `fresh = true` marks a stream's OWN
+  * initial offset: the one position where a missing predecessor manifest is
+  * legal (the stream starts at the earliest RETAINED snapshot, whose manifest
+  * is the full table state — there is nothing before it to have missed). A
+  * checkpointed non-fresh offset with an expired predecessor is a retention
+  * violation instead, and planning fails with the remediation. */
+final case class GraftOffset(snapshotId: Long, fresh: Boolean = false) extends Offset {
+  override def json(): String =
+    if (fresh) s"""{"snapshotId":$snapshotId,"fresh":true}"""
+    else s"""{"snapshotId":$snapshotId}"""
 }
 
 object GraftOffset {
   private val P = """\{\s*"snapshotId"\s*:\s*(-?\d+)\s*\}""".r
+  private val PF = """\{\s*"snapshotId"\s*:\s*(-?\d+)\s*,\s*"fresh"\s*:\s*true\s*\}""".r
   def fromJson(json: String): GraftOffset = json.trim match {
+    case PF(id) => GraftOffset(id.toLong, fresh = true)
     case P(id) => GraftOffset(id.toLong)
     case other => throw new IllegalArgumentException(
       s"not a graft stream offset: '$other'")
@@ -35,19 +42,22 @@ object GraftOffset {
  * offsets — plans the identical part set from the identical immutable
  * manifests: end-to-end exactly-once with a downstream idempotent sink.
  *
- * Compaction awareness: a commit that GROWS the tombstone set is a compaction
- * — its "new" parts hold only re-homed rows that earlier batches already
- * emitted, so it contributes NOTHING (the same
- * [[SnapshotStore.committedPartIds]] lineage that keeps batch resume
- * exactly-once). Writers never mix appends and replacements in one commit
- * (EncodeJob/StreamingEncode append; CompactJob replaces), which this rule
- * relies on.
+ * Commit kinds: a compaction re-homes rows earlier snapshots already streamed
+ * and is SKIPPED, identified by its persisted `rowsRehomed` marker
+ * ([[SnapshotStore.isRehomedCommit]]) — NOT by tombstone growth, because a
+ * truncate/overwrite also grows tombstones yet carries genuinely new rows,
+ * which DO stream. The stream is append-only: an overwrite delivers its new
+ * rows, the logical deletion of the old rows is not signaled (consumers
+ * needing replace semantics should re-read the snapshot, batch).
  *
- * Retention: planning a range needs the manifests of every snapshot in it (a
- * part is read from the dir of the snapshot that BORN it, so a later
- * compaction cannot re-home rows out from under a lagging stream). If expiry
- * dropped one, planning fails with the remediation in the message — size
- * `expireSnapshots(keepLast)` to cover the maximum stream lag.
+ * Retention: planning `(start, end]` needs the manifests of every snapshot in
+ * the range plus `start` itself (the first delta's predecessor) — a part is
+ * read from the dir of the snapshot that born it, so a later compaction
+ * cannot re-home rows out from under a lagging stream. A FRESH stream instead
+ * starts at the earliest retained snapshot (full-table first batch, no
+ * predecessor needed). If expiry outran a checkpointed stream, planning fails
+ * with the remediation — size `expireSnapshots(keepLast)` to cover the
+ * maximum stream lag.
  */
 final class GraftMicroBatchStream(root: String, columns: Array[String])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
@@ -61,7 +71,14 @@ final class GraftMicroBatchStream(root: String, columns: Array[String])
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(currentId)
 
-  override def initialOffset(): Offset = GraftOffset(0L)
+  /** Start just below the earliest RETAINED snapshot (not a hardwired 0: on a
+    * store that ever ran expireSnapshots, manifest 1 is gone and a 0-based
+    * stream could never plan its first batch). The first batch then emits the
+    * earliest retained manifest whole — the full table as of that snapshot. */
+  override def initialOffset(): Offset = {
+    val earliest = SnapshotStore.snapshotIds(root).headOption
+    GraftOffset(earliest.map(_ - 1L).getOrElse(0L), fresh = true)
+  }
 
   // SupportsAdmissionControl route (SupportsTriggerAvailableNow extends it):
   // no rate limiting — a batch is whatever snapshot range has committed, capped
@@ -82,43 +99,48 @@ final class GraftMicroBatchStream(root: String, columns: Array[String])
 
   override def stop(): Unit = ()
 
-  /** (entry, bornSnapshotId) for every part to EMIT in `(start, end]`. */
-  private def emitEntries(start: Long, end: Long): Seq[SnapshotStore.PartEntry] = {
+  private def retentionFail(sid: Long, start: Long, end: Long,
+      cause: Throwable): Nothing = throw new IllegalStateException(
+    s"streaming read of $root needs the manifest of snapshot $sid to plan " +
+    s"range ($start, $end], but it is gone — expired under a lagging stream. " +
+    "Size SnapshotStore.expireSnapshots(keepLast) to cover the stream lag, or " +
+    "restart the stream from a fresh checkpoint (re-reads the table).", cause)
+
+  /** Entries of every part to EMIT in `(start.snapshotId, end]`. */
+  private def emitEntries(start: GraftOffset, end: Long): Seq[SnapshotStore.PartEntry] = {
     val out = Seq.newBuilder[SnapshotStore.PartEntry]
-    var prevParts: Set[Int] = null // lazy: only needed once per walked snapshot
-    var prevTombs: Set[Int] = null
-    var sid = start + 1
+    var prevParts: Set[Int] = null
+    var sid = start.snapshotId + 1
     while (sid <= end) {
-      val (entries, tombs) =
-        try (SnapshotStore.entriesAt(root, sid), SnapshotStore.tombstonesAt(root, sid))
-        catch {
-          case e: IllegalArgumentException => throw new IllegalStateException(
-            s"streaming read of $root needs snapshot $sid of range ($start, $end], " +
-            "but its manifest is gone — expired under a lagging stream. Size " +
-            "SnapshotStore.expireSnapshots(keepLast) to cover the stream lag, or " +
-            "restart the stream from a fresh checkpoint (full re-read).", e)
-        }
-      if (prevParts == null) {
+      val entries =
+        try SnapshotStore.entriesAt(root, sid)
+        catch { case e: IllegalArgumentException => retentionFail(sid, start.snapshotId, end, e) }
+      if (prevParts == null) { // first walked snapshot: load its predecessor
         prevParts =
           if (sid == 1) Set.empty
-          else SnapshotStore.entriesAt(root, sid - 1).map(_.partId).toSet
-        prevTombs = if (sid == 1) Set.empty else SnapshotStore.tombstonesAt(root, sid - 1)
+          else try SnapshotStore.entriesAt(root, sid - 1).map(_.partId).toSet
+          catch {
+            case e: IllegalArgumentException =>
+              // legal exactly at a FRESH stream's first batch: the stream began
+              // at the earliest retained snapshot, whose manifest is the full
+              // state — emit it whole. Anywhere else it is a retention hole.
+              if (start.fresh && sid == start.snapshotId + 1) Set.empty
+              else retentionFail(sid - 1, start.snapshotId, end, e)
+          }
       }
-      val newEntries = entries.filterNot(e => prevParts(e.partId))
-      // tombstones grew => compaction commit: its parts are re-homed rows,
-      // already emitted from the snapshots that born them — skip
-      if ((tombs -- prevTombs).isEmpty) out ++= newEntries
+      // rehomed (compaction) commits carry only already-streamed rows
+      if (!SnapshotStore.isRehomedCommit(root, sid))
+        out ++= entries.filterNot(e => prevParts(e.partId))
       prevParts = entries.map(_.partId).toSet
-      prevTombs = tombs
       sid += 1
     }
     out.result()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset].snapshotId
+    val s = start.asInstanceOf[GraftOffset]
     val e = end.asInstanceOf[GraftOffset].snapshotId
-    if (e <= s) return Array.empty
+    if (e <= s.snapshotId) return Array.empty
     val entries = emitEntries(s, e)
     if (entries.isEmpty) return Array.empty
     val spark = SparkSession.active

@@ -38,12 +38,15 @@ import graft.sources.SnapshotStore
  *    writer's, one file per task) straight into a staged data dir. Commit
  *    messages carry the per-part lineage rollup (rows, orig/enc bytes, per-
  *    column codecs) computed in-task — no post-write metrics job.
- *  - **Exactly-once commit**: tasks write attempt-unique files; the driver's
- *    [[GraftBatchWrite.commit]] deletes any staged file NOT named in a commit
- *    message (zombie/speculative attempts), then atomically commits the
- *    manifest (append, or replace-all for `mode("overwrite")` via
- *    [[SupportsTruncate]]). A crash before commit leaves only an orphaned
- *    staging dir for the expiry sweep — the store never sees partial writes.
+ *  - **Exactly-once commit**: tasks stage attempt-unique files under a
+ *    dot-prefixed in-progress name (invisible to all readers) and atomically
+ *    rename at task commit — a zombie attempt flushing bytes after the fact
+ *    can never surface in a live dir. The driver's [[GraftBatchWrite.commit]]
+ *    additionally deletes any staged file NOT named in a commit message, then
+ *    atomically commits the manifest (append, or replace-all for
+ *    `mode("overwrite")` via [[SupportsTruncate]]). A crash before commit
+ *    leaves only an orphaned staging dir for the expiry sweep — the store
+ *    never sees partial writes.
  *
  * Part-id namespace: each SQL write allocates fresh part ids above every
  * committed (and tombstoned) id, like streaming batches — appends never collide
@@ -202,6 +205,14 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
   // attempt-unique name: partitionId for human mapping, taskId disambiguates
   // retries/speculation (the driver keeps only files named in commit messages)
   private val fileName = s"part-$partitionId-task-$taskId.parquet"
+  // staged under a dot-prefixed in-progress name, renamed at task commit: a
+  // ZOMBIE attempt (stalled task whose executor dies without abort) can flush
+  // parquet bytes AFTER the driver's stray-file sweep — under the final name
+  // that file would sit in a now-live dir and decode as duplicate groups; a
+  // dot-file is invisible to every reader (packPartitions and spark.read both
+  // skip "."-prefixed files), and only a coordinator-approved task commit ever
+  // renames (the same _temporary-then-rename discipline as Spark's committers)
+  private val inProgressName = s".$fileName.inprogress"
 
   private var writer: ParquetWriter[Group] = _
   private val factory = new SimpleGroupFactory(GraftDataWriter.BlockFileSchema)
@@ -227,7 +238,7 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
   @inline private def lenOf(b: Array[Byte]): Int = if (b == null) 0 else b.length
 
   private def openWriter(): Unit = {
-    val path = new Path(new Path(absDir), fileName)
+    val path = new Path(new Path(absDir), inProgressName)
     writer = ExampleParquetWriter.builder(
         org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path,
           new org.apache.hadoop.conf.Configuration()))
@@ -302,6 +313,9 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
   override def commit(): WriterCommitMessage = {
     flush()
     if (writer != null) { writer.close(); writer = null }
+    if (rows > 0) // task commit = atomic promote to the readable name
+      Files.move(Paths.get(absDir, inProgressName), Paths.get(absDir, fileName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val codecsJson = codecsByColumn.toSeq.sortBy(_._1)
       .map { case (c, s) => s""""$c":"${s.mkString("+")}"""" }
       .mkString("{", ",", "}")
@@ -311,6 +325,7 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
 
   override def abort(): Unit = {
     if (writer != null) { writer.close(); writer = null }
+    Files.deleteIfExists(Paths.get(absDir, inProgressName))
     Files.deleteIfExists(Paths.get(absDir, fileName))
   }
 

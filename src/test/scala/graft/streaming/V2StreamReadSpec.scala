@@ -44,7 +44,7 @@ class V2StreamReadSpec extends AnyFunSuite {
         ()
       }
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream drain timed out")
     got.toSet
   }
 
@@ -84,6 +84,54 @@ class V2StreamReadSpec extends AnyFunSuite {
 
     // nothing new => empty drain
     assert(drain(root, ckpt).isEmpty)
+
+    // an OVERWRITE also grows tombstones but carries genuinely NEW rows — the
+    // marker-based commit-kind rule must stream them (the r5 review caught the
+    // tombstone-growth heuristic silently dropping truncate writes)
+    Webtext.generate(spark, 200L, 2).toDF()
+      .select(concat(lit("ow-"), col("url")).as("url"), col("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .write.format("graft").mode("overwrite").save(root)
+    val fifth = drain(root, ckpt)
+    assert(fifth.size == 200 && fifth.forall(_.startsWith("ow-")),
+      s"overwrite must stream its new rows (append-only semantics): ${fifth.size}")
+  }
+
+  test("fresh stream on an expired store starts at the earliest retained snapshot") {
+    import spark.implicits._
+    val root = tmp()
+    // parts=6 with waves=3: wave size ceil(6/3)=2 -> exactly 3 commits
+    EncodeJob.run(spark, Webtext.generate(spark, 1500L, 4), root, parts = 6, waves = 3)
+    assert(SnapshotStore.snapshotIds(root).size == 3)
+    SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0L)
+    assert(SnapshotStore.snapshotIds(root).size == 1)
+    // a brand-new stream must deliver the full current table, not die on the
+    // expired manifest 1 (r5 review: initialOffset was hardwired to 0)
+    val got = drain(root, tmp())
+    assert(got == DecodeJob.decode(spark, root).select($"url").as[String].collect().toSet)
+    assert(got.size == 1500)
+  }
+
+  test("lagging stream whose start manifest expired fails with the retention remediation") {
+    val root = tmp()
+    val ckpt = tmp()
+    EncodeJob.run(spark, Webtext.generate(spark, 600L, 2), root, parts = 2)
+    assert(drain(root, ckpt).size == 600) // checkpoint now at snapshot 1
+    // two more commits, then expire everything but the head
+    Webtext.generate(spark, 100L, 2).toDF()
+      .select(concat(lit("a-"), col("url")).as("url"), col("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .write.format("graft").mode("append").save(root)
+    Webtext.generate(spark, 100L, 2).toDF()
+      .select(concat(lit("b-"), col("url")).as("url"), col("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .write.format("graft").mode("append").save(root)
+    SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0L)
+    val e = intercept[Exception] { drain(root, ckpt) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("expired under a lagging stream")),
+      s"must fail with the retention remediation, got: ${messages(e)}")
   }
 
   test("offset json round-trips; replaying an offset range plans identical parts") {
