@@ -287,12 +287,26 @@ object SnapshotStore {
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith(".SNAPSHOT.tmp.") || (n.startsWith(".BOUNDARIES") && n.contains(".tmp.")) ||
-        n.startsWith("BOUNDARIES.b")
+        n.startsWith(".STREAM_PARTS.tmp.") || n.startsWith("BOUNDARIES.b")
       }
       .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
       .map(p => p.getFileName.toString).toSeq
     val removable = dropDirs.toSeq ++ orphans ++ staleTmps
     removable.foreach(d => deleteTree(Paths.get(root, d)))
+    // aged in-progress debris INSIDE kept data dirs: a zombie V2 write attempt
+    // can flush its dot-prefixed staging file after the driver's commit sweep;
+    // it is invisible to readers but would otherwise leak disk for the life of
+    // the store (kept dirs are never whole-deleted)
+    keptDirs.foreach { d =>
+      val dir = Paths.get(root, d)
+      if (Files.isDirectory(dir)) listDir(dir)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".") && n.endsWith(".inprogress") &&
+            now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
+        }
+        .foreach { p => removedBytes += Files.size(p); Files.deleteIfExists(p) }
+    }
     drop.foreach { id =>
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl"))
       // kept snapshots carry the full accumulated tombstone set themselves

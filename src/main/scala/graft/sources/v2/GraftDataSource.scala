@@ -662,8 +662,12 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
     }
   }
 
-  // one-group lookahead buffer
-  private var bufKey: Long = -1L
+  // one-group lookahead buffer. Emptiness is an EXPLICIT flag, not a sentinel
+  // key: compacted parts live in a negative id namespace, so packed keys can
+  // be any Long (a `bufKey < 0` empty-check silently dropped every compacted
+  // group — all rows of a compacted store lost on the V2 surface)
+  private var bufKey: Long = 0L
+  private var bufHas = false
   private var bufCols: Map[String, Array[Byte]] = Map.empty
   private var bufN: Int = 0
   // a dir with zero surviving keys never plans (defensive: empty In-sets are
@@ -678,14 +682,14 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
 
   private def takeBuffered(): GroupData = {
     val out =
-      if (bufKey < 0 || !liveGroup(bufKey)) null
+      if (!bufHas || !liveGroup(bufKey)) null
       else if (!countOnly && bufCols.keySet != expected)
         throw new java.io.IOException(
           s"block group part_id=${(bufKey >>> 32).toInt} block_seq=${bufKey.toInt} in " +
           s"$curFile has columns ${bufCols.keySet.toSeq.sorted.mkString(",")}, expected " +
           s"${expected.toSeq.sorted.mkString(",")}: corrupt or foreign store layout")
       else GroupData(bufCols, bufN)
-    bufKey = -1L; bufCols = Map.empty; bufN = 0
+    bufHas = false; bufCols = Map.empty; bufN = 0
     out
   }
 
@@ -713,9 +717,10 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
         val colName = g.getBinary("column", 0).toStringUsingUTF8
         val n = g.getInteger("n", 0)
         val enc = if (countOnly) null else g.getBinary("encoded", 0).getBytes
-        if (packed != bufKey) {
+        if (!bufHas || packed != bufKey) {
           val out = takeBuffered()
           bufKey = packed
+          bufHas = true
           bufCols = if (countOnly) Map.empty else Map(colName -> enc)
           bufN = n
           if (out != null) return out

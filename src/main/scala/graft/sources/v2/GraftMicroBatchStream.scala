@@ -110,6 +110,7 @@ final class GraftMicroBatchStream(root: String, columns: Array[String])
   private def emitEntries(start: GraftOffset, end: Long): Seq[SnapshotStore.PartEntry] = {
     val out = Seq.newBuilder[SnapshotStore.PartEntry]
     var prevParts: Set[Int] = null
+    var fullEmitFirst = false
     var sid = start.snapshotId + 1
     while (sid <= end) {
       val entries =
@@ -124,12 +125,16 @@ final class GraftMicroBatchStream(root: String, columns: Array[String])
               // legal exactly at a FRESH stream's first batch: the stream began
               // at the earliest retained snapshot, whose manifest is the full
               // state — emit it whole. Anywhere else it is a retention hole.
-              if (start.fresh && sid == start.snapshotId + 1) Set.empty
+              if (start.fresh && sid == start.snapshotId + 1) { fullEmitFirst = true; Set.empty }
               else retentionFail(sid - 1, start.snapshotId, end, e)
           }
       }
-      // rehomed (compaction) commits carry only already-streamed rows
-      if (!SnapshotStore.isRehomedCommit(root, sid))
+      // rehomed (compaction) commits carry only already-streamed rows — EXCEPT
+      // at a fresh full-emit: this stream delivered nothing yet, so even a
+      // compaction snapshot's full state is all-new to it (skipping it here
+      // would drop the whole existing table with no error)
+      if ((fullEmitFirst && sid == start.snapshotId + 1) ||
+          !SnapshotStore.isRehomedCommit(root, sid))
         out ++= entries.filterNot(e => prevParts(e.partId))
       prevParts = entries.map(_.partId).toSet
       sid += 1

@@ -49,11 +49,12 @@ import graft.sources.SnapshotStore
  *    never sees partial writes.
  *
  * Part-id namespace: each SQL write allocates fresh part ids above every
- * committed (and tombstoned) id, like streaming batches — appends never collide
- * with prior work units. A store grown through SQL writes should keep growing
- * through SQL writes (or streaming): `EncodeJob.run`'s resume-by-part-id
- * semantics treat its 0..parts range as already-done work if SQL appends
- * occupied those ids (same caveat as mixing batch resume with streaming).
+ * committed (and tombstoned) id — appends never collide with prior work
+ * units. Writer-mixing rules, enforced: a streaming-encoded store REFUSES SQL
+ * appends (they would occupy future batches' ids — see the require in
+ * [[GraftBatchWrite]]), and streaming refuses non-fresh stores
+ * (StreamingEncode.checkStreamParts). `EncodeJob.run` on a SQL-grown store is
+ * safe but inert for ids it considers committed (resume-by-part-id semantics).
  */
 final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -101,6 +102,17 @@ final case class GraftWriterCommitMessage(
     codecsJson: String) extends WriterCommitMessage
 
 final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrite {
+
+  // a streaming-encoded store reserves the WHOLE upward id space as its
+  // batchId*parts namespace: a SQL append at max+1 would occupy a future
+  // batch's ids and that batch would be silently dropped by the resume
+  // anti-join — refuse loudly instead (the reverse direction is guarded in
+  // StreamingEncode.checkStreamParts)
+  require(!java.nio.file.Files.exists(Paths.get(root, "STREAM_PARTS")),
+    s"store at $root is written by a streaming encode (STREAM_PARTS pins its " +
+    "batchId*parts id namespace); a SQL append would poison future batches' " +
+    "part ids and their rows would be silently dropped — keep streaming into " +
+    "it, or write to a separate store")
 
   // staged on the DRIVER at factory creation: one data dir per write, fresh
   // part-id namespace above everything committed or tombstoned

@@ -62,6 +62,17 @@ object StreamingEncode {
         "would break the exactly-once part-id namespace (batchId*parts) — keep the " +
         "original value or start a fresh store+checkpoint")
     } else {
+      // a store already holding batch/SQL-written parts cannot become a stream
+      // target: streaming batch 0 would reuse ids 0..parts-1, which the resume
+      // anti-join sees as committed — that batch's rows silently never encode.
+      // (The reverse direction is guarded in GraftBatchWrite.)
+      val preexisting = graft.sources.SnapshotStore.committedPartIds(root)
+        .filter(_ >= 0)
+      require(preexisting.isEmpty,
+        s"store at $root already holds batch/SQL-written part ids " +
+        s"${preexisting.toSeq.sorted.take(5)}...; streaming encode needs a fresh " +
+        "store (its exactly-once namespace is batchId*parts starting at 0) — " +
+        "stream into a new root, or keep appending via the batch/SQL writers")
       // tmp + ATOMIC_MOVE like every other sidecar (SNAPSHOT/BOUNDARIES): a
       // crash mid-write must not leave a truncated file whose trim.toInt throws
       // on every later restart, permanently blocking the stream

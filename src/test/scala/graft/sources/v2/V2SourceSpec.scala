@@ -321,6 +321,23 @@ class V2SourceSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.v2.columnar")
   }
 
+  test("V2 scan reads compacted (negative part-id) stores completely") {
+    // regression: the reader's one-group buffer used `bufKey < 0` as its
+    // empty sentinel — compacted parts live in a NEGATIVE id namespace, so
+    // every compacted group silently vanished from the V2 surface
+    val r2 = Files.createTempDirectory("graft-v2-compacted-").toString
+    EncodeJob.run(spark, Webtext.generate(spark, 3000L, 8), r2, parts = 8)
+    val cr = graft.jobs.CompactJob.run(spark, r2)
+    assert(cr.partsCompacted > 0 && cr.partsCreated > 0)
+    assert(graft.sources.SnapshotStore.currentEntries(r2).exists(_.partId < 0))
+    val viaV2 = spark.read.format("graft").load(r2)
+      .select(col("url"), md5(col("html")).as("h"), col("lang"))
+    val want = sortedRows(DecodeJob.decode(spark, r2).toDF()
+      .select(col("url"), md5(col("html")).as("h"), col("lang")))
+    assert(viaV2.count() == 3000L, "compacted groups must not vanish from the V2 scan")
+    assert(sortedRows(viaV2) == want)
+  }
+
   test("statistics report manifest row count and decoded size") {
     val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
     val st = scan.estimateStatistics()

@@ -154,6 +154,32 @@ class V2WriteSpec extends AnyFunSuite {
       "no duplicated rows from zombie attempts")
   }
 
+  test("writer-mixing guards: SQL append refuses a streamed store and vice versa") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // streaming encode onto a SQL-grown store: refused (batch 0 would reuse
+    // ids 0..parts-1 the resume anti-join already sees as committed)
+    val root = freshRoot()
+    pages(100L).write.format("graft").mode("append").save(root)
+    val srcDir = freshRoot() + "/src"
+    pages(10L).write.parquet(srcDir)
+    val e1 = intercept[Exception] {
+      graft.streaming.StreamingEncode.encodeStream(
+        spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+        root, parts = 4, checkpointDir = freshRoot())
+    }
+    assert(messages(e1).exists(_.contains("fresh store")), messages(e1).toString)
+    // SQL append onto a streamed store: refused (it would occupy a future
+    // batch's part ids and that batch would be silently dropped)
+    val root2 = freshRoot()
+    Files.createDirectories(Paths.get(root2))
+    Files.write(Paths.get(root2, "STREAM_PARTS"), "4".getBytes)
+    val e2 = intercept[Exception] {
+      pages(100L).write.format("graft").mode("append").save(root2)
+    }
+    assert(messages(e2).exists(_.contains("streaming encode")), messages(e2).toString)
+  }
+
   test("schema mismatch is rejected before any staging") {
     val root = freshRoot()
     val bad = spark.range(10).selectExpr("cast(id as string) AS url", "id AS warc_ts")

@@ -112,6 +112,29 @@ class V2StreamReadSpec extends AnyFunSuite {
     assert(got.size == 1500)
   }
 
+  test("fresh stream whose earliest retained snapshot is a compaction still full-emits") {
+    import spark.implicits._
+    // r5 review: the rehomed-skip must not apply to a fresh full-emit — a new
+    // stream has delivered nothing, so even a compaction snapshot's state is
+    // all-new to it. Build: fragmented store -> compact -> expire to the head.
+    val root = tmp()
+    val src = tmp(); val ckpt0 = tmp()
+    Webtext.generate(spark, 1200L, 3).write.parquet(src)
+    val q = StreamingEncode.encodeStream(
+      spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      root, parts = 3, checkpointDir = ckpt0)
+    assert(q.awaitTermination(120000))
+    assert(CompactJob.run(spark, root).partsCompacted > 0)
+    SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0L)
+    assert(SnapshotStore.snapshotIds(root).size == 1)
+    assert(SnapshotStore.isRehomedCommit(root, SnapshotStore.snapshotIds(root).head))
+    val got = drain(root, tmp())
+    assert(got.size == 1200,
+      s"fresh stream must deliver the compacted store whole, got ${got.size}")
+    assert(got == DecodeJob.decode(spark, root).select($"url").as[String].collect().toSet)
+  }
+
   test("lagging stream whose start manifest expired fails with the retention remediation") {
     val root = tmp()
     val ckpt = tmp()
