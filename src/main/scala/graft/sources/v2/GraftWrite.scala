@@ -84,8 +84,37 @@ final class GraftWrite(root: String, replaceAll: Boolean)
   override def requiredOrdering(): Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING))
 
-  // 0 = let Spark pick task count (shuffle partitions / AQE)
-  override def requiredNumPartitions(): Int = 0
+  /** Writer task count. Default 0 lets Spark size the range exchange
+    * (shuffle partitions / AQE) — right for everyday appends. For BIG writes
+    * set `spark.graft.write.partitions` so each task lands ~16-64MB of rows:
+    * AQE can only COALESCE a range exchange, never split it, so a 100GB write
+    * over the default 32 shuffle partitions would stack GBs of sorted rows
+    * per task on top of the kernel's 64MB block buffer and parquet's
+    * row-group buffer and OOM a lean executor (measured at the 5M-page
+    * checkpoint: 32 × 360MB on an 8g heap died; 512-way, the batch job's own
+    * sizing, encodes comfortably). This mirrors EncodeJob.run's explicit
+    * `parts` — partition count is the one knob an engine cannot infer at
+    * write-plan time because the input's size is unknown there. */
+  override def requiredNumPartitions(): Int = {
+    val v = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.write.partitions")
+    v.map { s =>
+      val n = try s.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.write.partitions must be a positive int, got '$s'")
+      }
+      require(n > 0, s"spark.graft.write.partitions must be positive, got $n")
+      n
+    }.getOrElse(0)
+  }
+
+  /** When Spark sizes the exchange itself (partitions conf unset), ask AQE to
+    * coalesce toward one block bound per task — small appends then produce few
+    * well-sized files instead of shuffle-partition-many tiny ones. Spark
+    * rejects a write that pins BOTH a partition count and an advisory size,
+    * so this yields 0 (unset) whenever the count conf is in force. */
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (requiredNumPartitions() > 0) 0L else 64L << 20
 
   override def toBatch: BatchWrite = new GraftBatchWrite(root, replaceAll)
 
@@ -258,6 +287,13 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
       // `encoded` dominates and is already codec-compressed high-entropy bytes;
       // snappy over it costs CPU for ~0 size win (same choice as stageEncode)
       .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      // bound per-task memory: parquet buffers a whole row group in heap
+      // (uncompressed), and this writer already holds a MaxBlockBytes block
+      // buffer — the 128MB default × many concurrent tasks OOMs a default
+      // executor at web-page row sizes (measured at the 5M-page checkpoint).
+      // Smaller row groups also TIGHTEN read-side pruning: the part/seq
+      // In-filters skip at row-group granularity
+      .withRowGroupSize(32L << 20)
       .build()
   }
 

@@ -180,6 +180,22 @@ class V2WriteSpec extends AnyFunSuite {
     assert(messages(e2).exists(_.contains("streaming encode")), messages(e2).toString)
   }
 
+  test("spark.graft.write.partitions pins the writer task count") {
+    val root = freshRoot()
+    spark.conf.set("spark.graft.write.partitions", "7")
+    try pages(2000L).write.format("graft").mode("append").save(root)
+    finally spark.conf.unset("spark.graft.write.partitions")
+    assert(SnapshotStore.currentEntries(root).size == 7,
+      "each range partition becomes one part entry")
+    assert(DecodeJob.decode(spark, root).count() == 2000L)
+    val bad = intercept[Exception] {
+      spark.conf.set("spark.graft.write.partitions", "zero")
+      try pages(10L).write.format("graft").mode("append").save(freshRoot())
+      finally spark.conf.unset("spark.graft.write.partitions")
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("schema mismatch is rejected before any staging") {
     val root = freshRoot()
     val bad = spark.range(10).selectExpr("cast(id as string) AS url", "id AS warc_ts")
