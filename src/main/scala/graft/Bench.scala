@@ -246,7 +246,7 @@ object Bench {
     // decode-side job throughput: encode the same webtext once at this session's
     // parallelism, then time the full snapshot decode (block reassembly + byte
     // materialization to a noop sink); min of 2
-    val (decodeJobGbps, v2ScanGbps) = {
+    val (decodeJobGbps, v2ScanGbps, v2WriteGbps) = {
       import spark.implicits._
       val decStore = s"$scratch/dec-store"
       val res = EncodeJob.run(spark,
@@ -265,7 +265,22 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      (res.origBytes / 1e9 / times.min, res.origBytes / 1e9 / v2Times.min)
+      // SQL WRITE path on the same input: Spark's range sort on url + per-task
+      // encode kernels + staged atomic commit (write.partitions mirrors the
+      // job's parts so the work decomposition matches); fresh store per run
+      val wTimes = (0 until 2).map { i =>
+        val wStore = s"$scratch/w-store-$i"
+        spark.conf.set("spark.graft.write.partitions", "128")
+        val t0 = System.nanoTime()
+        try spark.read.parquet(pagesParquet)
+          .write.format("graft").mode("append").save(wStore)
+        finally spark.conf.unset("spark.graft.write.partitions")
+        val s = (System.nanoTime() - t0) / 1e9
+        deleteRecursively(new java.io.File(wStore))
+        s
+      }
+      (res.origBytes / 1e9 / times.min, res.origBytes / 1e9 / v2Times.min,
+        res.origBytes / 1e9 / wTimes.min)
     }
     // q_store_roundtrip/q_decode_projection track the PRIMARY read path (the
     // shuffle-free reassembly): first run pays the one-time store encode, min-of-2
@@ -307,6 +322,6 @@ object Bench {
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"decode_job_gbps_local$cpus":$decodeJobGbps%.3f,"v2_scan_gbps_local$cpus":$v2ScanGbps%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_efficiency_8_to_32_hw_normalized":$eff832Normalized%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"decode_job_gbps_local$cpus":$decodeJobGbps%.3f,"v2_scan_gbps_local$cpus":$v2ScanGbps%.3f,"v2_write_gbps_local$cpus":$v2WriteGbps%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_efficiency_8_to_32_hw_normalized":$eff832Normalized%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }

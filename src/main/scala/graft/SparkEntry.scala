@@ -479,6 +479,24 @@ object SparkEntry {
       viaV2
     }),
 
+    // copy-on-write SQL DELETE: DELETE FROM rewrites only the parts whose
+    // block metadata admits the condition (survivors re-encoded through the
+    // standard staged pipeline, replacing commit, rehomed-marked for streams,
+    // time travel intact); the oracle is the anti-filtered source table
+    "q_dsv2_delete" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-del-").toString
+      EncodeJob.run(s, docsAsPages(s, d).as(Encoders.product[WebPage]), root, parts = 4)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_delete_q USING graft " +
+        s"OPTIONS (path '$root')")
+      val before = SnapshotStore.snapshotIds(root)
+      s.sql("DELETE FROM graft_delete_q WHERE lang = 'en'")
+      require(SnapshotStore.isRehomedCommit(root, SnapshotStore.snapshotIds(root).last),
+        "delete must commit rows-rehomed (streams must not replay survivors)")
+      require(DecodeJob.decodeAt(s, root, before.last).count() >
+        DecodeJob.decode(s, root).count(), "pre-delete snapshot stays whole")
+      s.sql("SELECT url, lang FROM graft_delete_q")
+    }),
+
     // LIMIT pushdown on the V2 surface: the scan carries the pushed limit and
     // each task stops pulling/decoding block groups once it has produced n
     // rows; the oracle compares the COUNT (which rows a LIMIT picks is
@@ -1042,6 +1060,8 @@ object SparkEntry {
       "AS url FROM documents"),
     "q_dsv2_write" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, md5(text) AS h FROM documents"),
+    "q_dsv2_delete" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents WHERE lang <> 'en'"),
     "q_limit_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS cnt " +
       "FROM (SELECT * FROM documents LIMIT 123) t"),
     "q_agg_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +

@@ -182,7 +182,8 @@ object GraftDataSource {
 }
 
 final class GraftTable(root: String) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType = GraftDataSource.PageSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -194,6 +195,26 @@ final class GraftTable(root: String) extends Table with SupportsRead
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(root, info)
+
+  // ---- copy-on-write DELETE (SupportsDelete): see graft.jobs.DeleteJob ----
+
+  /** Accept only conditions expressible EXACTLY over the decoded view — an
+    * inexact condition would delete wrong rows (pruning, by contrast, is free
+    * to be a superset because residual filters restore exactness on reads). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => FilterConversion.toExactColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cols = filters.map(f => FilterConversion.toExactColumn(f).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE condition not expressible exactly on the graft table: $f")))
+    // AND of all top-level filters; DELETE with no condition = truncate
+    val cond = cols.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val prune = filters.toSeq.flatMap(FilterConversion.toBlockPredicates)
+    graft.jobs.DeleteJob.deleteWhere(SparkSession.active, root, cond, prune)
+    ()
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel: .option("snapshotId", id) reads a historical committed
     // snapshot (manifests are immutable per id — same mechanism as decodeAt)
@@ -207,25 +228,9 @@ final class GraftTable(root: String) extends Table with SupportsRead
   }
 }
 
-final class GraftScanBuilder(root: String, snapshotId: Option[Long])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
-
-  private var requiredSchema: StructType = GraftDataSource.PageSchema
-  private var pushed: Array[Filter] = Array.empty
-  private var predicates: Seq[DecodeJob.BlockPredicate] = Seq.empty
-  private var pushedAggs: Option[Seq[GraftDataSource.MetaAgg]] = None
-  private var pushedLimit: Option[Int] = None
-
-  /** PARTIAL limit pushdown (isPartiallyPushed stays true): each task stops
-    * pulling and decoding block groups once it has produced `limit` rows —
-    * `SELECT * FROM graft LIMIT n` stops after ~one group per launched task
-    * instead of decoding the store — and Spark's own GlobalLimit still trims
-    * the cross-task union exactly. */
-  override def pushLimit(limit: Int): Boolean = {
-    pushedLimit = Some(limit)
-    true
-  }
+/** Filter conversions shared by the scan builder (pruning predicates) and the
+  * DELETE path (pruning + EXACT row conditions). */
+private[v2] object FilterConversion {
 
   /** Epoch micros of a pushed-down timestamp literal (either external form). */
   private def tsMicros(v: Any): Option[Long] = v match {
@@ -244,8 +249,8 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
   /** Block predicates a filter implies (conjuncts; empty = not convertible).
     * Soundness: each returned predicate is a SUPERSET condition of the filter,
     * and the filter itself always runs as a residual on decoded rows. */
-  private def toPredicates(f: Filter): Seq[DecodeJob.BlockPredicate] = f match {
-    case sources.And(l, r) => toPredicates(l) ++ toPredicates(r)
+  def toBlockPredicates(f: Filter): Seq[DecodeJob.BlockPredicate] = f match {
+    case sources.And(l, r) => toBlockPredicates(l) ++ toBlockPredicates(r)
     case sources.EqualTo(c, v: String) if StringCols(c) => Seq(DecodeJob.StrEq(c, v))
     case sources.In(c, vs) if StringCols(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
       Seq(DecodeJob.StrIn(c, vs.toSeq.map(_.asInstanceOf[String])))
@@ -274,8 +279,62 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     case _ => Seq.empty
   }
 
+  private val PageCols = Set("url", "warc_ts", "html", "text", "lang")
+
+  /** EXACT Column form of a filter over the decoded page view, or None when
+    * not expressible (the DELETE path then refuses the whole statement —
+    * unlike pruning, an inexact condition here would delete wrong rows). */
+  def toExactColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def ref(c: String): Option[org.apache.spark.sql.Column] =
+      if (PageCols(c)) Some(col(c)) else None
+    f match {
+      case sources.And(l, r) =>
+        for { a <- toExactColumn(l); b <- toExactColumn(r) } yield a && b
+      case sources.Or(l, r) =>
+        for { a <- toExactColumn(l); b <- toExactColumn(r) } yield a || b
+      case sources.Not(c) => toExactColumn(c).map(!_)
+      case sources.EqualTo(c, v) => ref(c).map(_ === lit(v))
+      case sources.EqualNullSafe(c, v) => ref(c).map(_ <=> lit(v))
+      case sources.In(c, vs) => ref(c).map(_.isin(vs.toIndexedSeq: _*))
+      case sources.GreaterThan(c, v) => ref(c).map(_ > lit(v))
+      case sources.GreaterThanOrEqual(c, v) => ref(c).map(_ >= lit(v))
+      case sources.LessThan(c, v) => ref(c).map(_ < lit(v))
+      case sources.LessThanOrEqual(c, v) => ref(c).map(_ <= lit(v))
+      case sources.IsNull(c) => ref(c).map(_.isNull)
+      case sources.IsNotNull(c) => ref(c).map(_.isNotNull)
+      case sources.StringStartsWith(c, p) => ref(c).map(_.startsWith(p))
+      case sources.StringEndsWith(c, p) => ref(c).map(_.endsWith(p))
+      case sources.StringContains(c, p) => ref(c).map(_.contains(p))
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+}
+
+final class GraftScanBuilder(root: String, snapshotId: Option[Long])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
+
+  private var requiredSchema: StructType = GraftDataSource.PageSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var predicates: Seq[DecodeJob.BlockPredicate] = Seq.empty
+  private var pushedAggs: Option[Seq[GraftDataSource.MetaAgg]] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (isPartiallyPushed stays true): each task stops
+    * pulling and decoding block groups once it has produced `limit` rows —
+    * `SELECT * FROM graft LIMIT n` stops after ~one group per launched task
+    * instead of decoding the store — and Spark's own GlobalLimit still trims
+    * the cross-task union exactly. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val converted = filters.map(f => f -> toPredicates(f))
+    val converted = filters.map(f => f -> FilterConversion.toBlockPredicates(f))
     pushed = converted.collect { case (f, ps) if ps.nonEmpty => f }
     predicates = converted.flatMap(_._2).toSeq
     // block pruning is inexact (a surviving block still holds non-matching

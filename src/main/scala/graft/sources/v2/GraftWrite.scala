@@ -152,7 +152,9 @@ final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrit
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftDataWriterFactory(absDir, partOffset)
+    GraftDataWriterFactory(absDir, partOffset,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftWriterCommitMessage])
@@ -189,10 +191,11 @@ final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrit
   }
 }
 
-final case class GraftDataWriterFactory(absDir: String, partOffset: Int)
+final case class GraftDataWriterFactory(absDir: String, partOffset: Int,
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(absDir, partOffset + partitionId, partitionId, taskId)
+    new GraftDataWriter(absDir, partOffset + partitionId, partitionId, taskId, conf)
 }
 
 object GraftDataWriter {
@@ -239,7 +242,10 @@ object GraftDataWriter {
  * block's 5 column rows to this task's own parquet file. Memory is one block
  * in flight; the file is attempt-unique so speculative twins cannot collide.
  */
-final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskId: Long)
+final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskId: Long,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      new org.apache.spark.util.SerializableConfiguration(
+        new org.apache.hadoop.conf.Configuration()))
     extends DataWriter[InternalRow] {
   import graft.jobs.EncodeJob.{BlockSize, MaxBlockBytes}
 
@@ -281,8 +287,7 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
   private def openWriter(): Unit = {
     val path = new Path(new Path(absDir), inProgressName)
     writer = ExampleParquetWriter.builder(
-        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path,
-          new org.apache.hadoop.conf.Configuration()))
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(path, conf.value))
       .withType(GraftDataWriter.BlockFileSchema)
       // `encoded` dominates and is already codec-compressed high-entropy bytes;
       // snappy over it costs CPU for ~0 size win (same choice as stageEncode)

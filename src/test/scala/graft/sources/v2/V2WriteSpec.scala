@@ -196,6 +196,47 @@ class V2WriteSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("SQL DELETE FROM: copy-on-write rewrite, part pruning, time travel, stream silence") {
+    import spark.implicits._
+    val root = freshRoot()
+    pages(4000L).write.format("graft").mode("append").save(root)
+    val preIds = SnapshotStore.snapshotIds(root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_del_v2 USING graft " +
+      s"OPTIONS (path '$root')")
+    // part-level pruning FIRST, while the store is still multi-part: a url
+    // prefix sits in few range partitions, so few parts rewrite
+    val partsBefore = SnapshotStore.currentEntries(root).size
+    assert(partsBefore > 2, s"fixture must be multi-part, got $partsBefore")
+    val narrow = graft.jobs.DeleteJob.deleteWhere(spark, root,
+      col("url").startsWith("https://host-1.example.com/"),
+      Seq(DecodeJob.StrPrefix("url", "https://host-1.example.com/")))
+    assert(narrow.partsRewritten >= 1 && narrow.partsRewritten < partsBefore,
+      s"prefix delete must rewrite a strict subset of parts: $narrow of $partsBefore")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_del_v2 WHERE url LIKE 'https://host-1.example.com/%'")
+      .collect()(0).getLong(0) == 0L)
+    // SQL DELETE by value, content-exact
+    val want = DecodeJob.decode(spark, root).toDF()
+      .where(col("lang") =!= "en").select(col("url"), md5(col("html")).as("h"))
+      .collect().map(_.toString).sorted.toSeq
+    spark.sql("DELETE FROM graft_del_v2 WHERE lang = 'en'")
+    val got = spark.sql("SELECT url, md5(html) AS h FROM graft_del_v2")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "survivors must be exactly the non-matching rows")
+    // pre-delete snapshot stays readable (copy-on-write)
+    assert(DecodeJob.decodeAt(spark, root, preIds.last).count() == 4000L)
+    // the delete commit is rows-rehomed: a caught-up stream must emit nothing
+    assert(SnapshotStore.isRehomedCommit(root, SnapshotStore.snapshotIds(root).last))
+    // a provably match-free predicate rewrites nothing (no new snapshot)
+    val snapBefore = SnapshotStore.currentSnapshotId(root)
+    val noop = graft.jobs.DeleteJob.deleteWhere(spark, root,
+      col("url").startsWith("zzz://nope"), Seq(DecodeJob.StrPrefix("url", "zzz://nope")))
+    assert(noop.partsRewritten == 0 && SnapshotStore.currentSnapshotId(root) == snapBefore)
+    // DELETE with no WHERE empties the table (truncateTable default path)
+    spark.sql("DELETE FROM graft_del_v2")
+    assert(SnapshotStore.currentEntries(root).isEmpty)
+  }
+
   test("schema mismatch is rejected before any staging") {
     val root = freshRoot()
     val bad = spark.range(10).selectExpr("cast(id as string) AS url", "id AS warc_ts")
