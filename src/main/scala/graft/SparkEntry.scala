@@ -479,6 +479,24 @@ object SparkEntry {
       viaV2
     }),
 
+    // native streaming WRITE sink: writeStream.format("graft") — one atomic
+    // manifest commit per epoch through the same per-task encode kernels,
+    // exactly-once via the pinned epochId*parts namespace; oracle = the full
+    // source table decoded back
+    "q_stream_v2_write" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-swrite-").toString
+      val src = s"$tmp/src"; val root = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+      docsAsPages(s, d).write.parquet(src)
+      val q = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(root)
+      require(q.awaitTermination(120000), "stream write timed out")
+      require(SnapshotStore.currentSnapshotId(root).exists(_ >= 1L), "committed")
+      DecodeJob.decode(s, root).toDF().select(col("url"), md5(col("text")).as("h"))
+    }),
+
     // copy-on-write SQL DELETE: DELETE FROM rewrites only the parts whose
     // block metadata admits the condition (survivors re-encoded through the
     // standard staged pipeline, replacing commit, rehomed-marked for streams,
@@ -1059,6 +1077,8 @@ object SparkEntry {
     "q_stream_v2_read" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url FROM documents"),
     "q_dsv2_write" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, md5(text) AS h FROM documents"),
+    "q_stream_v2_write" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, md5(text) AS h FROM documents"),
     "q_dsv2_delete" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents WHERE lang <> 'en'"),

@@ -118,6 +118,13 @@ final class GraftWrite(root: String, replaceAll: Boolean)
 
   override def toBatch: BatchWrite = new GraftBatchWrite(root, replaceAll)
 
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!replaceAll,
+      "graft streaming write supports APPEND output mode only (complete/update " +
+      "would truncate the store every epoch)")
+    new GraftStreamingWrite(root)
+  }
+
   override def description(): String =
     s"GraftStore root=$root mode=${if (replaceAll) "truncate" else "append"}"
 }
@@ -196,6 +203,101 @@ final case class GraftDataWriterFactory(absDir: String, partOffset: Int,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(absDir, partOffset + partitionId, partitionId, taskId, conf)
+}
+
+/**
+ * Native Structured Streaming sink: `df.writeStream.format("graft")
+ * .start(root)` — each epoch (micro-batch) runs the same per-task encode
+ * kernels and ends in one atomic manifest commit, exactly-once:
+ *
+ *  - The part-id namespace is `epochId * parts + partitionId` with `parts`
+ *    PINNED in the STREAM_PARTS sidecar (the same contract as
+ *    [[graft.streaming.StreamingEncode.encodeStream]], and the writer count is
+ *    enforced via [[RequiresDistributionAndOrdering.requiredNumPartitions]]).
+ *  - A REPLAYED epoch (engine restart after a commit) re-stages into a fresh
+ *    dir, and [[GraftStreamingWrite.commit]] detects its part ids already in
+ *    the manifest — the duplicate staging is dropped, nothing double-commits.
+ *  - Task attempts stage dot-named `.inprogress` files renamed at task commit
+ *    (the batch writer's zombie discipline), and the epoch commit sweeps
+ *    unnamed strays before the manifest swap.
+ */
+final class GraftStreamingWrite(root: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  // one uuid per query RUN: replayed epochs in a new run stage into new dirs
+  // (the old run's dir is either committed — replay skipped — or orphaned for
+  // the expiry sweep)
+  private val runUuid = java.util.UUID.randomUUID().toString
+  private var parts: Int = _
+
+  private def relDir(epochId: Long): String = s"data/stream-$runUuid-e$epochId"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    parts = info.numPartitions()
+    // pin (or validate) the epoch namespace width — also refuses stores
+    // already grown by batch/SQL appends (ids 0..parts-1 look committed and
+    // epoch 0 would silently vanish)
+    graft.streaming.StreamingEncode.checkStreamParts(root, parts)
+    GraftStreamingDataWriterFactory(root, runUuid, parts,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[GraftWriterCommitMessage])
+    val dir = Paths.get(root, relDir(epochId))
+    val committedNames = msgs.iterator.filter(_.fileName != null).map(_.fileName).toSet
+    if (Files.exists(dir))
+      SnapshotStore.listFileNames(dir).filterNot(committedNames)
+        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    val entries = msgs.iterator.filter(_.nRows > 0).map { m =>
+      SnapshotStore.PartEntry(m.partId, relDir(epochId), m.nRows, m.origBytes,
+        m.encBytes, m.codecsJson)
+    }.toSeq
+    if (entries.isEmpty) { // empty epoch: nothing to commit
+      if (Files.exists(dir) && SnapshotStore.listFileNames(dir).isEmpty)
+        Files.deleteIfExists(dir)
+      return
+    }
+    // replayed epoch: its deterministic ids are already in the manifest — the
+    // rows are committed, drop the duplicate staging
+    val committed = SnapshotStore.committedPartIds(root)
+    if (entries.exists(e => committed(e.partId))) {
+      SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      Files.deleteIfExists(dir)
+      return
+    }
+    SnapshotStore.commit(root, entries)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(root, relDir(epochId))
+    if (Files.exists(dir)) {
+      SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      Files.deleteIfExists(dir)
+    }
+  }
+}
+
+final case class GraftStreamingDataWriterFactory(root: String, runUuid: String,
+    parts: Int, conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    // deterministic epoch namespace (the replay-idempotence key); guard the
+    // Int range like EncodeJob.run — a wrapped id would collide silently
+    val offset = epochId * parts
+    require(offset >= 0 && offset + parts <= Int.MaxValue.toLong,
+      s"stream epoch namespace [$offset, ${offset + parts}) exceeds the Int range")
+    // a partition index at/above the pinned width would collide with the NEXT
+    // epoch's ids (possible only if shuffle.partitions changed mid-run)
+    require(partitionId < parts,
+      s"writer partition $partitionId exceeds the pinned stream width $parts")
+    val absDir = Paths.get(root, s"data/stream-$runUuid-e$epochId").toString
+    new GraftDataWriter(absDir, offset.toInt + partitionId, partitionId, taskId, conf)
+  }
 }
 
 object GraftDataWriter {

@@ -52,7 +52,9 @@ object StreamingEncode {
       .start()
   }
 
-  private def checkStreamParts(root: String, parts: Int): Unit = {
+  /** Shared with the native V2 streaming write ([[graft.sources.v2.GraftStreamingWrite]]):
+    * both pin the batchId*parts namespace through the same sidecar. */
+  private[graft] def checkStreamParts(root: String, parts: Int): Unit = {
     val p = java.nio.file.Paths.get(root, "STREAM_PARTS")
     if (java.nio.file.Files.exists(p)) {
       val prev = new String(java.nio.file.Files.readAllBytes(p),
