@@ -180,10 +180,63 @@ object Bench {
     f.delete()
   }
 
+  /** Min-of-`rounds` INTERLEAVED query timing (round-robin A,B,C,A,B,C…): the
+    * first round pays JIT + the shared store encode, and interleaving spreads
+    * this host's minute-scale weather across queries instead of letting one
+    * bad minute land entirely on one query's samples. Returns (per-query best
+    * seconds in `names` order, names with NO successful run). Failures must be
+    * visible IN the JSON the round comparison consumes — a query missing from
+    * `queries` with a quietly smaller total otherwise reads as a speedup; an
+    * UNKNOWN name (a typo in a drift-check list) counts as failed for the same
+    * reason, never silently absent. */
+  private def timeQueries(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                          names: Seq[String], rounds: Int): (Seq[(String, Double)], Seq[String]) = {
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (r <- 0 until rounds; name <- names) SparkEntry.queries.get(name) match {
+      case None =>
+        if (r == 0) System.err.println(s"BENCH QUERY UNKNOWN: $name")
+      case Some(fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              // a broken query must not masquerade as a fast one: say so loudly
+              // on stderr and DO NOT record the (typically tiny) failure time —
+              // a regression would otherwise read as a round-over-round speedup
+              System.err.println(s"BENCH QUERY FAILED: $name: ${e.getMessage}")
+              false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (ok && (!best.contains(name) || secs < best(name))) best(name) = secs
+    }
+    (names.flatMap(n => best.get(n).map(n -> _)), names.filterNot(best.contains))
+  }
+
+  /** Focused re-measure mode for round-over-round drift checks: run ONLY the
+    * comma-separated queries in SPARK_GRAFT_BENCH_ONLY (min of
+    * SPARK_GRAFT_BENCH_ROUNDS interleaved rounds, default 5), skipping the
+    * micro/scaling/encode sections. Emits the same one-line JSON shape with
+    * just `queries` populated. Used to separate host weather from real
+    * regressions (BASELINE.md min-of-N methodology). */
+  private def queriesOnly(names: Seq[String], sfDir: String, cpus: Int, rounds: Int): Unit = {
+    val spark = newSession(cpus)
+    val (timings, failed) = timeQueries(spark, sfDir, names, rounds)
+    spark.stop()
+    deleteRecursively(new java.io.File(scratch))
+    val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"queries-only drift check","value":${timings.map(_._2).sum}%.3f,"unit":"sec","queries":$qs,"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","rounds":$rounds}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY").foreach { only =>
+      queriesOnly(only.split(',').map(_.trim).filter(_.nonEmpty).toSeq, sfDir, cpus,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt)
+      return
+    }
 
     val (encMbps, decMbps, egRatio) = microBench()
     val (strEncMbps, strDecMbps) = strMicroBench()
@@ -289,32 +342,8 @@ object Bench {
       "rt_eg_i64", "rt_auto_ts", "rt_auto_drift", "rt_str_text", "rt_expr_sql",
       "q1_agg", "q_join3", "q_window_rank", "q_topk_price", "q_rollup",
       "q_dedup_exact", "q_minhash_pairs", "q_knn_brute", "q_setops_exceptall",
-      "q_store_roundtrip", "q_decode_projection", "q_dsv2_pushdown")
-    // min of 3 INTERLEAVED rounds per query (round-robin A,B,C,A,B,C…): the
-    // first round pays JIT + the shared store encode, and interleaving spreads
-    // this host's minute-scale weather across queries instead of letting one
-    // bad minute land entirely on one query's both samples
-    val best = scala.collection.mutable.Map[String, Double]()
-    for (_ <- 0 until 3; name <- headline; fn <- SparkEntry.queries.get(name)) {
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable =>
-            // a broken query must not masquerade as a fast one: say so loudly
-            // on stderr and DO NOT record the (typically tiny) failure time —
-            // a regression would otherwise read as a round-over-round speedup
-            System.err.println(s"BENCH QUERY FAILED: $name: ${e.getMessage}")
-            false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      if (ok && (!best.contains(name) || secs < best(name))) best(name) = secs
-    }
-    val timings = headline.flatMap(n => best.get(n).map(n -> _))
-    // failures must be visible IN the JSON the round comparison consumes — a
-    // query missing from `queries` with a quietly smaller total otherwise
-    // reads as a speedup
-    val failedQueries = headline.filter(n => SparkEntry.queries.contains(n) && !best.contains(n))
+      "q_store_roundtrip", "q_decode_projection", "q_dsv2_pushdown", "q_topn_url")
+    val (timings, failedQueries) = timeQueries(spark, sfDir, headline, rounds = 3)
     spark.stop()
 
     deleteRecursively(new java.io.File(scratch))

@@ -531,6 +531,25 @@ object SparkEntry {
       Seq(n).toDF("cnt")
     }),
 
+    // ORDER BY url LIMIT n: top-n pushdown plans a url-ordered PREFIX of block
+    // groups (block_str bounds + exact per-block null counts) — the scan reads
+    // ~n rows instead of the store; the in-query require proves both the
+    // pushdown and the group pruning happened
+    "q_topn_url" -> ((s, d) => {
+      import s.implicits._
+      val root = encodedDocsStore(s, d)
+      val rows = s.read.format("graft").load(root)
+        .orderBy(col("url")).limit(40).select(col("url"), col("lang"))
+        .as[(String, String)].collect().toSeq
+      val stats = graft.sources.v2.GraftDataSource.planStatsFor(root)
+        .getOrElse(sys.error("V2 scan did not record plan stats"))
+      require(stats.pushedTopN.exists(t => t.asc && t.nullsFirst && t.limit == 40),
+        s"ORDER BY url LIMIT 40 must push top-n down to the graft scan: $stats")
+      require(stats.prunedGroupKeys.isDefined,
+        s"top-n planning must prune to a url-prefix of groups: $stats")
+      rows.toDF("url", "lang")
+    }),
+
     // metadata-only aggregates: count(*) from manifest nRows, min/max(warc_ts)
     // from block min/max — the in-query require proves the plan never reads the
     // `encoded` column (zero decompression)
@@ -870,6 +889,28 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) => t(s, d, "documents").select(col("doc_id"),
       Dedup.ngramJaccard(col("text"), concat(col("text"), lit(" tail")), 3).as("j"))),
 
+    // pair mining → per-document keep/drop: connected components over the
+    // mined simhash planted relation (restricted to it so the oracle stays
+    // enumerable, like q_simhash_pairs) PLUS doc_id-chain edges within each
+    // group of 5 — chains force genuine multi-round label propagation (the
+    // planted pair alone is a 2-clique). Component = {5k..5k+4} ∪ their +1M
+    // duplicates, so cluster_id/canonical are closed-form for the oracle.
+    "q_cc_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val dup = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val mined = Dedup.simhashPairs(docs.union(dup), "doc_id", "text", maxHamming = 3)
+        .where(col("b") - col("a") === 1000000L)
+        .select(col("a"), col("b"))
+      // join-built chains: both endpoints guaranteed to EXIST as documents
+      // (an arithmetic d+1 edge at the table's tail would mint a phantom vertex)
+      val ids = docs.select(col("doc_id"))
+      val chains = ids.where(col("doc_id") % 5 =!= 4).select(col("doc_id").as("a"))
+        .join(ids.select(col("doc_id").as("b")), col("b") === col("a") + 1L)
+      Dedup.connectedComponents(mined.union(chains), "a", "b",
+        docs.select("doc_id").union(dup.select("doc_id")), "doc_id")
+    }),
+
     // ---------------- similarity search (embeddings) ----------------
     "q_knn_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1084,6 +1125,8 @@ object SparkEntry {
       "AS url, lang FROM documents WHERE lang <> 'en'"),
     "q_limit_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS cnt " +
       "FROM (SELECT * FROM documents LIMIT 123) t"),
+    "q_topn_url" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents ORDER BY 1 LIMIT 40"),
     "q_agg_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +
@@ -1269,6 +1312,12 @@ object SparkEntry {
     // planted exact-duplicate recall relation
     "q_simhash_pairs" -> ("SELECT CAST(doc_id AS BIGINT) AS a, " +
       "CAST(doc_id + 1000000 AS BIGINT) AS b FROM documents"),
+    // closed-form component labels: component = {5k..5k+4} ∪ {+1M dups},
+    // min id (cluster_id) = 5k, canonical only on the min itself
+    "q_cc_clusters" -> ("WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents " +
+      "UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT) FROM documents) " +
+      "SELECT id, CAST(((id % 1000000) // 5) * 5 AS BIGINT) AS cluster_id, " +
+      "id = ((id % 1000000) // 5) * 5 AS canonical FROM ids"),
     "q_embedding_neardups" -> ("SELECT CAST(vec_id AS BIGINT) AS a, " +
       "CAST(vec_id + 1000000 AS BIGINT) AS b FROM embeddings"),
     "q_knn_ann" -> "SELECT CAST(2000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",

@@ -20,6 +20,12 @@ import graft.sources.{SnapshotStore, WebPage, Webtext}
  *    only when the bound string is <= 64 chars (None = no bound; truncating a max
  *    would be unsound)
  *  - `block_str_dict`: distinct strings when cardinality <= 64 (e.g. `lang`)
+ *  - `n_nulls`: EXACT count of null values in the block — string bounds say
+ *    nothing about nulls (they are computed over non-null values only), so
+ *    order-sensitive planning (the V2 ORDER BY url LIMIT n group-prefix
+ *    pruning) needs this to know whether a group can contribute null rows.
+ *    Stores written before this column existed read it as null = unknown,
+ *    which every consumer must treat as "may contain nulls" (sound).
  * [[graft.plans.BlockMinMaxPruneRule]] conjoins these onto decode filters so parquet
  * row-group stats skip blocks before any decompression.
  */
@@ -30,6 +36,7 @@ final case class BlockRow(
     typ: String,
     codec: String,
     n: Int,
+    n_nulls: Int,
     block_min: Option[Long],
     block_max: Option[Long],
     block_dict: Option[Array[Long]],
@@ -92,8 +99,14 @@ object EncodeJob {
     val total = math.max(knownTotal.getOrElse(pages.count()), 1L)
     val rateDenom = 1000000L
     val threshold = math.min((targetSample * rateDenom) / total + 1, rateDenom)
+    // null urls are excluded from the SAMPLE only: a null can never be a split
+    // point (RangeBucketId buckets null as "", i.e. always part 0), and
+    // xxhash64(null)'s sampling behavior would otherwise decide whether this
+    // sort NPEs — stores with null urls were un-encodable depending on which
+    // rows the hash picked
     val urls = pages.select($"url")
-      .where(pmod(xxhash64($"url"), lit(rateDenom)) < lit(threshold))
+      .where($"url".isNotNull &&
+        pmod(xxhash64($"url"), lit(rateDenom)) < lit(threshold))
       .as[String].collect().sorted
     if (urls.isEmpty) Array.empty
     else Array.tabulate(parts - 1) { i =>
@@ -146,7 +159,8 @@ object EncodeJob {
       val arr = vs.toArray(new Array[Array[Byte]](vs.size))
       val enc = StringBlockCodec.encode(arr)
       var orig = 0L
-      arr.foreach(v => if (v != null) orig += v.length)
+      var nulls = 0
+      arr.foreach(v => if (v != null) orig += v.length else nulls += 1)
 
       var mn: Array[Byte] = null
       var mx: Array[Byte] = null
@@ -180,7 +194,7 @@ object EncodeJob {
         else None
 
       BlockRow(partId, seq, name, "str", StringBlockCodec.codecName(enc), arr.length,
-        None, None, None, bound(mn), bound(mx), strDict,
+        nulls, None, None, None, bound(mn), bound(mx), strDict,
         orig, enc.length.toLong, enc)
     }
 
@@ -189,6 +203,7 @@ object EncodeJob {
     val tsEnc = IntBlockCodec.encodeNullable(tsSlice, tsValidSlice, PhysicalIntType.I64)
     var mn = Long.MaxValue; var mx = Long.MinValue
     var any = false
+    var tsValidN = 0
     val distinct = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i < tsN) {
@@ -197,6 +212,7 @@ object EncodeJob {
         if (v < mn) mn = v
         if (v > mx) mx = v
         any = true
+        tsValidN += 1
         if (distinct.size <= IntDictCap) distinct.add(v)
       }
       i += 1
@@ -213,6 +229,7 @@ object EncodeJob {
     Seq(
       strBlock("url", urls, textual = true),
       BlockRow(partId, seq, "warc_ts", "i64", IntBlockCodec.info(tsEnc).codecName, tsN,
+        tsN - tsValidN,
         if (any) Some(mn) else None, if (any) Some(mx) else None, intDict,
         None, None, None, tsN.toLong * 8, tsEnc.length.toLong, tsEnc),
       strBlock("html", htmls, textual = false),

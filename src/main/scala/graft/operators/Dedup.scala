@@ -441,4 +441,74 @@ object Dedup {
       .where($"cosine" >= minCosine)
       .select($"a", $"b", $"cosine")
   }
+
+  /**
+   * Connected components over an undirected near-dup edge list: every vertex is
+   * labeled with the MINIMUM id reachable from it (its `cluster_id`), plus a
+   * `canonical` flag on the cluster's minimum id — the representative a dedup
+   * pipeline keeps, turning pair output (minhash/simhash/embedding miners) into
+   * per-document keep/drop decisions.
+   *
+   * Iterated min-label propagation: each round joins labels to the symmetric
+   * edge list (ONE ids-only hash shuffle per round, 16B rows), takes the min
+   * over each vertex's neighborhood, and stops when no label changed.
+   * Rounds = eccentricity of the min vertex per component (≤ diameter): LSH
+   * near-dup components are near-cliques (a true duplicate pair collides in
+   * every band), so 2-4 rounds in practice — the large-star/small-star
+   * alternation would only pay off for long-chain graphs that near-dup mining
+   * does not produce. Each round's labels are persisted as an RDD and rebuilt
+   * into a fresh DataFrame, which BOTH truncates the otherwise round-linear
+   * Catalyst plan AND lets the superseded round be unpersisted explicitly —
+   * storage is bounded to two label snapshots at any moment, instead of
+   * accumulating one cached copy per round until the driver GC gets around to
+   * it (a lost executor recomputes from the previous round's cached blocks,
+   * not from scratch; acceptable for a driver-steered iterative job).
+   * Vertices = `vertices` ∪ both edge endpoints, so singletons label
+   * themselves and edge lists over a superset of `vertices` stay total.
+   *
+   * Diverges (throws) after `maxRounds` instead of returning a partial
+   * labeling — silent mis-clustering would delete the wrong documents. The
+   * returned DataFrame reads the FINAL round's persisted labels; it is
+   * released by Spark's ContextCleaner once the caller drops it.
+   */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          vertices: DataFrame, idCol: String,
+                          maxRounds: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val half = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // edges are re-joined every round: materialize once
+    val symRdd = half.union(half.select($"dst".as("src"), $"src".as("dst")))
+      .as[(Long, Long)].rdd.persist(level)
+    val sym = symRdd.toDF("src", "dst")
+    val initRdd = vertices.select(col(idCol).cast("long").as("id"))
+      .union(sym.select($"src".as("id")))
+      .distinct()
+      .select($"id", $"id".as("label"))
+      .as[(Long, Long)].rdd.persist(level)
+    // only ever unpersisted, so the per-round element types may differ
+    var labelsRdd: org.apache.spark.rdd.RDD[_] = initRdd
+    var labels = initRdd.toDF("id", "label")
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = sym.join(labels.select($"id".as("nid"), $"label"), $"dst" === $"nid")
+        .groupBy($"src").agg(min($"label").as("nbr_min"))
+      val nextRdd = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select($"id", $"label".as("prev"),
+          least($"label", coalesce($"nbr_min", $"label")).as("label"))
+        .as[(Long, Long, Long)].rdd.persist(level)
+      changed = nextRdd.filter(t => t._3 < t._2).count() // also materializes the cache
+      labelsRdd.unpersist(blocking = false) // superseded round: bound storage to 2 snapshots
+      labelsRdd = nextRdd
+      labels = nextRdd.map(t => (t._1, t._3)).toDF("id", "label")
+      round += 1
+    }
+    symRdd.unpersist(blocking = false) // the result below depends only on labelsRdd
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds — the edge list " +
+      "contains a component with eccentricity beyond maxRounds; raise maxRounds")
+    labels.select($"id", $"label".as("cluster_id"), ($"id" === $"label").as("canonical"))
+  }
 }

@@ -85,9 +85,16 @@ object GraftDataSource {
     StructField("text", StringType, nullable = true),
     StructField("lang", StringType, nullable = true)))
 
+  /** A pushed `ORDER BY url` top-n (see [[GraftScanBuilder.pushTopN]]). */
+  final case class TopN(asc: Boolean, nullsFirst: Boolean, limit: Int) {
+    override def toString: String =
+      s"url ${if (asc) "ASC" else "DESC"} ${if (nullsFirst) "NULLS FIRST" else "NULLS LAST"} LIMIT $limit"
+  }
+
   /** Last scan's planning decisions (driver-side, for tests/ops visibility). */
   final case class PlanStats(partitions: Int, files: Int, predicates: Int,
-      prunedGroupKeys: Option[Int], pushedLimit: Option[Int] = None)
+      prunedGroupKeys: Option[Int], pushedLimit: Option[Int] = None,
+      pushedTopN: Option[TopN] = None)
 
   /** Single-query convenience only — concurrent V2 scans clobber it (use
     * [[planStatsFor]] whenever more than one graft scan can be in flight). */
@@ -316,13 +323,15 @@ private[v2] object FilterConversion {
 
 final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var requiredSchema: StructType = GraftDataSource.PageSchema
   private var pushed: Array[Filter] = Array.empty
   private var predicates: Seq[DecodeJob.BlockPredicate] = Seq.empty
+  private var sawFilters = false
   private var pushedAggs: Option[Seq[GraftDataSource.MetaAgg]] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[GraftDataSource.TopN] = None
 
   /** PARTIAL limit pushdown (isPartiallyPushed stays true): each task stops
     * pulling and decoding block groups once it has produced `limit` rows —
@@ -334,10 +343,39 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     true
   }
 
+  /** PARTIAL top-n pushdown for `ORDER BY url [ASC|DESC] LIMIT n`: planning
+    * keeps only a url-ordered PREFIX of block groups whose guaranteed row
+    * count covers n ([[DecodeJob.planTopNKeys]] — block_str_min/max +
+    * exact per-block null counts), so the scan reads ~n rows instead of the
+    * store; Spark's retained Sort+Limit (isPartiallyPushed) trims exactly.
+    * Only the filterless single-key-on-url shape is accepted: with residual
+    * filters the per-group row counts no longer bound the MATCHING rows, so a
+    * count-based prefix could cut off true top-n rows. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (sawFilters || orders.length != 1 || limit <= 0) return false
+    val o = orders(0)
+    val onUrl = o.expression() match {
+      case n: NamedReference => n.fieldNames.toSeq == Seq("url")
+      case _ => false
+    }
+    if (!onUrl) return false
+    pushedTopN = Some(GraftDataSource.TopN(
+      asc = o.direction() == SortDirection.ASCENDING,
+      nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST,
+      limit = limit))
+    true
+  }
+
+  /** Both limit and top-n pushdown are prefixes, never exact. */
+  override def isPartiallyPushed: Boolean = true
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val converted = filters.map(f => f -> FilterConversion.toBlockPredicates(f))
     pushed = converted.collect { case (f, ps) if ps.nonEmpty => f }
     predicates = converted.flatMap(_._2).toSeq
+    sawFilters = filters.nonEmpty
     // block pruning is inexact (a surviving block still holds non-matching
     // rows) — return EVERY filter as a residual so Spark evaluates it exactly
     // on the decoded rows; the pruning benefit is unchanged
@@ -384,7 +422,11 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     // a pushed aggregate yields one metadata row — a limit on top is moot
     case Some(aggs) => new GraftAggScan(root, snapshotId, aggs)
     case None =>
-      new GraftScan(root, snapshotId, requiredSchema, predicates, pushed, pushedLimit)
+      // Spark pushes EITHER a bare limit or a top-n, never both; the per-task
+      // early-stop row cap is sound only for the order-free bare limit (a task
+      // truncating its url-ordered duty under top-n could drop true top-n rows)
+      new GraftScan(root, snapshotId, requiredSchema, predicates, pushed,
+        if (pushedTopN.isDefined) None else pushedLimit, pushedTopN)
   }
 }
 
@@ -467,7 +509,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
                       requiredSchema: StructType,
                       initialPredicates: Seq[DecodeJob.BlockPredicate],
                       pushed: Array[Filter],
-                      pushedLimit: Option[Int] = None)
+                      pushedLimit: Option[Int] = None,
+                      pushedTopN: Option[GraftDataSource.TopN] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -511,7 +554,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     val preds = predicates.mkString(", ")
     val snap = snapshotId.map(id => s" snapshotId=$id").getOrElse("")
     val lim = pushedLimit.map(n => s" PushedLimit: $n").getOrElse("")
-    s"GraftStore root=$root$snap columns=[$cols] PushedBlockPredicates: [$preds]$lim"
+    val topn = pushedTopN.map(t => s" PushedTopN: [$t] (partial)").getOrElse("")
+    s"GraftStore root=$root$snap columns=[$cols] PushedBlockPredicates: [$preds]$lim$topn"
   }
 
   override def toBatch: Batch = this
@@ -543,9 +587,15 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     // decodeWhere API (10^6 keys), where r4 silently dropped ALL pruning past
     // 4096 surviving groups because the whole array rode every InputPartition.
     val keysOpt: Option[Array[(Int, Int)]] =
-      if (predicates.isEmpty) None
-      else DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), predicates,
+      if (predicates.nonEmpty)
+        DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), predicates,
           DecodeJob.estimatedGroups(entries))
+      // top-n prefix pruning only when NO predicate of any kind arrived (a
+      // runtime filter landing via filter() makes per-group row counts stop
+      // bounding the MATCHING rows — same reason pushTopN refuses filters)
+      else pushedTopN.flatMap(t =>
+        DecodeJob.planTopNKeys(DecodeJob.fromEntries(spark, root, entries),
+          t.asc, t.nullsFirst, t.limit, DecodeJob.estimatedGroups(entries)))
 
     val keyParts: Option[Set[Int]] = keysOpt.map(_.map(_._1).toSet)
     val keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]] =
@@ -562,7 +612,7 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       requiredSchema.fieldNames, keyParts, keysBc, columnar, pushedLimit.getOrElse(-1))
     GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
       partitions.length, fileCount,
-      predicates.size, keysOpt.map(_.length), pushedLimit))
+      predicates.size, keysOpt.map(_.length), pushedLimit, pushedTopN))
     partitions
   }
 

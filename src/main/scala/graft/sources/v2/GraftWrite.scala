@@ -317,6 +317,7 @@ object GraftDataWriter {
       |  optional binary typ (UTF8);
       |  optional binary codec (UTF8);
       |  required int32 n;
+      |  required int32 n_nulls;
       |  optional int64 block_min;
       |  optional int64 block_max;
       |  optional group block_dict (LIST) {
@@ -412,6 +413,7 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
     g.add("typ", b.typ)
     g.add("codec", b.codec)
     g.add("n", b.n)
+    g.add("n_nulls", b.n_nulls)
     b.block_min.foreach(v => g.add("block_min", v))
     b.block_max.foreach(v => g.add("block_max", v))
     b.block_dict.foreach { vs =>

@@ -480,4 +480,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("8-dim") && e.getMessage.contains("16"))
   }
+
+  test("connected components: chains, singletons, off-vertex endpoints, canonical flags") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (multi-round propagation), pair 10-11 with a reversed
+    // duplicate edge, singleton 20, and edge 30-31 whose endpoints are NOT in
+    // the vertex list
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 10L), (30L, 31L)).toDF("a", "b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("id")
+    val out = Dedup.connectedComponents(edges, "a", "b", vertices, "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (1L, false), 5L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false),
+      20L -> (20L, true),
+      30L -> (30L, true), 31L -> (30L, false)))
+    // refuses to return a partial labeling: the 5-chain needs >1 round
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, "a", "b", vertices, "id", maxRounds = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("connected components turns mined near-dup pairs into keep/drop decisions") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(docs(), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "a", "b", docs().select("doc_id"), "doc_id")
+    val byId = cc.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // 1,2,4 are one near-dup cluster; 3 and 5 are singletons kept as their own canonicals
+    assert(byId(1L) == (1L, true) && byId(4L) == (1L, false))
+    assert(byId(2L)._1 == 1L)
+    assert(byId(3L) == (3L, true) && byId(5L) == (5L, true))
+    // keep = canonical rows only: exactly one survivor per cluster
+    val kept = cc.where(col("canonical")).count()
+    assert(kept == byId.values.map(_._1).toSet.size)
+  }
 }

@@ -321,6 +321,85 @@ class V2SourceSpec extends AnyFunSuite {
     finally spark.conf.unset("spark.graft.v2.columnar")
   }
 
+  test("top-n pushdown: ORDER BY url LIMIT n prunes to a url-prefix of groups") {
+    val df = graftTable.orderBy(col("url")).limit(40).select(col("url"), col("lang"))
+    val want = DecodeJob.decode(spark, root).toDF().orderBy(col("url")).limit(40)
+      .select(col("url"), col("lang")).collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == want)
+    val stats = GraftDataSource.planStatsFor(root).get
+    assert(stats.pushedTopN.exists(t => t.asc && t.nullsFirst && t.limit == 40),
+      s"top-n must reach the scan: $stats")
+    assert(stats.prunedGroupKeys.exists(_ <= 2),
+      s"a 40-row prefix of an 8-group store should keep ~1 group: $stats")
+    assert(df.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      "pushed top-n must be visible in the scan description")
+
+    // DESC reads the url-SUFFIX groups instead
+    val wantDesc = DecodeJob.decode(spark, root).toDF().orderBy(col("url").desc).limit(40)
+      .select(col("url")).collect().map(_.toString).toSeq
+    assert(graftTable.orderBy(col("url").desc).limit(40).select(col("url"))
+      .collect().map(_.toString).toSeq == wantDesc)
+    val statsDesc = GraftDataSource.planStatsFor(root).get
+    assert(statsDesc.pushedTopN.exists(t => !t.asc) && statsDesc.prunedGroupKeys.exists(_ <= 2),
+      s"desc top-n should prune to the url-suffix groups: $statsDesc")
+
+    // any filter blocks top-n pushdown (group row counts no longer bound the
+    // MATCHING rows) — results stay exact via Spark's own sort+limit
+    val filtered = graftTable.where(col("lang") === "en").orderBy(col("url")).limit(10)
+    assert(filtered.collect().length == 10)
+    assert(GraftDataSource.planStatsFor(root).get.pushedTopN.isEmpty,
+      "a residual filter must keep top-n out of the scan")
+
+    // a limit past the table keeps every row (quota unreachable -> no pruning)
+    assert(graftTable.orderBy(col("url")).limit((N + 5).toInt).count() == N)
+  }
+
+  test("top-n pushdown with NULL urls stays exact under both null orderings") {
+    import spark.implicits._
+    val r2 = Files.createTempDirectory("graft-v2-topn-nulls-").toString
+    val nullIds = Set("100", "101", "102", "103", "104")
+    val pages = Webtext.generate(spark, 4000L, 8).map { p =>
+      if (nullIds.contains(p.url.substring(p.url.lastIndexOf('/') + 1))) p.copy(url = null)
+      else p
+    }
+    EncodeJob.run(spark, pages, r2, parts = 4)
+    val v2 = spark.read.format("graft").load(r2)
+    val full = DecodeJob.decode(spark, r2).toDF()
+
+    // Spark's default asc = NULLS FIRST: all 5 null-url rows are IN the top-20,
+    // so the group holding them must survive pruning via its n_nulls metadata
+    val got = v2.orderBy(col("url")).limit(20).select(col("url"), col("text"))
+    val want = full.orderBy(col("url")).limit(20).select(col("url"), col("text"))
+    assert(sortedRows(got) == sortedRows(want))
+    assert(got.collect().count(_.isNullAt(0)) == 5, "null urls must sort into the top-n")
+    val stats = GraftDataSource.planStatsFor(r2).get
+    assert(stats.pushedTopN.exists(_.nullsFirst), s"default asc pushes NULLS FIRST: $stats")
+
+    // NULLS LAST: the top-15 is pure non-null; null counts keep the quota honest
+    val gotLast = v2.orderBy(col("url").asc_nulls_last).limit(15).select(col("url"))
+    val wantLast = full.orderBy(col("url").asc_nulls_last).limit(15).select(col("url"))
+    assert(sortedRows(gotLast) == sortedRows(wantLast))
+    assert(gotLast.collect().forall(!_.isNullAt(0)))
+    assert(GraftDataSource.planStatsFor(r2).get.pushedTopN.exists(!_.nullsFirst))
+
+    // pre-n_nulls stores (column absent -> null count UNKNOWN) must not prune
+    // unsoundly: nulls-first keeps every possibly-null group (gate -> None),
+    // nulls-last can never establish the quota (countable rows are 0) -> None
+    val legacy = DecodeJob.blocks(spark, r2).drop("n_nulls")
+    assert(DecodeJob.planTopNKeys(legacy, asc = true, nullsFirst = false, 15, 4L).isEmpty,
+      "unknown null counts must yield no nulls-last pruning")
+    // nulls-first on a legacy store keeps EVERY group (each may hold nulls):
+    // a wide gate (estimate 1000 -> threshold 500) proves the survivor set is
+    // genuinely all 4 url groups, not a coincidence of the gate tripping...
+    val legacyKeys = DecodeJob.planTopNKeys(legacy, asc = true, nullsFirst = true, 15, 1000L)
+    assert(legacyKeys.exists(_.length == 4), s"legacy nulls-first must keep ALL groups: " +
+      s"${legacyKeys.map(_.length)}")
+    // ...and at the store's REAL size the 4-of-4 survivor set trips the
+    // fraction gate (threshold 2), so the caller scans everything — sound
+    assert(DecodeJob.planTopNKeys(legacy, asc = true, nullsFirst = true, 15, 4L).isEmpty,
+      "an all-groups survivor set must trip the fraction gate")
+  }
+
   test("V2 scan reads compacted (negative part-id) stores completely") {
     // regression: the reader's one-group buffer used `bufKey < 0` as its
     // empty sentinel — compacted parts live in a NEGATIVE id namespace, so
