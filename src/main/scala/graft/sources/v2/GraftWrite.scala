@@ -96,16 +96,24 @@ final class GraftWrite(root: String, replaceAll: Boolean)
     * `parts` — partition count is the one knob an engine cannot infer at
     * write-plan time because the input's size is unknown there. */
   override def requiredNumPartitions(): Int = {
-    val v = org.apache.spark.sql.SparkSession.active.conf
-      .getOption("spark.graft.write.partitions")
-    v.map { s =>
-      val n = try s.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"spark.graft.write.partitions must be a positive int, got '$s'")
-      }
-      require(n > 0, s"spark.graft.write.partitions must be positive, got $n")
-      n
-    }.getOrElse(0)
+    // a store ever written by a STREAM has its width pinned in STREAM_PARTS —
+    // a restarted stream must always ask Spark for exactly that width, never
+    // the session conf (setting spark.graft.write.partitions for an unrelated
+    // big batch write would otherwise change info.numPartitions() at the next
+    // epoch replan and checkStreamParts would kill the stream; same if the
+    // conf was set at first start and later unset)
+    graft.streaming.StreamingEncode.pinnedStreamParts(root).getOrElse {
+      val v = org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.write.partitions")
+      v.map { s =>
+        val n = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.write.partitions must be a positive int, got '$s'")
+        }
+        require(n > 0, s"spark.graft.write.partitions must be positive, got $n")
+        n
+      }.getOrElse(0)
+    }
   }
 
   /** When Spark sizes the exchange itself (partitions conf unset), ask AQE to

@@ -52,39 +52,51 @@ object StreamingEncode {
       .start()
   }
 
+  /** The stream width pinned in the STREAM_PARTS sidecar, if this store has
+    * ever been a streaming-write target. The native V2 sink's write plan reads
+    * this so a RESTARTED stream always asks Spark for the pinned width — the
+    * width must never track a mutable session conf
+    * (`spark.graft.write.partitions` set for an unrelated big batch write
+    * would otherwise kill every subsequent epoch of the stream). */
+  private[graft] def pinnedStreamParts(root: String): Option[Int] = {
+    val p = java.nio.file.Paths.get(root, "STREAM_PARTS")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+  }
+
   /** Shared with the native V2 streaming write ([[graft.sources.v2.GraftStreamingWrite]]):
     * both pin the batchId*parts namespace through the same sidecar. */
   private[graft] def checkStreamParts(root: String, parts: Int): Unit = {
     val p = java.nio.file.Paths.get(root, "STREAM_PARTS")
-    if (java.nio.file.Files.exists(p)) {
-      val prev = new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      require(prev == parts,
-        s"stream at $root was started with parts=$prev; restarting with parts=$parts " +
-        "would break the exactly-once part-id namespace (batchId*parts) — keep the " +
-        "original value or start a fresh store+checkpoint")
-    } else {
-      // a store already holding batch/SQL-written parts cannot become a stream
-      // target: streaming batch 0 would reuse ids 0..parts-1, which the resume
-      // anti-join sees as committed — that batch's rows silently never encode.
-      // (The reverse direction is guarded in GraftBatchWrite.)
-      val preexisting = graft.sources.SnapshotStore.committedPartIds(root)
-        .filter(_ >= 0)
-      require(preexisting.isEmpty,
-        s"store at $root already holds batch/SQL-written part ids " +
-        s"${preexisting.toSeq.sorted.take(5)}...; streaming encode needs a fresh " +
-        "store (its exactly-once namespace is batchId*parts starting at 0) — " +
-        "stream into a new root, or keep appending via the batch/SQL writers")
-      // tmp + ATOMIC_MOVE like every other sidecar (SNAPSHOT/BOUNDARIES): a
-      // crash mid-write must not leave a truncated file whose trim.toInt throws
-      // on every later restart, permanently blocking the stream
-      java.nio.file.Files.createDirectories(p.getParent)
-      val tmp = java.nio.file.Paths.get(root,
-        s".STREAM_PARTS.tmp.${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.write(tmp, parts.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp, p,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    pinnedStreamParts(root) match {
+      case Some(prev) =>
+        require(prev == parts,
+          s"stream at $root was started with parts=$prev; restarting with parts=$parts " +
+          "would break the exactly-once part-id namespace (batchId*parts) — keep the " +
+          "original value or start a fresh store+checkpoint")
+      case None =>
+        // a store already holding batch/SQL-written parts cannot become a stream
+        // target: streaming batch 0 would reuse ids 0..parts-1, which the resume
+        // anti-join sees as committed — that batch's rows silently never encode.
+        // (The reverse direction is guarded in GraftBatchWrite.)
+        val preexisting = graft.sources.SnapshotStore.committedPartIds(root)
+          .filter(_ >= 0)
+        require(preexisting.isEmpty,
+          s"store at $root already holds batch/SQL-written part ids " +
+          s"${preexisting.toSeq.sorted.take(5)}...; streaming encode needs a fresh " +
+          "store (its exactly-once namespace is batchId*parts starting at 0) — " +
+          "stream into a new root, or keep appending via the batch/SQL writers")
+        // tmp + ATOMIC_MOVE like every other sidecar (SNAPSHOT/BOUNDARIES): a
+        // crash mid-write must not leave a truncated file whose trim.toInt throws
+        // on every later restart, permanently blocking the stream
+        java.nio.file.Files.createDirectories(p.getParent)
+        val tmp = java.nio.file.Paths.get(root,
+          s".STREAM_PARTS.tmp.${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.write(tmp, parts.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 

@@ -219,6 +219,37 @@ class V2StreamReadSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("streaming encode")))
   }
 
+  test("native streaming WRITE restart: pinned STREAM_PARTS width beats the session conf") {
+    def run(src: String, root: String, ckpt: String): Unit = {
+      val q = spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(root)
+      assert(q.awaitTermination(120000))
+    }
+    val src = tmp(); val root = tmp(); val ckpt = tmp()
+    Webtext.generate(spark, 1000L, 2).write.parquet(src)
+    run(src, root, ckpt)
+    val pinned = StreamingEncode.pinnedStreamParts(root)
+    assert(pinned.nonEmpty, "first start must pin the stream width")
+    // new data + a conf set for an UNRELATED big batch write: the restarted
+    // stream must keep its pinned width (a different requiredNumPartitions
+    // would re-width the exchange and checkStreamParts would kill the stream)
+    Webtext.generate(spark, 300L, 1).toDF()
+      .select(concat(lit("nw-"), col("url")).as("url"), col("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .write.mode("append").parquet(src)
+    spark.conf.set("spark.graft.write.partitions", (pinned.get + 3).toString)
+    try run(src, root, ckpt)
+    finally spark.conf.unset("spark.graft.write.partitions")
+    assert(StreamingEncode.pinnedStreamParts(root) == pinned, "width unchanged")
+    assert(DecodeJob.decode(spark, root).count() == 1300L)
+    assert(DecodeJob.decode(spark, root).toDF()
+      .where(col("url").startsWith("nw-")).count() == 300L)
+  }
+
   test("time travel option and readStream are mutually exclusive") {
     val root = tmp()
     EncodeJob.run(spark, Webtext.generate(spark, 500L, 2), root, parts = 2)
