@@ -458,7 +458,11 @@ object SparkEntry {
           got.synchronized { got ++= urls }
           ()
         }.start()
-      require(q.awaitTermination(120000), "stream drain timed out")
+      // stop() in finally: a timeout leaves the AvailableNow query RUNNING —
+      // a zombie stream would keep consuming cores under every later timed
+      // query in the same bench session
+      try require(q.awaitTermination(120000), "stream drain timed out")
+      finally if (q.isActive) q.stop()
       got.toSeq.toDF("url")
     }),
 
@@ -492,7 +496,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start(root)
-      require(q.awaitTermination(120000), "stream write timed out")
+      try require(q.awaitTermination(120000), "stream write timed out")
+      finally if (q.isActive) q.stop()
       require(SnapshotStore.currentSnapshotId(root).exists(_ >= 1L), "committed")
       DecodeJob.decode(s, root).toDF().select(col("url"), md5(col("text")).as("h"))
     }),

@@ -47,13 +47,7 @@ object CompactJob {
     val totalRows = small.map(_.nRows).sum
     val newParts = math.max(1L, (totalRows + targetRowsPerPart - 1) / targetRowsPerPart).toInt
 
-    // disjoint NEGATIVE namespace: below 0 and below EVERY id ever used —
-    // tombstones included: a compact -> overwrite -> compact sequence leaves the
-    // first compaction's negative ids only in the tombstone set, and reusing
-    // them would trip commitReplacing's uniqueness guard on every later run
-    // (permanently un-compactable store)
-    val base = math.min(
-      (SnapshotStore.committedPartIds(root) + 0).min, 0) - newParts
+    val base = SnapshotStore.nextRehomeBase(root, newParts)
 
     val pages = DecodeJob.decodeParts(spark, root, smallIds)
     // fresh boundaries for the compacted subset; the store-level BOUNDARIES file

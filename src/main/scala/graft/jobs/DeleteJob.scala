@@ -70,7 +70,7 @@ object DeleteJob {
     // manifest-derived UPPER bound for the sampler — an exact survivor count
     // would cost one extra full decode+filter pass
     val newParts = math.max(1L, (affectedRows + EncodeJob.BlockSize - 1) / EncodeJob.BlockSize).toInt
-    val base = math.min((SnapshotStore.committedPartIds(root) + 0).min, 0) - newParts
+    val base = SnapshotStore.nextRehomeBase(root, newParts)
     val boundaries = EncodeJob.computeBoundaries(survivors, newParts, Some(affectedRows))
     val prepared = EncodeJob.withPartIds(survivors.toDF(), boundaries, base)
     val (_, newEntries, _) = EncodeJob.stageEncode(spark, prepared, newParts, root)

@@ -71,12 +71,21 @@ object StreamReadCheck {
       (rows, hash, secs)
     }
 
-    val ckpt = root + "-ckpt"
+    // the root may be REUSED across runs (rebuilding 5M pages is the slow
+    // part), but the checkpoint must NOT be: a surviving checkpoint makes the
+    // "fresh drain" silently empty and the catch-up wave inert, and the tool
+    // then reports a false content-hash MISMATCH on a perfectly good store
+    val ckpt = root + "-ckpt-" + java.util.UUID.randomUUID().toString.take(8)
     val (rows1, hash1, _) = drain(ckpt, s"fresh drain ($waves snapshots)")
 
-    // steady state: one new wave lands, the restarted stream reads ONLY it
+    // steady state: one new wave lands, the restarted stream reads ONLY it.
+    // Its namespace comes from the max COMMITTED id, not waves*parts — on a
+    // reused store the prior run's catch-up wave already owns that range and
+    // run() would treat the new wave as resumed (i.e. committed) work
+    val catchupOffset =
+      (SnapshotStore.committedPartIds(root).filter(_ >= 0).max / parts + 1).toLong * parts
     EncodeJob.run(spark, all.where(pmod(xxhash64($"url"), lit(waves + 1)) === waves), root, parts,
-      partOffset = waves.toLong * parts)
+      partOffset = catchupOffset)
     val (rows2, hash2, secs2) = drain(ckpt, "incremental catch-up (1 new snapshot)")
 
     val batch = DecodeJob.decode(spark, root).toDF()

@@ -492,23 +492,33 @@ object Dedup {
     var labels = initRdd.toDF("id", "label")
     var round = 0
     var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = sym.join(labels.select($"id".as("nid"), $"label"), $"dst" === $"nid")
-        .groupBy($"src").agg(min($"label").as("nbr_min"))
-      val nextRdd = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select($"id", $"label".as("prev"),
-          least($"label", coalesce($"nbr_min", $"label")).as("label"))
-        .as[(Long, Long, Long)].rdd.persist(level)
-      changed = nextRdd.filter(t => t._3 < t._2).count() // also materializes the cache
-      labelsRdd.unpersist(blocking = false) // superseded round: bound storage to 2 snapshots
-      labelsRdd = nextRdd
-      labels = nextRdd.map(t => (t._1, t._3)).toDF("id", "label")
-      round += 1
+    // the SUCCESS path deliberately leaves the final labelsRdd persisted (the
+    // returned DataFrame reads it; the ContextCleaner unpersists once the
+    // caller drops the result) — but a throw anywhere below must not leak
+    // either cached RDD into a long-lived session
+    var converged = false
+    try {
+      while (changed > 0 && round < maxRounds) {
+        val nbrMin = sym.join(labels.select($"id".as("nid"), $"label"), $"dst" === $"nid")
+          .groupBy($"src").agg(min($"label").as("nbr_min"))
+        val nextRdd = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select($"id", $"label".as("prev"),
+            least($"label", coalesce($"nbr_min", $"label")).as("label"))
+          .as[(Long, Long, Long)].rdd.persist(level)
+        changed = nextRdd.filter(t => t._3 < t._2).count() // also materializes the cache
+        labelsRdd.unpersist(blocking = false) // superseded round: bound storage to 2 snapshots
+        labelsRdd = nextRdd
+        labels = nextRdd.map(t => (t._1, t._3)).toDF("id", "label")
+        round += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxRounds rounds — the edge list " +
+        "contains a component with eccentricity beyond maxRounds; raise maxRounds")
+      converged = true
+      labels.select($"id", $"label".as("cluster_id"), ($"id" === $"label").as("canonical"))
+    } finally {
+      symRdd.unpersist(blocking = false) // the result depends only on labelsRdd
+      if (!converged) labelsRdd.unpersist(blocking = false)
     }
-    symRdd.unpersist(blocking = false) // the result below depends only on labelsRdd
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxRounds rounds — the edge list " +
-      "contains a component with eccentricity beyond maxRounds; raise maxRounds")
-    labels.select($"id", $"label".as("cluster_id"), ($"id" === $"label").as("canonical"))
   }
 }

@@ -183,6 +183,15 @@ object SnapshotStore {
   def committedPartIds(root: String): Set[Int] =
     currentEntries(root).map(_.partId).toSet ++ currentTombstones(root)
 
+  /** Base (lowest) part id for a rehoming commit of `newParts` parts
+    * (compaction / DELETE rewrite): a disjoint NEGATIVE namespace below 0 and
+    * below EVERY id ever used — tombstones included: a compact → overwrite →
+    * compact sequence leaves the first compaction's negative ids only in the
+    * tombstone set, and reusing them would trip commitReplacing's uniqueness
+    * guard on every later run (permanently un-compactable store). */
+  def nextRehomeBase(root: String, newParts: Int): Int =
+    math.min((committedPartIds(root) + 0).min, 0) - newParts
+
   /** Absolute paths of all committed data dirs (the snapshot's readable file set). */
   def dataDirs(root: String): Seq[String] =
     currentEntries(root).map(_.dataDir).distinct.map(d => Paths.get(root, d).toString)

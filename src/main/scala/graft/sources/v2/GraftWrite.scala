@@ -237,12 +237,11 @@ final class GraftStreamingWrite(root: String)
   // (the old run's dir is either committed — replay skipped — or orphaned for
   // the expiry sweep)
   private val runUuid = java.util.UUID.randomUUID().toString
-  private var parts: Int = _
 
   private def relDir(epochId: Long): String = s"data/stream-$runUuid-e$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    parts = info.numPartitions()
+    val parts = info.numPartitions()
     // pin (or validate) the epoch namespace width — also refuses stores
     // already grown by batch/SQL appends (ids 0..parts-1 look committed and
     // epoch 0 would silently vanish)
@@ -269,9 +268,54 @@ final class GraftStreamingWrite(root: String)
       return
     }
     // replayed epoch: its deterministic ids are already in the manifest — the
-    // rows are committed, drop the duplicate staging
+    // rows are committed, so the duplicate staging is dropped. But an id
+    // overlap alone does NOT prove a replay: a FRESH checkpoint over a grown
+    // source re-delivers committed data MIXED WITH NEW ROWS inside the same
+    // epoch namespace, and dropping that would silently lose the new rows.
+    // Verify by row count: each epoch is one atomic commit, manifests are
+    // cumulative, and entries are immutable until tombstoned — so the oldest
+    // surviving manifest holding any of the epoch's ids lists the original
+    // epoch total. Equal totals = replay (the range exchange may re-split the
+    // same rows differently, so ids/per-part counts can drift; the SUM cannot).
     val committed = SnapshotStore.committedPartIds(root)
     if (entries.exists(e => committed(e.partId))) {
+      val parts = graft.streaming.StreamingEncode.pinnedStreamParts(root)
+        .getOrElse(throw new IllegalStateException(
+          s"store at $root has committed stream epochs but no STREAM_PARTS sidecar"))
+      val lo = epochId * parts
+      val hi = lo + parts
+      val original = SnapshotStore.snapshotIds(root).iterator
+        .map { sid =>
+          val inRange = SnapshotStore.entriesAt(root, sid)
+            .filter(e => e.partId >= lo && e.partId < hi)
+          // a manifest that already tombstoned part of the epoch (compaction)
+          // lists only a PARTIAL total — unusable for the comparison
+          val partial = SnapshotStore.tombstonesAt(root, sid)
+            .exists(id => id >= lo && id < hi)
+          (inRange, partial)
+        }
+        .find(_._1.nonEmpty)
+      val stagedRows = entries.iterator.map(_.nRows).sum
+      original match {
+        case Some((orig, false)) =>
+          val origRows = orig.iterator.map(_.nRows).sum
+          if (origRows != stagedRows) throw new IllegalStateException(
+            s"stream epoch $epochId stages $stagedRows rows but its committed " +
+            s"namespace [$lo, $hi) holds $origRows — this checkpoint does not " +
+            "match the store (a fresh checkpoint over a grown source packs new " +
+            "rows into already-committed epochs, and committing OR dropping " +
+            "them would corrupt the store). Restart from the original " +
+            "checkpoint, or stream into a fresh store")
+        case _ =>
+          // the epoch's entries were compacted away (and possibly expired)
+          // before this replay arrived — the original total is gone, so the
+          // replay cannot be verified; dropping is the only lossless-for-
+          // replays choice, flag it for the operator
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"stream epoch $epochId replays ids in [$lo, $hi) whose committed " +
+            "entries were compacted/expired; dropping the staging UNVERIFIED " +
+            s"($stagedRows staged rows assumed already committed)")
+      }
       SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
       Files.deleteIfExists(dir)
       return

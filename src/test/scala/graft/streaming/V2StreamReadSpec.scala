@@ -219,6 +219,38 @@ class V2StreamReadSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("streaming encode")))
   }
 
+  test("native streaming WRITE: a mixed replay epoch (committed + NEW rows) fails loudly") {
+    def run(src: String, root: String, ckpt: String, onePerTrigger: Boolean): Unit = {
+      var r = spark.readStream.schema(spark.read.parquet(src).schema)
+      if (onePerTrigger) r = r.option("maxFilesPerTrigger", "1")
+      val q = r.parquet(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(root)
+      assert(q.awaitTermination(120000))
+    }
+    val src = tmp(); val root = tmp()
+    Webtext.generate(spark, 900L, 3).write.parquet(src)
+    run(src, root, tmp(), onePerTrigger = true) // 3 files → epochs 0..2 commit
+    val committedRows = DecodeJob.decode(spark, root).count()
+    assert(committedRows == 900L)
+    // a 4th file lands, then a FRESH checkpoint with no per-trigger cap packs
+    // ALL files into epoch 0 — its ids are committed but it carries NEW rows;
+    // dropping it silently (the pre-check behavior) would lose them forever
+    Webtext.generate(spark, 200L, 1).toDF()
+      .select(concat(lit("mx-"), col("url")).as("url"), col("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .write.mode("append").parquet(src)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception] { run(src, root, tmp(), onePerTrigger = false) }
+    assert(messages(e).exists(_.contains("does not match the store")),
+      s"mixed epoch must fail with the remediation message, got: ${messages(e)}")
+    assert(DecodeJob.decode(spark, root).count() == committedRows,
+      "the failed epoch must not have committed anything")
+  }
+
   test("native streaming WRITE restart: pinned STREAM_PARTS width beats the session conf") {
     def run(src: String, root: String, ckpt: String): Unit = {
       val q = spark.readStream.schema(spark.read.parquet(src).schema)
