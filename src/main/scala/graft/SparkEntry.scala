@@ -520,6 +520,59 @@ object SparkEntry {
       s.sql("SELECT url, lang FROM graft_delete_q")
     }),
 
+    // SQL UPDATE (catalog-resolved row-level DML): group-based copy-on-write
+    // ReplaceData — the pushed url bound prunes which parts get rewritten
+    // (block metadata), survivors re-encode through the staged pipeline, the
+    // commit atomically replaces exactly the scanned parts; time travel works
+    // across the statement like across a compaction
+    "q_dsv2_update" -> ((s, d) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-upd-").toString
+      EncodeJob.run(s, docsAsPages(s, d).as(Encoders.product[WebPage]), root, parts = 4)
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.v2.GraftCatalog")
+      val maxId = t(s, d, "documents").agg(max(col("doc_id")).cast("long")).as[Long].head()
+      val cut = f"doc://${maxId / 5}%08d"
+      val allParts = SnapshotStore.currentEntries(root).map(_.partId).toSet
+      val pre = SnapshotStore.currentSnapshotId(root).get
+      s.sql(s"UPDATE graftcat.`$root` SET lang = 'xx' WHERE url <= '$cut'")
+      val replaced = SnapshotStore.currentTombstones(root)
+      require(replaced.nonEmpty && replaced.size < allParts.size,
+        s"UPDATE of a url prefix must rewrite a strict subset of parts, " +
+          s"got ${replaced.size}/${allParts.size}")
+      require(DecodeJob.decodeAt(s, root, pre).count() == DecodeJob.decode(s, root).count(),
+        "pre-update snapshot stays whole (time travel across DML)")
+      s.read.format("graft").load(root).select(col("url"), col("lang"))
+    }),
+
+    // SQL MERGE INTO: matched target rows update, unmatched source rows
+    // insert, both through ONE copy-on-write statement; the runtime group
+    // filter (a `_part_id` subquery over the matching join) decides which
+    // parts get rewritten — the ON condition itself has no static pushdown
+    "q_dsv2_merge" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-mrg-").toString
+      EncodeJob.run(s, docsAsPages(s, d).as(Encoders.product[WebPage]), root, parts = 4)
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.v2.GraftCatalog")
+      val matched = t(s, d, "documents").where(pmod(col("doc_id"), lit(10)) === 3)
+        .select(concat(lit("doc://"), lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+          lit("mg").as("slang"))
+      val fresh = s.range(20).select(
+        concat(lit("zzz://new/"), lpad(col("id").cast("string"), 4, "0")).as("url"),
+        lit("nw").as("slang"))
+      matched.unionByName(fresh).createOrReplaceTempView("graft_merge_src")
+      val pre = SnapshotStore.currentSnapshotId(root).get
+      s.sql(
+        s"""MERGE INTO graftcat.`$root` t USING graft_merge_src s ON t.url = s.url
+           |WHEN MATCHED THEN UPDATE SET lang = s.slang
+           |WHEN NOT MATCHED THEN INSERT (url, warc_ts, html, text, lang)
+           |  VALUES (s.url, timestamp'2020-01-01 00:00:00', cast(s.url as binary), s.url, s.slang)
+           |""".stripMargin)
+      require(DecodeJob.decodeAt(s, root, pre).count() + 20 ==
+        DecodeJob.decode(s, root).count(), "merge adds exactly the 20 inserts")
+      require(!SnapshotStore.isRehomedCommit(root, SnapshotStore.currentSnapshotId(root).get),
+        "merge commits stream (content changed; not a rehomed commit)")
+      s.read.format("graft").load(root).select(col("url"), col("lang"))
+    }),
+
     // LIMIT pushdown on the V2 surface: the scan carries the pushed limit and
     // each task stops pulling/decoding block groups once it has produced n
     // rows; the oracle compares the COUNT (which rows a LIMIT picks is
@@ -1128,6 +1181,13 @@ object SparkEntry {
       "AS url, md5(text) AS h FROM documents"),
     "q_dsv2_delete" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents WHERE lang <> 'en'"),
+    "q_dsv2_update" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS url, " +
+      "CASE WHEN doc_id <= (SELECT max(doc_id) // 5 FROM documents) THEN 'xx' ELSE lang END AS lang " +
+      "FROM documents"),
+    "q_dsv2_merge" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS url, " +
+      "CASE WHEN doc_id % 10 = 3 THEN 'mg' ELSE lang END AS lang FROM documents " +
+      "UNION ALL SELECT concat('zzz://new/', lpad(CAST(i AS VARCHAR), 4, '0')) AS url, " +
+      "'nw' AS lang FROM range(20) t(i)"),
     "q_limit_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS cnt " +
       "FROM (SELECT * FROM documents LIMIT 123) t"),
     "q_topn_url" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +

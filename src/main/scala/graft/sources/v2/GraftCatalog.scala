@@ -1,0 +1,105 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Paths}
+import java.util.Collections
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SnapshotStore
+
+/**
+ * Path-based V2 [[TableCatalog]] (the Iceberg `HadoopCatalog`-style shape):
+ *
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.v2.GraftCatalog")
+ *   spark.sql("SELECT * FROM graftcat.`/data/store`")
+ *   spark.sql("UPDATE graftcat.`/data/store` SET lang = 'und' WHERE ...")
+ *   spark.sql("MERGE INTO graftcat.`/data/store` t USING src s ON ...")
+ *   spark.sql("CREATE TABLE graftcat.`/data/new` AS SELECT ...")   // CTAS
+ * }}}
+ *
+ * The identifier IS the store root path (one backquoted name part). A catalog
+ * entry point matters beyond convenience: Spark's row-level DML rewrites
+ * (`RewriteUpdateTable` / `RewriteMergeIntoTable` / `RewriteDeleteFromTable`)
+ * fire only when the target resolves DIRECTLY to a `DataSourceV2Relation` —
+ * a `CREATE TEMPORARY VIEW ... USING graft` target is wrapped in a `View`
+ * node that those analyzer rules (deliberately) refuse, so UPDATE / MERGE are
+ * only reachable through a catalog-resolved table.
+ *
+ * Tables are self-describing directories; namespaces don't exist and tables
+ * are not enumerable (`listTables` of the filesystem would be unbounded), so
+ * namespace operations return empty/unsupported, mirroring path-based tables
+ * in other engines.
+ */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    if (ident.namespace().nonEmpty)
+      throw new NoSuchTableException(ident)
+    ident.name()
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // path-based: the filesystem is not an enumerable namespace
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = pathOf(ident)
+    if (!Files.isDirectory(Paths.get(root)))
+      throw new NoSuchTableException(ident)
+    new GraftTable(root)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && Files.isDirectory(Paths.get(ident.name()))
+
+  /** `CREATE TABLE graftcat.`/path`` (and the create half of CTAS): prepares
+    * an empty store directory; the first append commits snapshot 1. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val root = pathOf(ident)
+    val expected = GraftDataSource.PageSchema
+    require(schema.isEmpty || schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        expected.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft table schema is ${expected.simpleString}; cannot create with ${schema.simpleString}")
+    require(partitions.isEmpty,
+      "graft tables manage their own layout (url range parts); PARTITIONED BY is not supported")
+    if (tableExists(ident) && SnapshotStore.currentSnapshotId(root).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(Paths.get(root))
+    new GraftTable(root)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables have a fixed schema; ALTER TABLE is not supported")
+
+  /** DROP TABLE deletes the store directory (manifests + data). */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val root = Paths.get(pathOf(ident))
+    import scala.jdk.CollectionConverters._
+    val all = Files.walk(root).iterator().asScala.toSeq.reverse
+    all.foreach(p => Files.deleteIfExists(p))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft store paths are physical locations; RENAME is a filesystem move, not a catalog op")
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    Collections.emptySet()
+}

@@ -182,6 +182,16 @@ object GraftDataSource {
   }
 
   /** Aggregates answerable from store metadata alone (see [[GraftAggScan]]). */
+  /** See [[GraftTable.metadataColumns]]. */
+  object PartIdMetadataColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_part_id"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "id of the store part (work unit) holding the row; constant per block group"
+  }
+
   sealed trait MetaAgg
   case object AggCountStar extends MetaAgg
   case object AggMinTs extends MetaAgg
@@ -190,9 +200,19 @@ object GraftDataSource {
 
 final class GraftTable(root: String) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft.`$root`"
   override def schema(): StructType = GraftDataSource.PageSchema
+
+  /** `_part_id`: the work-unit (part) a row belongs to — constant per block
+    * group, served from the group key with zero decode cost. Queryable like
+    * Iceberg's `_file` (`SELECT _part_id, ...`), and the group identity that
+    * row-level operations (UPDATE/MERGE/DELETE rewrites) scan, runtime-filter
+    * on, and replace. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftDataSource.PartIdMetadataColumn)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -204,7 +224,16 @@ final class GraftTable(root: String) extends Table with SupportsRead
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(root, info)
 
-  // ---- copy-on-write DELETE (SupportsDelete): see graft.jobs.DeleteJob ----
+  // ---- SQL UPDATE / MERGE INTO / inexpressible DELETE: group-based
+  // copy-on-write ReplaceData (see GraftRowLevelOps.scala). Exact DELETEs are
+  // converted BACK to the metadata-only deleteWhere path below by Spark's
+  // OptimizeMetadataOnlyDeleteFromTable rule ----
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(root, info.command())
+
+  // ---- metadata-only DELETE (SupportsDelete): see graft.jobs.DeleteJob ----
 
   /** Accept only conditions expressible EXACTLY over the decoded view — an
     * inexact condition would delete wrong rows (pruning, by contrast, is free
@@ -664,8 +693,12 @@ object GraftReaderFactory extends PartitionReaderFactory {
   // text/html blobs into ColumnVectors measurably LOSES to the row path's
   // zero-copy UTF8String wrapping on this workload, while narrow projections
   // are comparable — see BASELINE.md round-4 notes
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.asInstanceOf[GraftInputPartition].columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    // the metadata column rides the row path (constant-per-group; not worth a
+    // dedicated vector fill in the opt-in columnar reader)
+    p.columnar && !p.columns.contains("_part_id")
+  }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -682,7 +715,7 @@ object GraftReaderFactory extends PartitionReaderFactory {
 private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[String],
                                      countOnly: Boolean) {
   /** One live, complete block group (encoded bytes per requested column). */
-  final case class GroupData(cols: Map[String, Array[Byte]], n: Int)
+  final case class GroupData(cols: Map[String, Array[Byte]], n: Int, pid: Int)
 
   private val expected: Set[String] = readCols.toSet
 
@@ -798,7 +831,7 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
           s"block group part_id=${(bufKey >>> 32).toInt} block_seq=${bufKey.toInt} in " +
           s"$curFile has columns ${bufCols.keySet.toSeq.sorted.mkString(",")}, expected " +
           s"${expected.toSeq.sorted.mkString(",")}: corrupt or foreign store layout")
-      else GroupData(bufCols, bufN)
+      else GroupData(bufCols, bufN, (bufKey >>> 32).toInt)
     bufHas = false; bufCols = Map.empty; bufN = 0
     out
   }
@@ -852,9 +885,12 @@ final class GraftPartitionReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val countOnly = p.columns.isEmpty
-  // empty projection (count(*)): only the row count of one reference column's
-  // blocks is needed — url is present in every group
-  private val readCols: Array[String] = if (countOnly) Array("url") else p.columns
+  // `_part_id` is a METADATA column (constant per block group, known from the
+  // group key): it has no stored blocks, so it never reaches the parquet read
+  private val dataCols: Array[String] = p.columns.filter(_ != "_part_id")
+  // empty DATA projection (count(*), or a metadata-only projection): only the
+  // row count of one reference column's blocks is needed — url is in every group
+  private val readCols: Array[String] = if (dataCols.isEmpty) Array("url") else dataCols
   private val stream = new BlockGroupStream(p, readCols, countOnly)
 
   private var current: InternalRow = _
@@ -867,7 +903,10 @@ final class GraftPartitionReader(p: GraftInputPartition)
       val empty: InternalRow = new GenericInternalRow(0)
       return Iterator.fill(gd.n)(empty)
     }
-    val decoded: Array[Int => Any] = readCols.map {
+    val decoded: Array[Int => Any] = p.columns.map {
+      case "_part_id" =>
+        val v = java.lang.Integer.valueOf(gd.pid)
+        (_: Int) => v
       case "warc_ts" =>
         val (us, ok) = IntBlockCodec.decodeNullable(gd.cols("warc_ts"))
         (i: Int) => if (ok(i)) java.lang.Long.valueOf(us(i)) else null
