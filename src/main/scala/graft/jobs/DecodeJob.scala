@@ -39,9 +39,18 @@ object DecodeJob {
     * concurrent compaction commits between the reads. */
   private[graft] def fromEntries(spark: SparkSession, root: String,
                           entries: Seq[SnapshotStore.PartEntry]) = {
-    val dirs = entries.map(_.dataDir).distinct
-      .map(d => java.nio.file.Paths.get(root, d).toString)
-    partsOnly(spark.read.parquet(dirs: _*), entries.map(_.partId))
+    if (entries.isEmpty) {
+      // legal empty-ENTRIES snapshot (created-but-unloaded table, truncate,
+      // all-matched DELETE): a correctly-typed empty blocks scan lets every
+      // downstream path (reassembly, metadata scans, stats) yield its natural
+      // zero-row/zero-count result (spark.read.parquet cannot take zero paths)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[BlockRow].schema)
+    } else {
+      val dirs = entries.map(_.dataDir).distinct
+        .map(d => java.nio.file.Paths.get(root, d).toString)
+      partsOnly(spark.read.parquet(dirs: _*), entries.map(_.partId))
+    }
   }
 
   /**
@@ -53,17 +62,23 @@ object DecodeJob {
    * copy (every such row decoded twice).
    */
   def blocks(spark: SparkSession, root: String) = {
-    val entries = SnapshotStore.currentEntries(root)
-    require(entries.nonEmpty, s"no committed snapshot under $root")
-    fromEntries(spark, root, entries)
+    requireStore(root)
+    fromEntries(spark, root, SnapshotStore.currentEntries(root))
   }
 
-  /** Time travel: read the blocks visible at a specific committed snapshot. */
-  def blocksAt(spark: SparkSession, root: String, snapshotId: Long) = {
-    val entries = SnapshotStore.entriesAt(root, snapshotId)
-    require(entries.nonEmpty, s"snapshot $snapshotId has no data under $root")
-    fromEntries(spark, root, entries)
-  }
+  /** A root with no SNAPSHOT pointer is not a store (typo'd path, never-
+    * committed dir) — fail loudly. An initialized store whose CURRENT snapshot
+    * has zero entries (created-but-unloaded table, truncate, all-matched
+    * DELETE) is legal and reads as empty everywhere. */
+  private def requireStore(root: String): Unit =
+    require(SnapshotStore.currentSnapshotId(root).isDefined,
+      s"no committed snapshot under $root")
+
+  /** Time travel: read the blocks visible at a specific committed snapshot
+    * (entriesAt fails loudly when no such manifest exists; an empty manifest
+    * reads as empty). */
+  def blocksAt(spark: SparkSession, root: String, snapshotId: Long) =
+    fromEntries(spark, root, SnapshotStore.entriesAt(root, snapshotId))
 
   private def tsFromMicros(us: Long): Timestamp = {
     val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
@@ -341,8 +356,8 @@ object DecodeJob {
     // ONE manifest read feeds both the metadata scan and the data scan: a
     // compaction (StoreMaintenance) committing between two reads would re-home
     // rows into part ids the collected keys no longer match — silent row loss
+    requireStore(root)
     val entries = SnapshotStore.currentEntries(root)
-    require(entries.nonEmpty, s"no committed snapshot under $root")
     val blocksDf = fromEntries(spark, root, entries)
     val exact = predicates.map(rowCond).reduce(_ && _)
     planPrunedKeys(blocksDf, predicates, estimatedGroups(entries)) match {
@@ -367,8 +382,8 @@ object DecodeJob {
     require(wanted.forall(PageColumns), // fail fast: a typo'd name would silently yield nulls
       s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
     if (predicates.isEmpty) return decodeColumns(spark, root, wanted) // projection-only
+    requireStore(root)
     val entries = SnapshotStore.currentEntries(root) // ONE manifest read for both scans (see decodeWhere)
-    require(entries.nonEmpty, s"no committed snapshot under $root")
     val blocksDf = fromEntries(spark, root, entries)
     val effective = (wanted ++ predicates.map(_.column)).distinct
     val colFiltered = blocksDf.where(col("column").isin(effective: _*))
@@ -403,9 +418,8 @@ object DecodeJob {
                 snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val entries = snapshotId match {
       case Some(id) => SnapshotStore.entriesAt(root, id)
-      case None => SnapshotStore.currentEntries(root)
+      case None => requireStore(root); SnapshotStore.currentEntries(root)
     }
-    require(entries.nonEmpty, s"no committed snapshot under $root")
     val rowCount = entries.map(_.nRows).sum
     fromEntries(spark, root, entries) // same single manifest read as decode paths
       .where(col("column") === "warc_ts")

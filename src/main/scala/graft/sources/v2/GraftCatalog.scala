@@ -50,21 +50,33 @@ final class GraftCatalog extends TableCatalog {
     ident.name()
   }
 
+  /** A directory IS a graft table iff it carries the store's SNAPSHOT pointer
+    * (written by the first commit, or by [[createTable]]'s empty-snapshot
+    * init). The distinction is load-bearing for safety: `dropTable` deletes
+    * recursively, and treating ANY directory as a table would let a typo'd
+    * `DROP TABLE` — or the automatic rollback of a failed CTAS that "adopted"
+    * an existing directory — wipe unrelated data. */
+  private def isStore(root: String): Boolean =
+    Files.isDirectory(Paths.get(root)) && Files.exists(SnapshotStore.snapshotPointer(root))
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // path-based: the filesystem is not an enumerable namespace
 
   override def loadTable(ident: Identifier): Table = {
     val root = pathOf(ident)
-    if (!Files.isDirectory(Paths.get(root)))
+    if (!isStore(root)) // fail as "no such table" here, not "no snapshot" at scan time
       throw new NoSuchTableException(ident)
     new GraftTable(root)
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && Files.isDirectory(Paths.get(ident.name()))
+    ident.namespace().isEmpty && isStore(ident.name())
 
-  /** `CREATE TABLE graftcat.`/path`` (and the create half of CTAS): prepares
-    * an empty store directory; the first append commits snapshot 1. */
+  /** `CREATE TABLE graftcat.`/path`` (and the create half of CTAS): initializes
+    * an empty store — an empty snapshot is committed so the table is readable
+    * (zero rows) before its first append. Refuses to adopt an existing
+    * non-empty directory that is not a store: CTAS rollback would otherwise
+    * recursively delete pre-existing foreign data. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val root = pathOf(ident)
@@ -74,9 +86,19 @@ final class GraftCatalog extends TableCatalog {
       s"graft table schema is ${expected.simpleString}; cannot create with ${schema.simpleString}")
     require(partitions.isEmpty,
       "graft tables manage their own layout (url range parts); PARTITIONED BY is not supported")
-    if (tableExists(ident) && SnapshotStore.currentSnapshotId(root).isDefined)
+    if (isStore(root))
       throw new TableAlreadyExistsException(ident)
-    Files.createDirectories(Paths.get(root))
+    val dir = Paths.get(root)
+    if (Files.isDirectory(dir)) {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      val nonEmpty = try s.iterator().asScala.hasNext finally s.close()
+      require(!nonEmpty,
+        s"directory $root exists, is not empty, and is not a graft store — refusing to " +
+        "create a table over it (a failed CTAS rollback would delete its contents)")
+    }
+    Files.createDirectories(dir)
+    SnapshotStore.commit(root, Seq.empty) // snapshot 1, zero parts: empty but readable
     new GraftTable(root)
   }
 
@@ -84,12 +106,15 @@ final class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "graft tables have a fixed schema; ALTER TABLE is not supported")
 
-  /** DROP TABLE deletes the store directory (manifests + data). */
+  /** DROP TABLE deletes the store directory (manifests + data). Only a
+    * directory [[isStore]] recognizes is ever deleted — see the safety note
+    * there. */
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
     val root = Paths.get(pathOf(ident))
     import scala.jdk.CollectionConverters._
-    val all = Files.walk(root).iterator().asScala.toSeq.reverse
+    val walk = Files.walk(root)
+    val all = try walk.iterator().asScala.toSeq.reverse finally walk.close()
     all.foreach(p => Files.deleteIfExists(p))
     true
   }

@@ -498,9 +498,14 @@ final class GraftAggScan(root: String, snapshotId: Option[Long],
       else {
         val entries = snapshotId match {
           case Some(id) => SnapshotStore.entriesAt(root, id)
-          case None => SnapshotStore.currentEntries(root)
+          case None =>
+            // empty-ENTRIES snapshots are legal (created-but-unloaded table,
+            // truncate, all-matched DELETE): count(*) is 0. No snapshot at all
+            // is a different thing — not a store — and must fail loudly
+            require(SnapshotStore.currentSnapshotId(root).isDefined,
+              s"no committed snapshot under $root")
+            SnapshotStore.currentEntries(root)
         }
-        require(entries.nonEmpty, s"no committed snapshot under $root")
         org.apache.spark.sql.Row(entries.map(_.nRows).sum, null, null)
       }
     val values: Array[java.lang.Long] = aggs.toArray.map {
@@ -605,7 +610,15 @@ final class GraftScan(root: String, snapshotId: Option[Long],
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val entries = snapshotEntries()
-    require(entries.nonEmpty, s"no committed snapshot under $root")
+    if (entries.isEmpty) {
+      // an empty-ENTRIES snapshot (created-but-unloaded table, truncate,
+      // all-matched DELETE) reads as zero rows; a root with no snapshot at all
+      // is not a store and fails loudly (entriesAt already threw for an
+      // explicit time-travel id with no manifest)
+      require(snapshotId.isDefined || SnapshotStore.currentSnapshotId(root).isDefined,
+        s"no committed snapshot under $root")
+      return Array.empty
+    }
 
     // gated Iceberg-style planning: a metadata-only scan yields the surviving
     // group keys, or None when the predicate is not selective (past the
@@ -884,14 +897,16 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
 final class GraftPartitionReader(p: GraftInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val countOnly = p.columns.isEmpty
   // `_part_id` is a METADATA column (constant per block group, known from the
   // group key): it has no stored blocks, so it never reaches the parquet read
   private val dataCols: Array[String] = p.columns.filter(_ != "_part_id")
-  // empty DATA projection (count(*), or a metadata-only projection): only the
-  // row count of one reference column's blocks is needed — url is in every group
-  private val readCols: Array[String] = if (dataCols.isEmpty) Array("url") else dataCols
-  private val stream = new BlockGroupStream(p, readCols, countOnly)
+  // empty DATA projection (count(*), or a metadata-only one like
+  // `SELECT _part_id`): only (group key, row count) is needed, and the stream's
+  // count-only mode reads exactly that — the `encoded` pages of the reference
+  // column (url, present in every group) are never pulled off disk
+  private val metaOnly = dataCols.isEmpty
+  private val readCols: Array[String] = if (metaOnly) Array("url") else dataCols
+  private val stream = new BlockGroupStream(p, readCols, countOnly = metaOnly)
 
   private var current: InternalRow = _
   private var pending: Iterator[InternalRow] = Iterator.empty
@@ -899,7 +914,7 @@ final class GraftPartitionReader(p: GraftInputPartition)
   private var produced = 0L
 
   private def decodeGroup(gd: BlockGroupStream#GroupData): Iterator[InternalRow] = {
-    if (countOnly) {
+    if (p.columns.isEmpty) { // count(*): zero-width rows
       val empty: InternalRow = new GenericInternalRow(0)
       return Iterator.fill(gd.n)(empty)
     }

@@ -1,10 +1,8 @@
 package graft.sources.v2
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.distributions.Distribution
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.Filter
@@ -44,7 +42,11 @@ import graft.sources.SnapshotStore
  * delivered those rows; deletions are not signaled on an append-only stream —
  * the DeleteJob contract). UPDATE/MERGE change or add row content, so their
  * commits are NOT rehomed-marked and stream their rewritten parts, like
- * overwrite.
+ * overwrite. One granularity caveat: a MERGE whose only clause is
+ * `WHEN MATCHED THEN DELETE` also carries only survivors, but the connector
+ * API reports it as MERGE (clauses aren't exposed), so it streams like an
+ * UPDATE of the affected parts — prefer `DELETE FROM` for pure deletions on
+ * streamed stores (documented at the commit site).
  *
  * Exactness: DELETE with a condition expressible exactly over the decoded
  * view never reaches this path — Spark's `OptimizeMetadataOnlyDeleteFromTable`
@@ -166,28 +168,38 @@ final class GraftCowScan(root: String, op: GraftRowLevelOperation,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Manifest entries + statically affected parts, computed ONCE per
+    * statement: `BatchScanExec` plans twice (eagerly before runtime filters,
+    * again after `filter()` delivered them), and the metadata-pruning Spark
+    * job plus the manifest read depend only on immutable inputs — re-running
+    * them on the second planning would double driver-side planning cost for
+    * nothing. (Also keeps both plannings on ONE snapshot: a compaction
+    * committing between them could otherwise shift the entry set.) */
+  private lazy val staticPlan: (Seq[SnapshotStore.PartEntry], Set[Int]) = {
     val spark = SparkSession.active
     val entries = SnapshotStore.currentEntries(root)
-    // empty store (e.g. MERGE used as a first load): nothing to rewrite
-    if (entries.isEmpty) return Array.empty
-
     // part-level pruning via the metadata-only block scan: collect is bounded
     // by the PART count (manifest-scale), never the block count
     val staticAffected: Set[Int] =
-      if (predicates.isEmpty) entries.map(_.partId).toSet
+      if (entries.isEmpty) Set.empty // e.g. MERGE used as a first load
+      else if (predicates.isEmpty) entries.map(_.partId).toSet
       else {
         import spark.implicits._
         DecodeJob.matchingGroupKeys(spark, root, predicates)
           .select($"part_id").distinct().as[Int].collect().toSet
       }
+    (entries, staticAffected)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (entries, staticAffected) = staticPlan
     // the FINAL set is what the commit tombstones — intersect the runtime
     // group filter (parts proven to hold a matching row) before recording
     val affected: Set[Int] = runtimeParts.fold(staticAffected)(_ intersect staticAffected)
     op.recordScannedParts(affected)
     val cowEntries = entries.filter(e => affected(e.partId))
     if (cowEntries.isEmpty) return Array.empty
-    GraftDataSource.packPartitions(spark, root, cowEntries,
+    GraftDataSource.packPartitions(SparkSession.active, root, cowEntries,
       requiredSchema.fieldNames, None, null, columnar = false, limit = -1)._1
   }
 
@@ -202,22 +214,11 @@ final class GraftCowScan(root: String, op: GraftRowLevelOperation,
 final class GraftCowWrite(root: String, op: GraftRowLevelOperation)
     extends Write with RequiresDistributionAndOrdering {
 
-  override def requiredDistribution(): Distribution =
-    Distributions.ordered(Array(
-      Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING)))
+  override def requiredDistribution(): Distribution = GraftWriteLayout.urlDistribution
 
-  override def requiredOrdering(): Array[SortOrder] =
-    Array(Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING))
+  override def requiredOrdering(): Array[SortOrder] = GraftWriteLayout.UrlOrdered
 
-  override def requiredNumPartitions(): Int =
-    SparkSession.active.conf.getOption("spark.graft.write.partitions").map { s =>
-      val n = try s.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"spark.graft.write.partitions must be a positive int, got '$s'")
-      }
-      require(n > 0, s"spark.graft.write.partitions must be positive, got $n")
-      n
-    }.getOrElse(0)
+  override def requiredNumPartitions(): Int = GraftWriteLayout.confWritePartitions()
 
   override def advisoryPartitionSizeInBytes(): Long =
     if (requiredNumPartitions() > 0) 0L else 64L << 20
@@ -242,36 +243,29 @@ final class GraftCowBatchWrite(root: String, op: GraftRowLevelOperation)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftWriterCommitMessage])
-    val committed: Set[String] = msgs.iterator.filter(_.fileName != null).map(_.fileName).toSet
-    val dir = Paths.get(absDir)
     // exactly-once: a crashed/zombie attempt may have left a file no commit
     // message names — sweep it before the manifest can see the dir
-    if (Files.exists(dir)) {
-      val stray = SnapshotStore.listFileNames(dir).filterNot(committed)
-      stray.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-    }
-    val entries = msgs.iterator.filter(m => m.nRows > 0).map { m =>
-      SnapshotStore.PartEntry(m.partId, relDir, m.nRows, m.origBytes, m.encBytes,
-        m.codecsJson)
-    }.toSeq
+    GraftWriteLayout.sweepStrays(absDir,
+      msgs.iterator.filter(_.fileName != null).map(_.fileName).toSet)
+    val entries = GraftWriteLayout.entriesFrom(msgs, relDir)
     val replaced = op.scannedPartIds
     if (entries.isEmpty && replaced.isEmpty) {
       // the condition provably touched nothing: no snapshot, drop the staging
-      if (Files.exists(dir) && SnapshotStore.listFileNames(dir).isEmpty)
-        Files.deleteIfExists(dir)
+      GraftWriteLayout.sweepStrays(absDir, Set.empty, dropDirIfEmpty = true)
       return
     }
-    // a COW DELETE re-homes surviving rows (streams must not replay them);
-    // UPDATE/MERGE change or add content and must stream, like overwrite
+    // A COW DELETE re-homes surviving rows (streams must not replay them);
+    // UPDATE/MERGE change or add content and must stream, like overwrite.
+    // Known granularity limit, inherent to the connector API: a MERGE whose
+    // only action is WHEN MATCHED THEN DELETE also emits only re-homed
+    // survivors, but `command()` still reports MERGE (actions aren't exposed),
+    // so its commit streams — downstream consumers see the rewritten parts'
+    // survivors again, exactly as they would for an UPDATE of those parts.
+    // Use `DELETE FROM` for pure deletions on streamed stores.
     SnapshotStore.commitReplacing(root, entries, replaced,
       rowsRehomed = op.command() == RowLevelOperation.Command.DELETE)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(absDir)
-    if (Files.exists(dir)) {
-      SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
-      Files.deleteIfExists(dir)
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteLayout.dropStaging(absDir)
 }

@@ -73,16 +73,70 @@ final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   }
 }
 
+/** Layout/sizing pieces shared by every write path into a store — the batch
+  * append ([[GraftWrite]]) and the copy-on-write rewrite
+  * ([[GraftCowWrite]]). One definition: a fix to the distribution contract or
+  * the partitions-conf validation must not have to land twice. */
+private[v2] object GraftWriteLayout {
+  /** Range-partition + sort on url: the store's physical layout invariant. */
+  val UrlOrdered: Array[SortOrder] =
+    Array(Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING))
+
+  def urlDistribution: Distribution = Distributions.ordered(UrlOrdered)
+
+  /** `spark.graft.write.partitions`, validated; 0 = unset (Spark/AQE sizes the
+    * exchange). See [[GraftWrite.requiredNumPartitions]] for why big writes
+    * need the explicit count. */
+  def confWritePartitions(): Int =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.write.partitions").map { s =>
+        val n = try s.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.write.partitions must be a positive int, got '$s'")
+        }
+        require(n > 0, s"spark.graft.write.partitions must be positive, got $n")
+        n
+      }.getOrElse(0)
+
+  /** Exactly-once commit sweep: delete any staged file no commit message
+    * names (crashed/zombie attempts), then — if the whole staging is unused —
+    * the empty dir itself when `dropDirIfEmpty`. */
+  def sweepStrays(absDir: String, committedNames: Set[String],
+                  dropDirIfEmpty: Boolean = false): Unit = {
+    val dir = Paths.get(absDir)
+    if (Files.exists(dir)) {
+      SnapshotStore.listFileNames(dir).filterNot(committedNames)
+        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      if (dropDirIfEmpty && SnapshotStore.listFileNames(dir).isEmpty)
+        Files.deleteIfExists(dir)
+    }
+  }
+
+  /** Abort cleanup: drop the whole staging dir and its contents. */
+  def dropStaging(absDir: String): Unit = {
+    val dir = Paths.get(absDir)
+    if (Files.exists(dir)) {
+      SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      Files.deleteIfExists(dir)
+    }
+  }
+
+  /** Manifest entries from the tasks' commit messages (empty tasks dropped). */
+  def entriesFrom(msgs: Array[GraftWriterCommitMessage],
+                  relDir: String): Seq[SnapshotStore.PartEntry] =
+    msgs.iterator.filter(_.nRows > 0).map { m =>
+      SnapshotStore.PartEntry(m.partId, relDir, m.nRows, m.origBytes, m.encBytes,
+        m.codecsJson)
+    }.toSeq
+}
+
 final class GraftWrite(root: String, replaceAll: Boolean)
     extends Write with RequiresDistributionAndOrdering {
 
   // range-partition + sort on url: the store's physical layout invariant
-  override def requiredDistribution(): Distribution =
-    Distributions.ordered(Array(
-      Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING)))
+  override def requiredDistribution(): Distribution = GraftWriteLayout.urlDistribution
 
-  override def requiredOrdering(): Array[SortOrder] =
-    Array(Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING))
+  override def requiredOrdering(): Array[SortOrder] = GraftWriteLayout.UrlOrdered
 
   /** Writer task count. Default 0 lets Spark size the range exchange
     * (shuffle partitions / AQE) — right for everyday appends. For BIG writes
@@ -102,18 +156,8 @@ final class GraftWrite(root: String, replaceAll: Boolean)
     // big batch write would otherwise change info.numPartitions() at the next
     // epoch replan and checkStreamParts would kill the stream; same if the
     // conf was set at first start and later unset)
-    graft.streaming.StreamingEncode.pinnedStreamParts(root).getOrElse {
-      val v = org.apache.spark.sql.SparkSession.active.conf
-        .getOption("spark.graft.write.partitions")
-      v.map { s =>
-        val n = try s.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"spark.graft.write.partitions must be a positive int, got '$s'")
-        }
-        require(n > 0, s"spark.graft.write.partitions must be positive, got $n")
-        n
-      }.getOrElse(0)
-    }
+    graft.streaming.StreamingEncode.pinnedStreamParts(root)
+      .getOrElse(GraftWriteLayout.confWritePartitions())
   }
 
   /** When Spark sizes the exchange itself (partitions conf unset), ask AQE to
@@ -173,22 +217,14 @@ final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrit
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftWriterCommitMessage])
-    val committed: Set[String] = msgs.iterator.filter(_.fileName != null).map(_.fileName).toSet
     // exactly-once: a crashed/zombie attempt may have left a file no commit
     // message names — it must not be readable through the manifest's dir scan
-    val dir = Paths.get(absDir)
-    if (Files.exists(dir)) {
-      val stray = SnapshotStore.listFileNames(dir).filterNot(committed)
-      stray.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-    }
-    val entries = msgs.iterator.filter(m => m.nRows > 0).map { m =>
-      SnapshotStore.PartEntry(m.partId, relDir, m.nRows, m.origBytes, m.encBytes,
-        m.codecsJson)
-    }.toSeq
+    GraftWriteLayout.sweepStrays(absDir,
+      msgs.iterator.filter(_.fileName != null).map(_.fileName).toSet)
+    val entries = GraftWriteLayout.entriesFrom(msgs, relDir)
     if (entries.isEmpty && !replaceAll) {
       // empty append: nothing to commit, drop the unused staging dir
-      if (Files.exists(dir) && SnapshotStore.listFileNames(dir).isEmpty)
-        Files.deleteIfExists(dir)
+      GraftWriteLayout.sweepStrays(absDir, Set.empty, dropDirIfEmpty = true)
       return
     }
     val replaced: Set[Int] =
@@ -197,13 +233,8 @@ final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrit
     SnapshotStore.commitReplacing(root, entries, replaced)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(absDir)
-    if (Files.exists(dir)) {
-      SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
-      Files.deleteIfExists(dir)
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteLayout.dropStaging(absDir)
 }
 
 final case class GraftDataWriterFactory(absDir: String, partOffset: Int,

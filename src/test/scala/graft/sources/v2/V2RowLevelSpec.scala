@@ -149,6 +149,123 @@ class V2RowLevelSpec extends AnyFunSuite {
     assert(SnapshotStore.isRehomedCommit(root, snap))
   }
 
+  test("CREATE TABLE initializes an empty readable store; INSERT loads it; MERGE works as first load") {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val root = freshRoot() + "/t" // not yet existing
+    val v = s"graftcat.`$root`"
+    spark.sql(s"CREATE TABLE $v (url STRING, warc_ts TIMESTAMP, html BINARY, " +
+      "text STRING, lang STRING)")
+    // readable while empty, on every surface
+    assert(spark.sql(s"SELECT count(*) AS c FROM $v").collect().head.getLong(0) == 0L)
+    assert(spark.sql(s"SELECT * FROM $v").collect().isEmpty)
+    assert(DecodeJob.decode(spark, root).isEmpty)
+    assert(spark.table(v).where(col("lang") === "en").collect().isEmpty)
+    // re-create refused now that it IS a table
+    assertThrows[Exception](spark.sql(s"CREATE TABLE $v (url STRING, warc_ts TIMESTAMP, " +
+      "html BINARY, text STRING, lang STRING)"))
+    // MERGE as a first load: no matches possible, all source rows insert
+    spark.range(30).select(
+      concat(lit("m://"), col("id").cast("string")).as("url"),
+      lit("seed").as("stext")).createOrReplaceTempView("rl_first_load")
+    spark.sql(
+      s"""MERGE INTO $v t USING rl_first_load s ON t.url = s.url
+         |WHEN MATCHED THEN UPDATE SET text = s.stext
+         |WHEN NOT MATCHED THEN INSERT (url, warc_ts, html, text, lang)
+         |  VALUES (s.url, timestamp'2021-06-01 00:00:00', cast(s.stext as binary), s.stext, 'fl')
+         |""".stripMargin)
+    assert(spark.table(v).count() == 30L)
+    // plain INSERT appends on top
+    spark.sql(s"INSERT INTO $v VALUES ('z://one', timestamp'2022-01-01 00:00:00', " +
+      "cast('h' as binary), 'hello', 'en')")
+    assert(spark.table(v).count() == 31L)
+    assert(DecodeJob.decode(spark, root).count() == 31L)
+  }
+
+  test("truncate (DELETE FROM with no condition) leaves a readable empty store that accepts appends") {
+    val (root, v, before) = storeView(500L, 4)
+    spark.sql(s"DELETE FROM $v")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $v").collect().head.getLong(0) == 0L)
+    assert(spark.table(v).collect().isEmpty)
+    assert(DecodeJob.decode(spark, root).isEmpty)
+    assert(DecodeJob.decodeColumnsWhere(spark, root, Seq("url"),
+      Seq(DecodeJob.StrPrefix("url", "doc"))).isEmpty)
+    // stats fast path: count 0, null ts bounds
+    val st = DecodeJob.statsFast(spark, root).collect().head
+    assert(st.getLong(0) == 0L && st.isNullAt(1) && st.isNullAt(2))
+    // time travel to the pre-truncate snapshot still sees everything
+    val preSnap = SnapshotStore.currentSnapshotId(root).get - 1
+    assertSame(DecodeJob.decodeAt(spark, root, preSnap).toDF(), before)
+    // the store keeps working: append again and read back
+    spark.sql(s"INSERT INTO $v VALUES ('a://x', timestamp'2023-01-01 00:00:00', " +
+      "cast('b' as binary), 'body', 'de')")
+    assert(spark.table(v).count() == 1L)
+  }
+
+  test("catalog refuses to create over or drop a foreign non-store directory") {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("graft-foreign-")
+    val precious = dir.resolve("precious.txt")
+    Files.write(precious, "do not delete".getBytes)
+    val v = s"graftcat.`$dir`"
+    // non-empty non-store directory: CREATE refused (CTAS rollback would wipe it)
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $v (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)"))
+    assert(e.getMessage.contains("not a graft store") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a graft store")))
+    // not a table => DROP resolves to nothing; either way the dir survives
+    assertThrows[Exception](spark.sql(s"DROP TABLE $v"))
+    assert(Files.exists(precious), "DROP TABLE must never delete a non-store directory")
+    // SELECT resolves to "table not found" at analysis, not a scan-time error
+    assertThrows[Exception](spark.sql(s"SELECT * FROM $v").collect())
+  }
+
+  test("CTAS loads a new table in one statement; a failed CTAS rolls back without debris") {
+    val (_, v0, before) = storeView(400L, 2)
+    val parent = Files.createTempDirectory("graft-ctas-")
+    val root = s"$parent/t"
+    val v = s"graftcat.`$root`"
+    spark.sql(s"CREATE TABLE $v AS SELECT * FROM $v0")
+    assertSame(spark.table(v).toDF(), before)
+    spark.sql(s"DROP TABLE $v")
+
+    // failure mid-write: Spark rolls the CTAS back via dropTable — the
+    // half-created store must vanish entirely (no orphan dir a later CREATE
+    // would refuse), while unrelated siblings survive
+    val sibling = parent.resolve("keepme.txt")
+    Files.write(sibling, "sibling".getBytes)
+    GraftDataWriter.failNextWriteOnce.set(true)
+    try
+      assertThrows[Exception](spark.sql(s"CREATE TABLE $v AS SELECT * FROM $v0"))
+    finally GraftDataWriter.failNextWriteOnce.set(false)
+    assert(!Files.exists(java.nio.file.Paths.get(root)),
+      "failed CTAS must remove the half-created store")
+    assert(Files.exists(sibling), "rollback must not touch unrelated files")
+    // and the path is immediately reusable
+    spark.sql(s"CREATE TABLE $v AS SELECT * FROM $v0")
+    assertSame(spark.table(v).toDF(), before)
+  }
+
+  test("DROP TABLE deletes a real store") {
+    val (root, v, _) = storeView(200L, 2)
+    assert(spark.sql(s"SHOW TABLES").collect() != null) // catalog is alive
+    spark.sql(s"DROP TABLE $v")
+    assert(!Files.exists(java.nio.file.Paths.get(root)),
+      "DROP TABLE must remove the store directory")
+  }
+
+  test("metadata-only projection (SELECT _part_id) serves counts without decoding data") {
+    val (root, v, before) = storeView(900L, 4)
+    val pids = spark.sql(s"SELECT _part_id FROM $v")
+    assert(pids.count() == before.count(), "one _part_id row per stored row")
+    val distinct = pids.distinct().collect().map(_.getInt(0)).toSet
+    assert(distinct == SnapshotStore.currentEntries(root).map(_.partId).toSet)
+    // grouped: per-part row counts match the manifest lineage exactly
+    val counted = pids.groupBy("_part_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val manifest = SnapshotStore.currentEntries(root).map(e => e.partId -> e.nRows).toMap
+    assert(counted == manifest)
+  }
+
   test("exact DELETE keeps the metadata-only fast path (no ReplaceData in the plan)") {
     val (_, v, _) = storeView(600L, 4)
     val plan = spark.sql(s"EXPLAIN EXTENDED DELETE FROM $v WHERE lang = 'en'")
