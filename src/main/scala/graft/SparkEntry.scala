@@ -520,6 +520,23 @@ object SparkEntry {
       s.sql("SELECT url, lang FROM graft_delete_q")
     }),
 
+    // SQL stored procedures (CALL surface): compaction runs from pure SQL and
+    // preserves content exactly; snapshots() exposes the committed history
+    // (the id a time-travel read needs), lineage() the per-part codec metrics
+    "q_call_compact" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-call-").toString
+      EncodeJob.run(s, docsAsPages(s, d).as(Encoders.product[WebPage]), root, parts = 8)
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.v2.GraftCatalog")
+      val r = s.sql(s"CALL graftcat.system.compact('$root')").collect().head
+      require(r.getInt(1) == 8, s"all 8 fragmented parts compact via CALL, got ${r.getInt(1)}")
+      val hist = s.sql(s"CALL graftcat.system.snapshots('$root')").collect()
+      require(hist.length == 2 && hist.last.getString(1) == "rows-rehomed",
+        "history = append + rehomed compaction")
+      require(s.sql(s"CALL graftcat.system.lineage('$root')").count() == r.getInt(2).toLong,
+        "lineage rows == compacted part count")
+      s.read.format("graft").load(root).select(col("url"), col("lang"))
+    }),
+
     // SQL UPDATE (catalog-resolved row-level DML): group-based copy-on-write
     // ReplaceData — the pushed url bound prunes which parts get rewritten
     // (block metadata), survivors re-encode through the staged pipeline, the
@@ -1181,6 +1198,8 @@ object SparkEntry {
       "AS url, md5(text) AS h FROM documents"),
     "q_dsv2_delete" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents WHERE lang <> 'en'"),
+    "q_call_compact" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents"),
     "q_dsv2_update" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS url, " +
       "CASE WHEN doc_id <= (SELECT max(doc_id) // 5 FROM documents) THEN 'xx' ELSE lang END AS lang " +
       "FROM documents"),

@@ -35,7 +35,8 @@ import graft.sources.SnapshotStore
  * namespace operations return empty/unsupported, mirroring path-based tables
  * in other engines.
  */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
 
@@ -122,6 +123,24 @@ final class GraftCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft store paths are physical locations; RENAME is a filesystem move, not a catalog op")
+
+  // ---- stored procedures: CALL graftcat.system.compact('/path') etc.
+  // (maintenance + inspection from pure SQL — see GraftProcedures) ----
+
+  private def requireProcNamespace(ns: Array[String]): Unit =
+    require(ns.isEmpty || ns.sameElements(Array("system")),
+      s"graft procedures live in the `system` namespace, not `${ns.mkString(".")}`")
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    requireProcNamespace(ident.namespace())
+    GraftProcedures.load(ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    requireProcNamespace(namespace)
+    GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+  }
 
   override def defaultNamespace(): Array[String] = Array.empty
 
