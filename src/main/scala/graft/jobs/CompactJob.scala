@@ -49,7 +49,9 @@ object CompactJob {
 
     val base = SnapshotStore.nextRehomeBase(root, newParts)
 
-    val pages = DecodeJob.decodeParts(spark, root, smallIds)
+    // decode through the SAME entry list that chose the ids (a manifest
+    // re-read could race a concurrent commit — see DecodeJob.decodePartsOf)
+    val pages = DecodeJob.decodePartsOf(spark, root, entries, smallIds)
     // fresh boundaries for the compacted subset; the store-level BOUNDARIES file
     // (the batch job's work-unit definition) is deliberately left untouched.
     // totalRows comes from the manifest: pages is a full DECODE, so the

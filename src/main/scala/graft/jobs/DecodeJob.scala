@@ -186,6 +186,16 @@ object DecodeJob {
                         predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame =
     matchingKeysOf(blocks(spark, root), predicates)
 
+  /** [[matchingGroupKeys]] over a PINNED entry set — for callers that must
+    * keep planning AND the later rewrite/commit on ONE manifest read: deriving
+    * affected parts from a re-read manifest while holding an older entry list
+    * lets a concurrent compaction slip between the two, and a commit that then
+    * tombstones parts it never rewrote is silent row loss. */
+  private[graft] def matchingGroupKeysOf(spark: SparkSession, root: String,
+      entries: Seq[SnapshotStore.PartEntry],
+      predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame =
+    matchingKeysOf(fromEntries(spark, root, entries), predicates)
+
   private def matchingKeysOf(blocksDf: org.apache.spark.sql.DataFrame,
                              predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame = {
     require(predicates.nonEmpty, "no predicates")
@@ -439,6 +449,14 @@ object DecodeJob {
     * 100k-literal expression tree. */
   def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] =
     reassemble(spark, partsOnly(blocks(spark, root), partIds))
+
+  /** [[decodeParts]] over a PINNED entry set (see [[matchingGroupKeysOf]]):
+    * the rewrite jobs must decode through the SAME manifest read that chose
+    * the parts, or a compaction between the reads re-homes the rows out from
+    * under the chosen ids. */
+  private[graft] def decodePartsOf(spark: SparkSession, root: String,
+      entries: Seq[SnapshotStore.PartEntry], partIds: Seq[Int]): Dataset[WebPage] =
+    reassemble(spark, partsOnly(fromEntries(spark, root, entries), partIds))
 
   // ---------------- reassembly (shuffle-free fast path + shuffle fallback) ----------------
 

@@ -153,6 +153,23 @@ object SnapshotStore {
       }.toSet
   }
 
+  /** Tombstone COUNT at a snapshot without materializing the id set: summed
+    * from the sidecar's range widths (ranges are produced from distinct sorted
+    * ids, so widths are disjoint). A long-streamed, repeatedly-compacted store
+    * accumulates millions of tombstones — counting via [[tombstonesAt]] would
+    * box them all just to take `.size`. */
+  def tombstoneCountAt(root: String, snapshotId: Long): Long = {
+    val p = Paths.get(root, "manifests", s"$snapshotId.tombstones")
+    if (!Files.exists(p)) 0L
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.iterator
+      .filter(_.nonEmpty).map { line =>
+        val t = line.trim
+        val dash = t.indexOf('-', 1)
+        if (dash < 0) 1L
+        else t.substring(dash + 1).toLong - t.substring(0, dash).toLong + 1L
+      }.sum
+  }
+
   /** Merge sorted ids into "a-b" range lines: tombstones accumulate monotonically
     * across every compaction, and streaming part ids come in contiguous
     * per-batch runs, so range encoding keeps the sidecar (re-read and rewritten

@@ -127,20 +127,21 @@ final class GraftCatalog extends TableCatalog
   // ---- stored procedures: CALL graftcat.system.compact('/path') etc.
   // (maintenance + inspection from pure SQL — see GraftProcedures) ----
 
-  private def requireProcNamespace(ns: Array[String]): Unit =
-    require(ns.isEmpty || ns.sameElements(Array("system")),
-      s"graft procedures live in the `system` namespace, not `${ns.mkString(".")}`")
-
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
-    requireProcNamespace(ident.namespace())
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft procedures live in the `system` namespace " +
+      s"(CALL $catalogName.system.<proc>(...)), got `${ident.toString}`")
     GraftProcedures.load(ident.name())
   }
 
-  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
-    requireProcNamespace(namespace)
-    GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
-  }
+  /** Listing is namespace-faithful: only `system` (or the catalog root, for
+    * discovery) holds procedures — a foreign namespace lists empty rather
+    * than erroring, the usual SHOW semantics. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def defaultNamespace(): Array[String] = Array.empty
 

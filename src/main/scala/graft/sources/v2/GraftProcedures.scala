@@ -39,7 +39,7 @@ object GraftProcedures {
   /** Procedure names, as listed by `SHOW PROCEDURES`. */
   val Names: Seq[String] = Seq("compact", "expire_snapshots", "snapshots", "lineage")
 
-  def load(name: String): UnboundProcedure = name.toLowerCase match {
+  def load(name: String): UnboundProcedure = name.toLowerCase(java.util.Locale.ROOT) match {
     case "compact" => Compact
     case "expire_snapshots" => Expire
     case "snapshots" => Snapshots
@@ -49,6 +49,14 @@ object GraftProcedures {
   }
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** Same fail-loudly contract as every read surface: a typo'd path must not
+    * look like a store with no history / nothing to do. */
+  private def requireStore(root: String): String = {
+    require(SnapshotStore.currentSnapshotId(root).isDefined,
+      s"no committed snapshot under $root — not a graft store")
+    root
+  }
 
   private def param(name: String, dt: DataType, comment: String): ProcedureParameter =
     ProcedureParameter.in(name, dt).comment(comment).build()
@@ -91,7 +99,7 @@ object GraftProcedures {
       StructField("parts_created", IntegerType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val root = input.getUTF8String(0).toString
+      val root = requireStore(input.getUTF8String(0).toString)
       val r = CompactJob.run(SparkSession.active, root,
         minRows = input.getLong(1), targetRowsPerPart = input.getLong(2))
       resultScan(schema, Seq(new GenericInternalRow(Array[Any](
@@ -115,7 +123,7 @@ object GraftProcedures {
       StructField("removed_data_dirs", IntegerType, nullable = false),
       StructField("removed_bytes", LongType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val r = SnapshotStore.expireSnapshots(input.getUTF8String(0).toString,
+      val r = SnapshotStore.expireSnapshots(requireStore(input.getUTF8String(0).toString),
         keepLast = input.getInt(1), orphanGraceMs = input.getLong(2))
       resultScan(schema, Seq(new GenericInternalRow(Array[Any](
         r.kept.size, r.removedSnapshots.size, r.removedDataDirs.size, r.removedBytes))))
@@ -134,10 +142,10 @@ object GraftProcedures {
       StructField("kind", StringType, nullable = false),
       StructField("parts", IntegerType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
-      StructField("tombstones", IntegerType, nullable = false),
+      StructField("tombstones", LongType, nullable = false),
       StructField("is_current", BooleanType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val root = input.getUTF8String(0).toString
+      val root = requireStore(input.getUTF8String(0).toString)
       val current = SnapshotStore.currentSnapshotId(root)
       // ids beyond the pointer are uncommitted crash orphans — not history
       val ids = SnapshotStore.snapshotIds(root)
@@ -148,7 +156,7 @@ object GraftProcedures {
           id,
           utf8(if (SnapshotStore.isRehomedCommit(root, id)) "rows-rehomed" else "append"),
           entries.size, entries.map(_.nRows).sum,
-          SnapshotStore.tombstonesAt(root, id).size,
+          SnapshotStore.tombstoneCountAt(root, id),
           current.contains(id))): InternalRow
       }
       resultScan(schema, rows)
@@ -170,7 +178,7 @@ object GraftProcedures {
       StructField("enc_bytes", LongType, nullable = false),
       StructField("codecs", StringType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val root = input.getUTF8String(0).toString
+      val root = requireStore(input.getUTF8String(0).toString)
       val rows = SnapshotStore.currentEntries(root).map { e =>
         new GenericInternalRow(Array[Any](
           e.partId, utf8(e.dataDir), e.nRows, e.origBytes, e.encBytes,

@@ -185,7 +185,11 @@ final class GraftCowScan(root: String, op: GraftRowLevelOperation,
       else if (predicates.isEmpty) entries.map(_.partId).toSet
       else {
         import spark.implicits._
-        DecodeJob.matchingGroupKeys(spark, root, predicates)
+        // key scan over the PINNED entries, not a manifest re-read: a
+        // compaction committing between two reads could hand back re-homed
+        // part ids this plan's entry list doesn't contain — zero rows would
+        // be rewritten yet the commit would tombstone them (silent row loss)
+        DecodeJob.matchingGroupKeysOf(spark, root, entries, predicates)
           .select($"part_id").distinct().as[Int].collect().toSet
       }
     (entries, staticAffected)

@@ -67,7 +67,7 @@ class V2ProcedureSpec extends AnyFunSuite {
     assert(hist(0).getLong(0) < hist(1).getLong(0), "oldest first")
     assert(hist(0).getString(1) == "append" && !hist(0).getBoolean(5))
     assert(hist(1).getString(1) == "rows-rehomed" && hist(1).getBoolean(5))
-    assert(hist(1).getInt(4) == 4, "compaction tombstoned the 4 source parts")
+    assert(hist(1).getLong(4) == 4L, "compaction tombstoned the 4 source parts")
     assert(hist.map(_.getLong(3)).forall(_ == 800L), "every snapshot holds all rows")
 
     val ex = spark.sql(s"CALL graftcat.system.expire_snapshots(path => '$root', " +
@@ -93,6 +93,19 @@ class V2ProcedureSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getString(5)).forall(_.contains("\"url\"")),
       "codec json carries per-column codec names")
+  }
+
+  test("every procedure fails loudly on a non-store path (typo'd paths are not empty stores)") {
+    spark.conf.set("spark.sql.catalog.graftcat", classOf[GraftCatalog].getName)
+    val dir = Files.createTempDirectory("graft-notstore-")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    Seq("snapshots", "lineage", "compact", "expire_snapshots").foreach { proc =>
+      val e = intercept[Exception](
+        spark.sql(s"CALL graftcat.system.$proc('$dir')").collect())
+      assert(msgs(e).exists(_.contains("no committed snapshot")),
+        s"$proc must reject a non-store path, got: ${msgs(e).headOption}")
+    }
   }
 
   test("unknown procedure fails with the available list; namespace is checked") {
