@@ -313,7 +313,8 @@ object SnapshotStore {
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith(".SNAPSHOT.tmp.") || (n.startsWith(".BOUNDARIES") && n.contains(".tmp.")) ||
-        n.startsWith(".STREAM_PARTS.tmp.") || n.startsWith("BOUNDARIES.b")
+        n.startsWith(".STREAM_PARTS.tmp.") || n.startsWith(".EPOCH_ROWS.tmp.") ||
+        n.startsWith("BOUNDARIES.b")
       }
       .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
       .map(p => p.getFileName.toString).toSeq

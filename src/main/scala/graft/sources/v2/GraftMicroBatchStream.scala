@@ -143,7 +143,18 @@ final class GraftMicroBatchStream(root: String, columns: Array[String])
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset]
+    val s0 = start.asInstanceOf[GraftOffset]
+    // Offset 0 = nothing consumed yet (snapshot ids start at 1; any stream
+    // that emitted a batch checkpoints an id >= 1). The `fresh` flag is lost
+    // once an EMPTY first batch is checkpointed (latestOffset builds plain
+    // end offsets), so a stream started on an empty store would otherwise
+    // retention-fail after commits + expiry despite having emitted nothing —
+    // re-base it at the earliest retained snapshot like the fresh path, which
+    // is lossless by the same argument (full first emit).
+    val s = if (s0.snapshotId == 0L && !s0.fresh)
+      GraftOffset(SnapshotStore.snapshotIds(root).headOption.map(_ - 1L).getOrElse(0L),
+        fresh = true)
+    else s0
     val e = end.asInstanceOf[GraftOffset].snapshotId
     if (e <= s.snapshotId) return Array.empty
     val entries = emitEntries(s, e)

@@ -260,6 +260,42 @@ final case class GraftDataWriterFactory(absDir: String, partOffset: Int,
  *    (the batch writer's zombie discipline), and the epoch commit sweeps
  *    unnamed strays before the manifest swap.
  */
+/** Per-epoch original row totals, persisted at commit (`EPOCH_ROWS` sidecar:
+  * one `"<epochId> <rows>"` line per committed epoch). This is what keeps
+  * replay verification EXACT for the life of the store: the manifest-based
+  * fallback loses the original totals once a compaction + expiry rewrites
+  * history, and an unverifiable replay would force a choice between silently
+  * dropping possibly-new rows and falsely killing genuine replays. ~16 bytes
+  * per epoch — a year of minutely epochs is ~8 MB. Driver-only, single writer
+  * per store (the same discipline as every sidecar), tmp + ATOMIC_MOVE. */
+private[v2] object EpochRows {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private def path(root: String) = Paths.get(root, "EPOCH_ROWS")
+
+  def lookup(root: String, epochId: Long): Option[Long] = {
+    val p = path(root)
+    if (!Files.exists(p)) None
+    else Files.readAllLines(p, UTF_8).asScala.iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf(' ')
+        (l.substring(0, i).toLong, l.substring(i + 1).toLong)
+      }
+      .collectFirst { case (e, n) if e == epochId => n }
+  }
+
+  def record(root: String, epochId: Long, rows: Long): Unit = {
+    val p = path(root)
+    if (lookup(root, epochId).isDefined) return // replays never re-commit
+    val prev = if (Files.exists(p)) new String(Files.readAllBytes(p), UTF_8) else ""
+    val tmp = Paths.get(root, s".EPOCH_ROWS.tmp.${java.util.UUID.randomUUID()}")
+    Files.write(tmp, (prev + s"$epochId $rows\n").getBytes(UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
 final class GraftStreamingWrite(root: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -282,20 +318,15 @@ final class GraftStreamingWrite(root: String)
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
   }
 
+  private def absDir(epochId: Long): String = Paths.get(root, relDir(epochId)).toString
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftWriterCommitMessage])
-    val dir = Paths.get(root, relDir(epochId))
-    val committedNames = msgs.iterator.filter(_.fileName != null).map(_.fileName).toSet
-    if (Files.exists(dir))
-      SnapshotStore.listFileNames(dir).filterNot(committedNames)
-        .foreach(f => Files.deleteIfExists(dir.resolve(f)))
-    val entries = msgs.iterator.filter(_.nRows > 0).map { m =>
-      SnapshotStore.PartEntry(m.partId, relDir(epochId), m.nRows, m.origBytes,
-        m.encBytes, m.codecsJson)
-    }.toSeq
+    GraftWriteLayout.sweepStrays(absDir(epochId),
+      msgs.iterator.filter(_.fileName != null).map(_.fileName).toSet)
+    val entries = GraftWriteLayout.entriesFrom(msgs, relDir(epochId))
     if (entries.isEmpty) { // empty epoch: nothing to commit
-      if (Files.exists(dir) && SnapshotStore.listFileNames(dir).isEmpty)
-        Files.deleteIfExists(dir)
+      GraftWriteLayout.sweepStrays(absDir(epochId), Set.empty, dropDirIfEmpty = true)
       return
     }
     // replayed epoch: its deterministic ids are already in the manifest — the
@@ -303,11 +334,14 @@ final class GraftStreamingWrite(root: String)
     // overlap alone does NOT prove a replay: a FRESH checkpoint over a grown
     // source re-delivers committed data MIXED WITH NEW ROWS inside the same
     // epoch namespace, and dropping that would silently lose the new rows.
-    // Verify by row count: each epoch is one atomic commit, manifests are
-    // cumulative, and entries are immutable until tombstoned — so the oldest
-    // surviving manifest holding any of the epoch's ids lists the original
-    // epoch total. Equal totals = replay (the range exchange may re-split the
-    // same rows differently, so ids/per-part counts can drift; the SUM cannot).
+    // Verify by row count: each epoch is one atomic commit, so equal totals =
+    // replay (the range exchange may re-split the same rows differently, so
+    // ids/per-part counts can drift; the SUM cannot). The original total comes
+    // from the EPOCH_ROWS sidecar (exact for the life of the store); stores
+    // streamed before the sidecar existed fall back to the oldest surviving
+    // manifest holding the epoch's ids — entries are immutable until
+    // tombstoned, so that manifest lists the original total unless a
+    // compaction already rewrote it.
     val committed = SnapshotStore.committedPartIds(root)
     if (entries.exists(e => committed(e.partId))) {
       val parts = graft.streaming.StreamingEncode.pinnedStreamParts(root)
@@ -315,21 +349,24 @@ final class GraftStreamingWrite(root: String)
           s"store at $root has committed stream epochs but no STREAM_PARTS sidecar"))
       val lo = epochId * parts
       val hi = lo + parts
-      val original = SnapshotStore.snapshotIds(root).iterator
-        .map { sid =>
-          val inRange = SnapshotStore.entriesAt(root, sid)
-            .filter(e => e.partId >= lo && e.partId < hi)
-          // a manifest that already tombstoned part of the epoch (compaction)
-          // lists only a PARTIAL total — unusable for the comparison
-          val partial = SnapshotStore.tombstonesAt(root, sid)
-            .exists(id => id >= lo && id < hi)
-          (inRange, partial)
-        }
-        .find(_._1.nonEmpty)
       val stagedRows = entries.iterator.map(_.nRows).sum
+      val original: Option[Long] = EpochRows.lookup(root, epochId).orElse {
+        // legacy fallback: walk the retained manifests oldest-first; a
+        // manifest that already tombstoned part of the epoch (compaction)
+        // lists only a PARTIAL total — unusable for the comparison
+        SnapshotStore.snapshotIds(root).iterator
+          .map { sid =>
+            val inRange = SnapshotStore.entriesAt(root, sid)
+              .filter(e => e.partId >= lo && e.partId < hi)
+            val partial = SnapshotStore.tombstonesAt(root, sid)
+              .exists(id => id >= lo && id < hi)
+            (inRange, partial)
+          }
+          .find(_._1.nonEmpty)
+          .collect { case (orig, false) => orig.iterator.map(_.nRows).sum }
+      }
       original match {
-        case Some((orig, false)) =>
-          val origRows = orig.iterator.map(_.nRows).sum
+        case Some(origRows) =>
           if (origRows != stagedRows) throw new IllegalStateException(
             s"stream epoch $epochId stages $stagedRows rows but its committed " +
             s"namespace [$lo, $hi) holds $origRows — this checkpoint does not " +
@@ -337,30 +374,27 @@ final class GraftStreamingWrite(root: String)
             "rows into already-committed epochs, and committing OR dropping " +
             "them would corrupt the store). Restart from the original " +
             "checkpoint, or stream into a fresh store")
-        case _ =>
-          // the epoch's entries were compacted away (and possibly expired)
-          // before this replay arrived — the original total is gone, so the
-          // replay cannot be verified; dropping is the only lossless-for-
-          // replays choice, flag it for the operator
+        case None =>
+          // pre-sidecar store whose epoch entries were compacted away before
+          // this replay arrived — the original total is gone, so the replay
+          // cannot be verified; dropping is the only lossless-for-replays
+          // choice, flag it for the operator (new stores never get here:
+          // EPOCH_ROWS outlives compaction and expiry)
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"stream epoch $epochId replays ids in [$lo, $hi) whose committed " +
-            "entries were compacted/expired; dropping the staging UNVERIFIED " +
+            "entries were compacted/expired and which predates the EPOCH_ROWS " +
+            "sidecar; dropping the staging UNVERIFIED " +
             s"($stagedRows staged rows assumed already committed)")
       }
-      SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
-      Files.deleteIfExists(dir)
+      GraftWriteLayout.dropStaging(absDir(epochId))
       return
     }
     SnapshotStore.commit(root, entries)
+    EpochRows.record(root, epochId, entries.iterator.map(_.nRows).sum)
   }
 
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(root, relDir(epochId))
-    if (Files.exists(dir)) {
-      SnapshotStore.listFileNames(dir).foreach(f => Files.deleteIfExists(dir.resolve(f)))
-      Files.deleteIfExists(dir)
-    }
-  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftWriteLayout.dropStaging(absDir(epochId))
 }
 
 final case class GraftStreamingDataWriterFactory(root: String, runUuid: String,

@@ -251,6 +251,65 @@ class V2StreamReadSpec extends AnyFunSuite {
       "the failed epoch must not have committed anything")
   }
 
+  test("native WRITE: replay verification survives compaction + expiry (EPOCH_ROWS sidecar)") {
+    def run(src: String, root: String, ckpt: String, onePerTrigger: Boolean): Unit = {
+      var r = spark.readStream.schema(spark.read.parquet(src).schema)
+      if (onePerTrigger) r = r.option("maxFilesPerTrigger", "1")
+      val q = r.parquet(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(root)
+      assert(q.awaitTermination(120000))
+    }
+    val src = tmp(); val root = tmp()
+    Webtext.generate(spark, 900L, 3).write.parquet(src)
+    run(src, root, tmp(), onePerTrigger = true) // epochs 0..2 commit
+    assert(Files.exists(java.nio.file.Paths.get(root, "EPOCH_ROWS")),
+      "per-epoch totals persisted at commit")
+    // compaction re-homes every epoch's rows, expiry drops the original
+    // manifests: the manifest-walk fallback can no longer see the originals
+    graft.jobs.CompactJob.run(spark, root)
+    SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0)
+    assert(SnapshotStore.snapshotIds(root).size == 1)
+    // GENUINE replay (fresh checkpoint, unchanged source): the sidecar totals
+    // verify each epoch exactly — staging drops, nothing duplicates
+    run(src, root, tmp(), onePerTrigger = true)
+    assert(DecodeJob.decode(spark, root).count() == 900L, "replays dropped post-expiry")
+    // MIXED epoch (new rows packed into a committed epoch namespace) must
+    // still fail loudly — before the sidecar this was a silent WARN+drop that
+    // lost the new rows forever
+    Webtext.generate(spark, 200L, 1).toDF()
+      .select(concat(lit("mx-"), col("url")).as("url"), col("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .write.mode("append").parquet(src)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception] { run(src, root, tmp(), onePerTrigger = false) }
+    assert(messages(e).exists(_.contains("does not match the store")),
+      s"post-expiry mixed epoch must fail, got: ${messages(e)}")
+    assert(DecodeJob.decode(spark, root).count() == 900L)
+  }
+
+  test("empty-store stream start survives later commits + expiry (offset 0 re-bases as fresh)") {
+    import graft.sources.v2.{GraftMicroBatchStream, GraftOffset}
+    val root = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    // a stream that started on an EMPTY store checkpoints {snapshotId:0}
+    // without the fresh flag after its first (empty) batch; commits + expiry
+    // then remove manifests 1.. — planning from the checkpointed offset must
+    // re-base at the earliest retained snapshot, not retention-fail
+    EncodeJob.run(spark, Webtext.generate(spark, 300L, 1), root, 1) // snapshot 1
+    Webtext.generate(spark, 200L, 1).toDF()
+      .write.format("graft").mode("append").save(root) // snapshot 2
+    SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0)
+    val stream = new GraftMicroBatchStream(root, Array("url"))
+    val end = SnapshotStore.currentSnapshotId(root).get
+    val parts = stream.planInputPartitions(
+      GraftOffset(0L), GraftOffset(end)) // non-fresh zero offset
+    assert(parts.nonEmpty, "zero offset must re-base as fresh and plan a full emit")
+  }
+
   test("native streaming WRITE restart: pinned STREAM_PARTS width beats the session conf") {
     def run(src: String, root: String, ckpt: String): Unit = {
       val q = spark.readStream.schema(spark.read.parquet(src).schema)
