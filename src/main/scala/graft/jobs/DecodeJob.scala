@@ -123,13 +123,20 @@ object DecodeJob {
   /**
    * Smallest string greater than EVERY string with the given prefix, under
    * Spark's UTF8 binary ordering: the prefix with its last rankable char
-   * incremented (trailing chars at/above the surrogate range are dropped first —
-   * incrementing into a surrogate would not be byte-order-sound). None = no
-   * finite successor (pruning then uses only the lower bound, still sound).
+   * incremented. A char is dropped first only when its increment is not a
+   * valid non-surrogate scalar: U+FFFF (no in-char successor) and
+   * U+D7FF..U+DFFF (U+D7FF increments into the surrogate range; surrogates
+   * themselves — possibly halves of a supplementary pair — cannot be
+   * incremented byte-order-soundly). Everything else increments: UTF-8 is
+   * monotone in scalar value and encodings are never byte-prefixes of each
+   * other, so `prefix[0..i-1] + (c+1)` bounds every prefixed string. None =
+   * no finite successor (pruning then uses only the lower bound, still sound).
    */
   private[jobs] def prefixSuccessor(prefix: String): Option[String] = {
+    @inline def noSuccessor(c: Char): Boolean =
+      c == 0xFFFF.toChar || (c >= 0xD7FF.toChar && c <= 0xDFFF.toChar)
     var i = prefix.length - 1
-    while (i >= 0 && prefix.charAt(i) >= 0xD700.toChar) i -= 1
+    while (i >= 0 && noSuccessor(prefix.charAt(i))) i -= 1
     if (i < 0) None
     else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
   }
@@ -215,14 +222,29 @@ object DecodeJob {
     * In-filters + codegen'd packed-key isin (row groups of pruned blocks are
     * skipped by parquet statistics — no IO, and derived scans keep column
     * pruning); many → broadcast semi-join of the already-collected keys. */
+  /** One packed block-group key: `(part_id << 32) | block_seq` — THE key
+    * format shared by the decode API's pushed filters and the V2 scan's
+    * broadcast key arrays ([[graft.sources.v2.GraftDataSource]]); a single
+    * definition so sign/width handling (negative rehomed part ids!) cannot
+    * silently diverge between the two surfaces. */
+  private[graft] def packKey(pid: Int, seq: Int): Long =
+    (pid.toLong << 32) | (seq.toLong & 0xffffffffL)
+
+  /** In-literal planning cutoff for [[keysOnly]]: past this many keys the
+    * pushed isin trees stop paying (driver expression-tree + codegen blowup)
+    * and the broadcast semi-join takes over. Deliberately NOT
+    * [[MaxFallbackGroups]] — that is a reassembly-fallback test lever, and
+    * moving it must not flip pruning plans in an unrelated component. */
+  private val MaxInListKeys = 4096
+
   private def keysOnly(blocksDf: org.apache.spark.sql.DataFrame,
                        keys: Array[(Int, Int)]): org.apache.spark.sql.DataFrame = {
     val spark = blocksDf.sparkSession
     import spark.implicits._
-    if (keys.length <= MaxFallbackGroups) {
+    if (keys.length <= MaxInListKeys) {
       val pids = keys.map(_._1).distinct.toSeq.map(Int.box)
       val seqs = keys.map(_._2).distinct.toSeq.map(Int.box)
-      val packed = keys.map(k => Long.box((k._1.toLong << 32) | (k._2.toLong & 0xffffffffL))).toSeq
+      val packed = keys.map(k => Long.box(packKey(k._1, k._2))).toSeq
       val packedCol = shiftleft(col("part_id").cast("long"), 32)
         .bitwiseOR(col("block_seq").cast("long").bitwiseAND(lit(0xffffffffL)))
       blocksDf.where(col("part_id").isin(pids: _*) && col("block_seq").isin(seqs: _*) &&
@@ -638,8 +660,8 @@ object DecodeJob {
    * the columnar-store read-path benefit at 100-TB scale.
    *
    * Output schema: one field per requested column in request order — `warc_ts`
-   * as nullable epoch-micros LongType, everything else StringType (html decodes
-   * as its UTF-8 string form).
+   * as nullable epoch-micros LongType, `html` as BinaryType (opaque bytes, no
+   * UTF-8 re-interpretation), everything else StringType.
    */
   def decodeColumns(spark: SparkSession, root: String, wanted: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(wanted.nonEmpty, "no columns requested")
@@ -663,24 +685,34 @@ object DecodeJob {
     val rowEnc = Encoders.row(schema)
     val order = wanted.toArray
     def decodeGroup(cols: Map[String, Array[Byte]]): Iterator[Row] = {
-      val byteCols: Map[String, Array[Array[Byte]]] =
-        order.iterator.filter(c => c != "warc_ts" && cols.contains(c))
-          .map(c => c -> StringBlockCodec.decode(cols(c))).toMap
+      // resolve every column to a positional extractor ONCE per 64Ki-row
+      // group — the per-row loop then only indexes arrays (the naive per-cell
+      // form paid a Seq allocation plus ~order.length hash probes and string
+      // name-matches PER ROW on the primary projected-read path)
       val ts: (Array[Long], Array[Boolean]) =
         if (cols.contains("warc_ts")) IntBlockCodec.decodeNullable(cols("warc_ts")) else null
-      val n = byteCols.headOption.map(_._2.length)
-        .orElse(Option(ts).map(_._1.length)).getOrElse(0)
+      var n = if (ts != null) ts._1.length else 0
+      val extractors: Array[Int => AnyRef] = order.map {
+        case "warc_ts" =>
+          if (ts == null) (_: Int) => null
+          else (i: Int) => if (ts._2(i)) java.lang.Long.valueOf(ts._1(i)) else null
+        case c =>
+          if (!cols.contains(c)) (_: Int) => null
+          else {
+            val vs = StringBlockCodec.decode(cols(c))
+            n = vs.length
+            if (c == "html") (i: Int) => vs(i) // opaque binary: lossless
+            else (i: Int) => {
+              val b = vs(i)
+              if (b == null) null else new String(b, StandardCharsets.UTF_8)
+            }
+          }
+      }
       (0 until n).iterator.map { i =>
-        Row.fromSeq(order.toSeq.map {
-          case "warc_ts" =>
-            if (ts != null && ts._2(i)) java.lang.Long.valueOf(ts._1(i)) else null
-          case "html" => // opaque binary: no UTF-8 re-interpretation (lossless)
-            byteCols.get("html").map(_(i)).orNull
-          case c =>
-            val vs = byteCols.getOrElse(c, null)
-            if (vs == null || vs(i) == null) null
-            else new String(vs(i), StandardCharsets.UTF_8)
-        })
+        val vals = new Array[Any](extractors.length)
+        var j = 0
+        while (j < extractors.length) { vals(j) = extractors(j)(i); j += 1 }
+        new org.apache.spark.sql.catalyst.expressions.GenericRow(vals): Row
       }
     }
     hybridReassemble(spark, filteredBlocks, wanted.toSet, rowEnc)(decodeGroup).toDF()
@@ -693,6 +725,20 @@ object DecodeJob {
   def verifyAgainst(original: Dataset[WebPage], decoded: Dataset[WebPage]): Long = {
     val o = original.toDF("url", "warc_ts", "html", "text", "lang")
     val d = decoded.toDF("url", "d_warc_ts", "d_html", "d_text", "d_lang")
+    val oCnt = o.count()
+    val dCnt = d.count()
+    // PRECONDITION, enforced: url must be a unique non-null key of the
+    // original (the synthetic corpus guarantees it). With duplicate urls the
+    // equi-join cross-products same-url rows and reports mismatches on a
+    // byte-perfect decode; with null urls rows silently never join.
+    val oKeys = o.where(col("url").isNotNull).select(col("url")).distinct().count()
+    require(oKeys == oCnt,
+      s"verifyAgainst needs unique non-null urls in the original: " +
+      s"$oCnt rows but $oKeys distinct non-null urls")
+    // decoded-side DUPLICATES are invisible to the equi-join (every copy
+    // matches) and can exactly offset a dropped row in the count delta —
+    // count them directly (multiple decoded nulls land here too)
+    val dupDelta = dCnt - d.select(col("url")).distinct().count()
     // null-SAFE comparisons: `=!=` yields null (filtered out) when either side
     // is null, so a decoder regression that NULLS a column would pass silently
     val columnMismatches = o.join(d, Seq("url"), "full_outer")
@@ -702,10 +748,10 @@ object DecodeJob {
         !(col("d_warc_ts") <=> col("warc_ts")) ||
         !(col("d_html") <=> col("html")))
       .count()
-    // the url equi-join cannot see DUPLICATED decoded rows (each copy matches);
-    // a count delta catches exactly the double-decode failure mode the live-part
-    // filtering and the reassembly fallback exist to prevent
-    columnMismatches + math.abs(original.count() - decoded.count())
+    // the count delta catches dropped/extra rows (the double-decode failure
+    // mode the live-part filtering and the reassembly fallback exist to
+    // prevent); dupDelta covers the drop+duplicate offset the delta misses
+    columnMismatches + dupDelta + math.abs(oCnt - dCnt)
   }
 
   def main(args: Array[String]): Unit = {
@@ -713,9 +759,12 @@ object DecodeJob {
     val n = if (args.length > 1) args(1).toLong else -1L
     val spark = LocalSession.create("graft-decode")
     val decoded = decode(spark, root)
+    // rows from the manifest: an extra full decode just to print a count
+    // would double the timed runs' wall-clock on a large store
+    val manifestRows = SnapshotStore.currentEntries(root).map(_.nRows).sum
     if (n >= 0) {
       val mismatches = verifyAgainst(graft.sources.Webtext.generate(spark, n, 32), decoded)
-      println(s"decoded rows=${decoded.count()} mismatches=$mismatches")
+      println(s"decoded rows=$manifestRows mismatches=$mismatches")
       require(mismatches == 0L, s"$mismatches mismatching rows")
     } else {
       // min-of-3 timed decodes (first pays JIT) — the read-path number
@@ -724,7 +773,7 @@ object DecodeJob {
         decoded.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"decoded rows=${decoded.count()} decode_secs_min=${times.min}%.3f")
+      println(f"decoded rows=$manifestRows decode_secs_min=${times.min}%.3f")
     }
     spark.stop()
   }

@@ -642,7 +642,7 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     val keyParts: Option[Set[Int]] = keysOpt.map(_.map(_._1).toSet)
     val keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]] =
       keysOpt.map(ks => spark.sparkContext.broadcast(
-        ks.map(k => (k._1.toLong << 32) | (k._2.toLong & 0xffffffffL)).sorted)).orNull
+        ks.map(k => DecodeJob.packKey(k._1, k._2)).sorted)).orNull
     val columnar = spark.conf.getOption("spark.graft.v2.columnar") match {
       case None => false
       case Some(v) if v.equalsIgnoreCase("true") => true
@@ -868,8 +868,8 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
         val out = takeBuffered()
         if (out != null) return out
       } else {
-        val packed = (g.getInteger("part_id", 0).toLong << 32) |
-          (g.getInteger("block_seq", 0).toLong & 0xffffffffL)
+        val packed = DecodeJob.packKey(g.getInteger("part_id", 0),
+          g.getInteger("block_seq", 0))
         val colName = g.getBinary("column", 0).toStringUsingUTF8
         val n = g.getInteger("n", 0)
         val enc = if (countOnly) null else g.getBinary("encoded", 0).getBytes

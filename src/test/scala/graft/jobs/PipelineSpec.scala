@@ -675,10 +675,22 @@ class PipelineSpec extends AnyFunSuite {
   test("prefixSuccessor bounds every prefixed string and nothing less") {
     assert(DecodeJob.prefixSuccessor("abc").contains("abd"))
     assert(DecodeJob.prefixSuccessor("a\u00ff").contains("a\u0100"))
-    // trailing high chars are dropped before incrementing
+    // only genuinely unrankable trailing chars are dropped before
+    // incrementing: U+FFFF and U+D7FF..U+DFFF (increment would land in or
+    // start from the surrogate range)
     assert(DecodeJob.prefixSuccessor("ab\uffff").contains("ac"))
     assert(DecodeJob.prefixSuccessor("\uffff\uffff").isEmpty)
     assert(DecodeJob.prefixSuccessor("").isEmpty)
+    assert(DecodeJob.prefixSuccessor("a\ud7fe").contains("a\ud7ff"),
+      "Hangul-range chars below U+D7FF must increment, not drop")
+    assert(DecodeJob.prefixSuccessor("a\ud7ff").contains("b"),
+      "U+D7FF increments into surrogates: drop it, rank the previous char")
+    assert(DecodeJob.prefixSuccessor("a\ue000").contains("a\ue001"),
+      "private-use chars above the surrogates must increment")
+    assert(DecodeJob.prefixSuccessor("a\ufffe").contains("a\uffff"))
+    // a supplementary char (surrogate pair) drops whole, then ranks 'a'
+    assert(DecodeJob.prefixSuccessor("a" + new String(Character.toChars(0x10400)))
+      .contains("b"))
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 500) {
       val p = rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
