@@ -104,8 +104,15 @@ object EncodeJob {
     // xxhash64(null)'s sampling behavior would otherwise decide whether this
     // sort NPEs — stores with null urls were un-encodable depending on which
     // rows the hash picked
+    // empty and newline-holding urls are excluded from the SAMPLE only (they
+    // still bucket fine as data): a "" boundary vanishes in the persisted
+    // file's split/filter round-trip and an embedded newline splits into two
+    // bogus boundaries — a resumed run would re-bucket rows under a DIFFERENT
+    // layout than the one committed, which the anti-join then turns into
+    // silently dropped or duplicated rows. Any sampled url is just a split
+    // point, so narrowing the sample never hurts correctness.
     val urls = pages.select($"url")
-      .where($"url".isNotNull &&
+      .where($"url".isNotNull && $"url" =!= "" && !$"url".contains("\n") &&
         pmod(xxhash64($"url"), lit(rateDenom)) < lit(threshold))
       .as[String].collect().sorted
     if (urls.isEmpty) Array.empty
@@ -121,11 +128,12 @@ object EncodeJob {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
     } else {
       val bs = computeBoundaries(pages, parts)
-      Files.createDirectories(p.getParent)
-      val tmp = Paths.get(root, s".$boundariesFile.tmp.${java.util.UUID.randomUUID()}")
-      Files.write(tmp, bs.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-      bs
+      SnapshotStore.writeSidecar(root, boundariesFile, bs.mkString("\n"))
+      // return what a RESUMED run will parse back, not the in-memory array:
+      // create and resume must bucket identically or the resume anti-join
+      // drops/duplicates rows (the sample filter above makes the round-trip
+      // lossless; this is belt and braces against future boundary sources)
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
     }
   }
 
@@ -392,9 +400,14 @@ object EncodeJob {
     val withPart = withPartIds(pages.toDF(), boundaries, partOffset.toInt)
 
     // RESUME: drop work units already committed (anti-join against the manifest —
-    // broadcast; manifest rows ≪ data at any scale)
+    // broadcast; manifest rows ≪ data at any scale). Only REACHABLE ids can
+    // pend: the bucket function yields 0..boundaries.length, so when a skewed
+    // sample left fewer distinct boundaries than parts-1, ids past the bucket
+    // count can never produce a row — treating them as pending would re-scan
+    // the whole input on every call to a fully-encoded store, forever.
     val committed = SnapshotStore.committedPartIds(root)
-    val pendingParts = (partOffset.toInt until (partOffset + parts).toInt).filterNot(committed)
+    val reachable = partOffset.toInt until (partOffset + boundaries.length + 1).toInt
+    val pendingParts = reachable.filterNot(committed)
     val waveSize = math.max(1, (pendingParts.size + waves - 1) / math.max(waves, 1))
     val groups = pendingParts.grouped(waveSize).take(maxWaves).toSeq
 
@@ -403,15 +416,17 @@ object EncodeJob {
     var jobSecs = 0.0
 
     for (group <- groups) {
-      val committedNow = SnapshotStore.committedPartIds(root)
-      val groupDf = group.toDF("part_id")
+      // the wave's group already excludes committed ids; a CONCURRENT writer
+      // racing the same ids is refused loudly by commitReplacing's uniqueness
+      // guard at commit time (a re-filter here would hide the race silently)
       val pending = withPart
-        .join(broadcast(groupDf), Seq("part_id"), "left_semi")
-        .join(broadcast(committedNow.toSeq.toDF("part_id")), Seq("part_id"), "left_anti")
+        .join(broadcast(group.toDF("part_id")), Seq("part_id"), "left_semi")
 
       val (_, entries, secs) = stageEncode(spark, pending, group.size, root, maxBlockBytes)
       jobSecs += secs
-      lastSnap = SnapshotStore.commit(root, entries)
+      // a wave of genuinely empty ranges stages nothing: committing would bump
+      // an identical empty snapshot per call (manifest churn, never converges)
+      if (entries.nonEmpty) lastSnap = SnapshotStore.commit(root, entries)
       totalEntries ++= entries
     }
 

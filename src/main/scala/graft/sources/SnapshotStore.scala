@@ -81,6 +81,19 @@ object SnapshotStore {
 
   def snapshotPointer(root: String): Path = Paths.get(root, "SNAPSHOT")
 
+  /** Crash-safe sidecar write — THE one definition of the unique-tmp +
+    * ATOMIC_MOVE discipline (SNAPSHOT pointer, STREAM_PARTS, BOUNDARIES*,
+    * EPOCH_ROWS all use it): a crash mid-write must never leave a truncated
+    * file that bricks later reads, and the safety rules must not be
+    * re-implemented per sidecar. */
+  def writeSidecar(root: String, name: String, content: String): Unit = {
+    val p = Paths.get(root, name)
+    Files.createDirectories(p.getParent)
+    val tmp = Paths.get(root, s".$name.tmp.${java.util.UUID.randomUUID()}")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Files.list with the stream closed (unclosed directory streams leak fds in a
     * long-lived driver). */
   private def listDir(dir: Path): Seq[Path] = {
@@ -409,10 +422,7 @@ object SnapshotStore {
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     else
       Files.deleteIfExists(mfDir.resolve(s"$nextId.rehomed"))
-    val tmp = Paths.get(root, s".SNAPSHOT.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, nextId.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapshotPointer(root), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeSidecar(root, "SNAPSHOT", nextId.toString)
     nextId
   }
 }

@@ -268,7 +268,7 @@ final case class GraftDataWriterFactory(absDir: String, partOffset: Int,
   * dropping possibly-new rows and falsely killing genuine replays. ~16 bytes
   * per epoch — a year of minutely epochs is ~8 MB. Driver-only, single writer
   * per store (the same discipline as every sidecar), tmp + ATOMIC_MOVE. */
-private[v2] object EpochRows {
+private[graft] object EpochRows {
   import java.nio.charset.StandardCharsets.UTF_8
 
   private def path(root: String) = Paths.get(root, "EPOCH_ROWS")
@@ -289,10 +289,7 @@ private[v2] object EpochRows {
     val p = path(root)
     if (lookup(root, epochId).isDefined) return // replays never re-commit
     val prev = if (Files.exists(p)) new String(Files.readAllBytes(p), UTF_8) else ""
-    val tmp = Paths.get(root, s".EPOCH_ROWS.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, (prev + s"$epochId $rows\n").getBytes(UTF_8))
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    SnapshotStore.writeSidecar(root, "EPOCH_ROWS", prev + s"$epochId $rows\n")
   }
 }
 

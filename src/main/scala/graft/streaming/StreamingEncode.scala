@@ -45,8 +45,40 @@ object StreamingEncode {
         // one host's pages under maxFilesPerTrigger=1); replay determinism
         // holds either way — the per-batch file is persisted, and recomputing
         // it from the same replayed batch yields identical boundaries.
-        EncodeJob.run(batch.sparkSession, batch.as[WebPage], root, parts,
-          partOffset = batchId * parts, boundariesFile = s"BOUNDARIES.b$batchId")
+        // persist: a streaming batch is NOT a parquet scan with metadata-only
+        // count — unpersisted, the boundary count, the boundary sample, and
+        // the encode job each recompute the source (3x scan per trigger)
+        batch.persist()
+        try {
+          val res = EncodeJob.run(batch.sparkSession, batch.as[WebPage], root, parts,
+            partOffset = batchId * parts, boundariesFile = s"BOUNDARIES.b$batchId")
+          val lo = batchId * parts
+          val hi = lo + parts
+          if (res.partsEncoded > 0) {
+            // record THE BATCH's committed total (manifest-read, covers a
+            // partial-crash resume that encoded only some waves) in the same
+            // EPOCH_ROWS sidecar as the native sink — the evidence that keeps
+            // replay verification exact after compaction rewrites history
+            val total = graft.sources.SnapshotStore.currentEntries(root)
+              .filter(e => e.partId >= lo && e.partId < hi).map(_.nRows).sum
+            graft.sources.v2.EpochRows.record(root, batchId, total)
+          } else {
+            // nothing pended: a genuine replay of a committed batch — OR a
+            // FRESH checkpoint over a grown source packing NEW rows into a
+            // committed batch id, which the anti-join would silently drop.
+            // Distinguish by row total, exactly like the native sink.
+            graft.sources.v2.EpochRows.lookup(root, batchId).foreach { orig =>
+              val staged = batch.count()
+              if (staged != orig && staged > 0) throw new IllegalStateException(
+                s"stream batch $batchId carries $staged rows but its committed " +
+                s"namespace [$lo, $hi) holds $orig — this checkpoint does not " +
+                "match the store (a fresh checkpoint over a grown source packs " +
+                "new rows into already-committed batches, and dropping them " +
+                "would silently lose data). Restart from the original " +
+                "checkpoint, or stream into a fresh store")
+            }
+          }
+        } finally batch.unpersist()
         ()
       }
       .start()
@@ -87,16 +119,9 @@ object StreamingEncode {
           s"${preexisting.toSeq.sorted.take(5)}...; streaming encode needs a fresh " +
           "store (its exactly-once namespace is batchId*parts starting at 0) — " +
           "stream into a new root, or keep appending via the batch/SQL writers")
-        // tmp + ATOMIC_MOVE like every other sidecar (SNAPSHOT/BOUNDARIES): a
-        // crash mid-write must not leave a truncated file whose trim.toInt throws
-        // on every later restart, permanently blocking the stream
-        java.nio.file.Files.createDirectories(p.getParent)
-        val tmp = java.nio.file.Paths.get(root,
-          s".STREAM_PARTS.tmp.${java.util.UUID.randomUUID()}")
-        java.nio.file.Files.write(tmp, parts.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // crash-safe write: a truncated file would make trim.toInt throw on
+        // every later restart, permanently blocking the stream
+        graft.sources.SnapshotStore.writeSidecar(root, "STREAM_PARTS", parts.toString)
     }
   }
 
