@@ -22,10 +22,17 @@ object Dedup {
    * (16B key + id instead of whole documents) and 128 bits keeps collision odds
    * negligible even at 10^12 documents (vs ~3% birthday risk at 64 bits).
    */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol).cast("binary")))
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL-text documents (failed extraction, unparsed) share no content and
+    // are NOT duplicates of each other — md5(NULL) is NULL, so grouping them
+    // would keep ONE representative of thousands of distinct documents and
+    // silently drop the rest. They all pass through.
+    val deduped = df.where(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol).cast("binary")))
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
+    df.where(col(textCol).isNull).select(col(idCol)).unionByName(deduped)
+  }
 
   /**
    * Normalized word shingles of size n as an array column. Zero-shingle documents
@@ -47,13 +54,6 @@ object Dedup {
   // ---- JVM kernels (one pass per document; the declarative higher-order-function
   // form re-evaluates the shingle subtree per seed, which is 30x slower) ----
 
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   /** FNV-1a hashes of lowercased whitespace tokens. Separator set matches
     * [[distinctShingles]] exactly, so the LSH candidate generation and the
     * exact shingle verify tokenize identically (a \f- or -separated text
@@ -65,7 +65,7 @@ object Dedup {
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B) {
+      if (Kernels.isWs(c)) {
         if (inTok) { out += h; h = 0xCBF29CE484222325L; inTok = false }
       } else {
         h = (h ^ Character.toLowerCase(c).toInt) * 0x100000001B3L
@@ -87,7 +87,7 @@ object Dedup {
       var i = 0
       while (i < toks.length) { h = h * 0x9E3779B97F4A7C15L + toks(i); i += 1 }
       var s = 0
-      while (s < numHashes) { sig(s) = mix64(h ^ (s.toLong * 0xC2B2AE3D27D4EB4FL)); s += 1 }
+      while (s < numHashes) { sig(s) = Kernels.mix64(h ^ (s.toLong * 0xC2B2AE3D27D4EB4FL)); s += 1 }
       return sig
     }
     var i = 0
@@ -97,7 +97,7 @@ object Dedup {
       while (j < shingleSize) { h = h * 0x9E3779B97F4A7C15L + toks(i + j); j += 1 }
       var s = 0
       while (s < numHashes) {
-        val v = mix64(h ^ (s.toLong * 0xC2B2AE3D27D4EB4FL))
+        val v = Kernels.mix64(h ^ (s.toLong * 0xC2B2AE3D27D4EB4FL))
         if (v < sig(s)) sig(s) = v
         s += 1
       }
@@ -283,7 +283,7 @@ object Dedup {
       var h = 0L
       var i = 0
       while (i < toks.length) { h = h * 0x9E3779B97F4A7C15L + toks(i); i += 1 }
-      return mix64(h)
+      return Kernels.mix64(h)
     }
     val counts = new Array[Int](64)
     var i = 0
@@ -292,7 +292,7 @@ object Dedup {
       var h = 0L
       var j = 0
       while (j < shingleSize) { h = h * 0x9E3779B97F4A7C15L + toks(i + j); j += 1 }
-      h = mix64(h)
+      h = Kernels.mix64(h)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -328,6 +328,16 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // the pigeonhole guarantee of the fixed 4 x 16-bit banding stops at 3:
+    // above that, candidate generation is BEST-EFFORT (a pair spreading its
+    // differing bits across all four bands never shares a band key). That is
+    // a legitimate LSH trade (minhashPairs is probabilistic too), but it must
+    // not be silent — surface it once per call site
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    if (maxHamming > 3) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"simhashPairs(maxHamming=$maxHamming): the 4x16-bit banding only " +
+      "GUARANTEES candidates within Hamming 3; pairs differing by 4+ bits " +
+      "spread across all bands are found best-effort only")
     val spark = df.sparkSession
     import spark.implicits._
     val sh = withSimhash(df.select(col(idCol), col(textCol)), textCol)
@@ -357,8 +367,7 @@ object Dedup {
   def distinctShingles(text: String, n: Int): Array[String] = {
     val len = text.length
     val words = new java.util.ArrayList[String](len / 6 + 4)
-    @inline def isWs(c: Char) =
-      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
+    import Kernels.isWs
     var i = 0
     while (i < len) {
       while (i < len && isWs(text.charAt(i))) i += 1
@@ -406,6 +415,12 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         bands: Int = 8, bandBits: Int = 16,
                         minCosine: Double = 0.95, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // one packed-long band key: 1L << p wraps at p >= 64 (see
+    // Similarity.withBuckets) — the documented raise-bandBits-with-n advice
+    // must stop at 64
+    require(bandBits >= 1 && bandBits <= 64,
+      s"bandBits must be in [1, 64] (one packed-long band key), got $bandBits")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     val spark = df.sparkSession
     import spark.implicits._
     // null/empty embeddings can't participate in near-dup mining
@@ -505,7 +520,12 @@ object Dedup {
           .select($"id", $"label".as("prev"),
             least($"label", coalesce($"nbr_min", $"label")).as("label"))
           .as[(Long, Long, Long)].rdd.persist(level)
-        changed = nextRdd.filter(t => t._3 < t._2).count() // also materializes the cache
+        // a throw in the materializing count must release nextRdd itself: at
+        // this point it is neither labelsRdd nor covered by the outer finally
+        // (its partially-cached blocks would leak for the session's lifetime)
+        changed =
+          try nextRdd.filter(t => t._3 < t._2).count() // also materializes the cache
+          catch { case t: Throwable => nextRdd.unpersist(blocking = false); throw t }
         labelsRdd.unpersist(blocking = false) // superseded round: bound storage to 2 snapshots
         labelsRdd = nextRdd
         labels = nextRdd.map(t => (t._1, t._3)).toDF("id", "label")

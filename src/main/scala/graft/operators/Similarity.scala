@@ -12,25 +12,30 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate — stays inside Catalyst, no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** dot(a, b) via zip_with + aggregate — stays inside Catalyst, no UDF.
+    * Ragged pairs compare over the COMMON PREFIX and null elements count as 0,
+    * matching the bucketing kernels' semantics ([[signBits]]/[[sqDist]] both
+    * run to the min length): a bare zip_with pads the shorter array with
+    * nulls and the null poisons the whole aggregate, so every verify/rerank
+    * stage (`cosine >= t`, top-k) silently DROPPED exactly the mixed-dim or
+    * null-element candidates the bucketing deliberately accepted. */
+  def dot(a: Column, b: Column): Column = {
+    val n = least(size(a), size(b))
+    aggregate(zip_with(slice(a, lit(1), n), slice(b, lit(1), n), (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + coalesce(v, lit(0.0d)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine with the [[dot]] ragged/null-element semantics; a zero-norm side
+    * (empty, all-zero, or all-null vector) yields 0.0, and only a NULL vector
+    * column yields NULL. */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
   // ---------------- deterministic hyperplanes (JVM kernel side) ----------------
-
-  @inline private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
 
   /**
    * planes x dim pseudo-random hyperplane matrix in [-1, 1) — a pure function of
@@ -41,7 +46,7 @@ object Similarity {
    */
   def planeMatrix(planes: Int, dim: Int, seed: Long = 0x9E3779B97F4A7C15L): Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, i) =>
-      mix64(seed ^ (p.toLong << 32) ^ i.toLong).toDouble / Long.MaxValue.toDouble
+      Kernels.mix64(seed ^ (p.toLong << 32) ^ i.toLong).toDouble / Long.MaxValue.toDouble
     }
 
   /** Sign bits of vec against plane rows [from, from+bits), packed LSB-first. */
@@ -81,6 +86,13 @@ object Similarity {
    */
   def withBuckets(df: DataFrame, idCol: String, vecCol: String,
                   planes: Int, tables: Int, dimHint: Option[Int] = None): DataFrame = {
+    // a bucket key is ONE packed long: 1L << p wraps silently at p >= 64
+    // (Java shifts mod 64), aliasing high sign bits onto low positions —
+    // build and probe wrap identically, so nothing would error while the
+    // effective key width quietly stayed 64 with corrupted low bits
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1, 64] (one packed-long bucket key), got $planes")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
     val spark = df.sparkSession
     import spark.implicits._
     // null/EMPTY embeddings cannot be bucketed — drop them (a null row NPEs in
@@ -142,12 +154,42 @@ object Similarity {
   }
 
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,
-                 planes: Int, path: String, tables: Int = 1): Unit = {
+                 planes: Int, path: String, tables: Int = 1,
+                 maxRowsPerFile: Int = 1 << 20): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val dim = globalDim(
       df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0).select(col(vecCol)), vecCol)
-    withBuckets(df, idCol, vecCol, planes, tables, dimHint = Some(dim))
-      .repartition(col("table"), col("bucket"))
-      .write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
+    val bucketed = withBuckets(df, idCol, vecCol, planes, tables, dimHint = Some(dim))
+    // HOT-BUCKET SKEW, same treatment as buildIvfIndex: a dominant boilerplate
+    // cluster lands a large share of vectors in one (table, bucket) of EVERY
+    // table, and a bare keyed repartition makes one shuffle task write one
+    // giant file (write straggler, zero probe-read parallelism). Count only
+    // the buckets EXCEEDING maxRowsPerFile (bounded by total/maxRowsPerFile
+    // rows collected — the full per-bucket map would be 2^planes-sized) and
+    // salt them into ceil(rows/maxRowsPerFile) shuffle groups; cold buckets
+    // keep one file. The bucketed frame is recomputed by the write on purpose
+    // (at index-build scale it would not fit in cache).
+    val hot: Map[String, Int] = bucketed.groupBy(col("table"), col("bucket")).count()
+      .where(col("count") > maxRowsPerFile)
+      .select(concat_ws(":", col("table"), col("bucket")).as("k"), col("count"))
+      .as[(String, Long)].collect()
+      .map { case (bk, rows) => bk -> ((rows + maxRowsPerFile - 1) / maxRowsPerFile).toInt }
+      .toMap
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val salted =
+      if (hot.isEmpty) bucketed.repartition(col("table"), col("bucket"))
+      else bucketed
+        .withColumn("salt", pmod(xxhash64(col(idCol)),
+          coalesce(element_at(typedLit(hot),
+            concat_ws(":", col("table"), col("bucket"))), lit(1))).cast("int"))
+        // explicit count: AQE would otherwise coalesce small-looking
+        // partitions back into one task, undoing the salting (see
+        // buildIvfIndex)
+        .repartition(math.max(defaultParts, hot.values.sum),
+          col("table"), col("bucket"), col("salt"))
+        .drop("salt")
+    salted.write.mode("overwrite").partitionBy("table", "bucket").parquet(path)
     // persist the LSH geometry INCLUDING dim: a probe with mismatched
     // (planes, tables) — or a query vector from a different embedding model —
     // would compute buckets from the wrong plane rows and silently lose recall
@@ -331,7 +373,14 @@ object Similarity {
     val sample = typed.toDF("id", "v")
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(sampleSize).select(col("v")).as[Array[Double]].collect()
-    val centroids = trainCentroids(sample, k)
+    // centroids padded to the GLOBAL max dimensionality, not the sample's: a
+    // ragged corpus whose widest vectors miss the bottom-k sample would train
+    // narrow centroids, and ivfTopK's dim check would then reject legitimate
+    // full-width queries (the same sample-dependent-dim class globalDim fixed
+    // for the LSH path; sqDist runs to min length, so padded zero tails only
+    // ADD the wide vectors' tail energy to their distances — still exact)
+    val gdim = globalDim(typed.toDF("id", "v"), "v")
+    val centroids = trainCentroids(sample, k).map(c => java.util.Arrays.copyOf(c, gdim))
     val bc = spark.sparkContext.broadcast(centroids)
     val assigned = typed
       .mapPartitions(_.map { case (id, v) => (id, v, nearestCell(v, bc.value)) })
