@@ -62,7 +62,12 @@ object SnapshotStore {
     s""""orig_bytes":${e.origBytes},"enc_bytes":${e.encBytes},"codecs":${e.codecsJson}}"""
 
   private def parseEntry(line: String): PartEntry = {
-    // fields are writer-controlled; robust enough for our own format
+    // fields are writer-controlled; the one corruption shape worth guarding is
+    // a TRUNCATED line (partial write by a pre-atomic-manifest version, or
+    // filesystem damage): defaulting its missing fields to 0/"" would read the
+    // store ROOT as a data dir and return silently wrong rows — fail loudly
+    require(line.contains("\"part_id\"") && line.contains("\"data_dir\""),
+      s"corrupt manifest line (truncated write?): '${line.take(200)}'")
     def longField(k: String): Long = {
       val m = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(line)
       m.map(_.group(1).toLong).getOrElse(0L)
@@ -89,7 +94,9 @@ object SnapshotStore {
   def writeSidecar(root: String, name: String, content: String): Unit = {
     val p = Paths.get(root, name)
     Files.createDirectories(p.getParent)
-    val tmp = Paths.get(root, s".$name.tmp.${java.util.UUID.randomUUID()}")
+    // tmp is a SIBLING of the target (nested names like manifests/<id>.jsonl
+    // stage inside manifests/), dot-prefixed so every reader's listing skips it
+    val tmp = p.resolveSibling(s".${p.getFileName}.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -220,7 +227,7 @@ object SnapshotStore {
     * tombstone set, and reusing them would trip commitReplacing's uniqueness
     * guard on every later run (permanently un-compactable store). */
   def nextRehomeBase(root: String, newParts: Int): Int =
-    math.min((committedPartIds(root) + 0).min, 0) - newParts
+    (committedPartIds(root) + 0).min - newParts // the `+ 0` bounds min at <= 0
 
   /** Absolute paths of all committed data dirs (the snapshot's readable file set). */
   def dataDirs(root: String): Seq[String] =
@@ -292,8 +299,12 @@ object SnapshotStore {
     val keptDirs = keep.flatMap(id => entriesAt(root, id).map(_.dataDir)).toSet
     var removedBytes = 0L
     def deleteTree(p: Path): Unit = {
+      // tolerate already-missing paths: a prior expiry killed between deleting
+      // a data dir and its manifest recomputes the same drop set, and a size
+      // probe on the gone dir would throw on EVERY later run (retention
+      // permanently bricked; deleteIfExists already tolerates absence)
       if (Files.isDirectory(p)) listDir(p).foreach(deleteTree)
-      else removedBytes += Files.size(p)
+      else if (Files.exists(p)) removedBytes += Files.size(p)
       Files.deleteIfExists(p)
     }
     // dirs referenced only by dropped manifests
@@ -317,22 +328,27 @@ object SnapshotStore {
         .filter(p => !allRef.contains(s"data/${p.getFileName}"))
         .filter(p => now - newestMtime(p) >= orphanGraceMs)
         .map(p => s"data/${p.getFileName}").toSeq
-    // root-level crash debris: pointer-swap and boundary tmp files stranded
-    // between write and ATOMIC_MOVE, plus aged per-batch streaming boundary
-    // files (BOUNDARIES.b<N> is a determinism CACHE — a replayed batch
-    // recomputes identical boundaries from its identical checkpointed input,
-    // so sweeping old ones is safe and bounds root-dir growth on long streams)
-    val staleTmps = listDir(Paths.get(root)).iterator
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith(".SNAPSHOT.tmp.") || (n.startsWith(".BOUNDARIES") && n.contains(".tmp.")) ||
-        n.startsWith(".STREAM_PARTS.tmp.") || n.startsWith(".EPOCH_ROWS.tmp.") ||
-        n.startsWith("BOUNDARIES.b")
-      }
-      .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
-      .map(p => p.getFileName.toString).toSeq
-    val removable = dropDirs.toSeq ++ orphans ++ staleTmps
-    removable.foreach(d => deleteTree(Paths.get(root, d)))
+    // sidecar crash debris: ONE generic predicate matching writeSidecar's
+    // `.name.tmp.uuid` convention (a hard-coded per-sidecar whitelist here
+    // silently leaked every NEWLY added sidecar's stranded tmps), swept in the
+    // root AND the manifests dir; plus aged per-batch streaming boundary files
+    // (BOUNDARIES.b<N> is a determinism CACHE — a replayed batch recomputes
+    // identical boundaries from its identical checkpointed input, so sweeping
+    // old ones is safe and bounds root-dir growth on long streams)
+    def staleIn(dir: Path, rel: String => String): Seq[String] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else listDir(dir).iterator
+        .filter(Files.isRegularFile(_))
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith(".") && n.contains(".tmp.")) || n.startsWith("BOUNDARIES.b")
+        }
+        .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+        .map(p => rel(p.getFileName.toString)).toSeq
+    val staleTmps = staleIn(Paths.get(root), identity) ++
+      staleIn(Paths.get(root, "manifests"), n => s"manifests/$n")
+    val removedDirs = dropDirs.toSeq ++ orphans
+    (removedDirs ++ staleTmps).foreach(d => deleteTree(Paths.get(root, d)))
     // aged in-progress debris INSIDE kept data dirs: a zombie V2 write attempt
     // can flush its dot-prefixed staging file after the driver's commit sweep;
     // it is invisible to readers but would otherwise leak disk for the life of
@@ -353,7 +369,10 @@ object SnapshotStore {
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.tombstones"))
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.rehomed"))
     }
-    ExpireResult(keep, drop, removable.sorted, removedBytes)
+    // removedDataDirs reports DIRS (dropped + orphaned staging) — swept tmp
+    // debris only shows in removedBytes, not inflating the dir count tooling
+    // reads off the expire procedure
+    ExpireResult(keep, drop, removedDirs.sorted, removedBytes)
   }
 
   /**
@@ -377,7 +396,12 @@ object SnapshotStore {
    */
   def commitReplacing(root: String, newEntries: Seq[PartEntry],
                       replaced: Set[Int], rowsRehomed: Boolean = false): Long = synchronized {
-    val prevAll = currentEntries(root)
+    // ONE pointer read and ONE tombstone-sidecar parse per commit: the
+    // tombstone set can hold millions of ids on a long-lived store, and the
+    // clash guard + carry-forward below both need it
+    val curId = currentSnapshotId(root)
+    val prevAll = curId.map(entriesAt(root, _)).getOrElse(Seq.empty)
+    val curTombs = curId.map(tombstonesAt(root, _)).getOrElse(Set.empty)
     // single-writer guard, atomic under this lock: a part id committed twice
     // (two concurrent writers racing the same offset, or a buggy caller) would
     // make every reader key-collide (part_id, block_seq) groups across dirs —
@@ -386,31 +410,30 @@ object SnapshotStore {
     val newIds = newEntries.map(_.partId)
     require(newIds.distinct.size == newIds.size,
       s"duplicate part ids within one commit: ${newIds.diff(newIds.distinct).distinct}")
-    val clash = (prevAll.map(_.partId).toSet ++ currentTombstones(root))
+    val clash = (prevAll.map(_.partId).toSet ++ curTombs)
       .intersect(newIds.toSet)
     require(clash.isEmpty,
       s"part ids ${clash.toSeq.sorted.take(10)} are already committed under $root — " +
       "concurrent writers to one store are not supported; this commit is refused " +
       "before the pointer swap (the store is unchanged)")
     val prev = prevAll.filterNot(e => replaced(e.partId))
-    val nextId = currentSnapshotId(root).getOrElse(0L) + 1L
+    val nextId = curId.getOrElse(0L) + 1L
     val mfDir = Paths.get(root, "manifests")
-    Files.createDirectories(mfDir)
-    val mf = mfDir.resolve(s"$nextId.jsonl")
     val content = (prev ++ newEntries).map(entryToJson).mkString("", "\n", "\n")
-    Files.write(mf, content.getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    // atomic like every sidecar: a JVM killed mid-write of a multi-MB manifest
+    // would otherwise leave a TRUNCATED <id>.jsonl whose cut final line parses
+    // as a garbage entry — silently wrong time-travel reads, not an error
+    writeSidecar(root, s"manifests/$nextId.jsonl", content)
     // tombstone lineage: carry every previously replaced id forward plus this
     // commit's — written BEFORE the pointer swap so a crash between the two
     // leaves the new snapshot invisible (manifest+tombstones are orphans)
-    val tombs = currentTombstones(root) ++ replaced
+    val tombs = curTombs ++ replaced
     if (tombs.nonEmpty)
       // Array, not List: the range merge indexes ids(j)/ids(j+1), which is
       // O(n) per access on a List — quadratic on the per-commit path of a
       // long-lived store with millions of accumulated tombstones
-      Files.write(mfDir.resolve(s"$nextId.tombstones"),
-        encodeTombstones(tombs.toArray.sorted).getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeSidecar(root, s"manifests/$nextId.tombstones",
+        encodeTombstones(tombs.toArray.sorted))
     else
       // a commit killed after writing <nextId>.tombstones but before the swap
       // leaves a stale sidecar this id would otherwise ADOPT (live parts

@@ -892,4 +892,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(SnapshotStore.currentEntries(root).head.dataDir == weird,
       "q()/unescape must be exact inverses")
   }
+
+  test("expiry re-run converges after a crash between data-dir and manifest deletion") {
+    val root = freshRoot()
+    EncodeJob.run(spark, Webtext.generate(spark, 400L, 2), root, 2)
+    assert(CompactJob.run(spark, root).partsCompacted == 2) // snapshot 2 re-homes all rows
+    // simulate expiry run 1 killed AFTER deleting the dropped snapshot-1 data
+    // dirs but BEFORE deleting manifest 1: the re-run recomputes the same drop
+    // set and must tolerate the already-missing dirs (a bare Files.size probe
+    // bricked every later expiry with NoSuchFileException)
+    SnapshotStore.dataDirsAt(root, 1L).foreach { d =>
+      val dir = java.nio.file.Paths.get(d)
+      val walk = java.nio.file.Files.walk(dir)
+      val all = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+      } finally walk.close()
+      all.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val res = SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0L)
+    assert(res.removedSnapshots == Seq(1L), s"re-run must finish the interrupted expiry: $res")
+    assert(SnapshotStore.snapshotIds(root) == Seq(2L))
+    assert(DecodeJob.decode(spark, root).count() == 400L, "current snapshot intact")
+  }
 }
