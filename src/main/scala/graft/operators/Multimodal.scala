@@ -215,9 +215,13 @@ object Multimodal {
    * real decode paths above.
    */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
+    // null-tolerant like every real decoder above ([[imageInfo]]/[[audioInfo]]
+    // both degrade on null/junk): a single null payload row must not kill the
+    // whole feature-extraction job
+    val bytes = if (payload == null) Array.emptyByteArray else payload
     var h = 0x9E3779B97F4A7C15L
     var i = 0
-    while (i < payload.length) { h = (h ^ payload(i)) * 0x100000001B3L; i += 1 }
+    while (i < bytes.length) { h = (h ^ bytes(i)) * 0x100000001B3L; i += 1 }
     val out = new Array[Float](FeatureDim)
     var j = 0
     var x = h
@@ -232,6 +236,12 @@ object Multimodal {
   /**
    * Feature extraction over media rows: mapPartitions in payload-bounded batches
    * (the batch shape a vectorized decoder needs), one narrow pass, no shuffle.
+   *
+   * STUB-BACKED for every kind: features come from [[decodeStub]]'s
+   * deterministic payload hash, including image/audio rows — this operator
+   * demonstrates the distributed plumbing (schema, batching, partitioning) a
+   * real embedding model would slot into. For real decoded METADATA use
+   * [[imageMeta]]/[[audioMeta]] (JDK decoders).
    */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
@@ -245,16 +255,27 @@ object Multimodal {
    * The frame *extraction* is stubbed (payload hash + frame index); the row fan-out,
    * timestamps and partitioning are the real pipeline shape.
    */
-  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+  def sampleFrames(media: DataFrame, everyMs: Long,
+                   maxFramesPerMedia: Int = 100000): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs") // sequence(step=0) throws per task
+    require(maxFramesPerMedia > 0, s"maxFramesPerMedia must be positive, got $maxFramesPerMedia")
+    // clamp the fan-out: ONE corrupt metadata row (durationMs in nanos) would
+    // otherwise make sequence() materialize billions of elements and kill the
+    // scan — corrupt inputs degrade, per the module contract
+    val clampedEnd = least(col("meta.durationMs"),
+      lit(everyMs) * lit(maxFramesPerMedia.toLong)) - 1
     media
       .where(col("meta.kind") === "video" && col("meta.durationMs") > 0)
+      // hash the payload ONCE per media row BEFORE the explode: carrying the
+      // full binary through it copied + re-hashed the whole payload per frame
+      // (a 10MB video at 240 frames = ~2.4GB of row buffer for 16B of signal)
       .select(col("meta.mediaId").as("media_id"),
-        explode(sequence(lit(0L), col("meta.durationMs") - 1, lit(everyMs))).as("frame_ts_ms"),
-        col("payload"))
+        xxhash64(col("payload"), col("meta.mediaId")).as("payload_hash"),
+        explode(sequence(lit(0L), clampedEnd, lit(everyMs))).as("frame_ts_ms"))
       // the frame timestamp must feed the hash (post-explode), or every frame of
       // a video carries the SAME stub and per-frame downstream logic sees no variation
       .select(col("media_id"), col("frame_ts_ms"),
-        xxhash64(col("payload"), col("media_id"), col("frame_ts_ms")).as("frame_stub_hash"))
+        xxhash64(col("payload_hash"), col("frame_ts_ms")).as("frame_stub_hash"))
   }
 
   /** Deterministic synthetic media table for tests/benchmarks. */

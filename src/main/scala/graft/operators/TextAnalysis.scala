@@ -17,8 +17,10 @@ object TextAnalysis {
   private[operators] def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** Whitespace token count (0 for blank text). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count (0 for blank OR null text — without the explicit
+    * guard, legacy `spark.sql.legacy.sizeOfNull` sessions get size = -1). */
+  def tokenCount(text: Column): Column =
+    when(text.isNull, lit(0)).otherwise(size(tokens(text)))
 
   /** BPE-ish subword count: word-boundary pieces + digit runs + punctuation singles.
     * Uses lookarounds (camelCase splits), so it has no RE2/DuckDB mirror —
@@ -46,22 +48,24 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
     "it", "that", "this", "for", "on", "with", "as", "at", "by")
 
-  /** Fraction of tokens that are English stopwords (quality / language signal). */
+  /** Fraction of tokens that are English stopwords (quality / language
+    * signal); 0.0 for blank or null text — a bare `=== 0` guard let legacy
+    * `sizeOfNull` sessions evaluate (-1)/(-1) = 1.0, reporting an ABSENT
+    * document as 100% stopwords (the strongest possible quality signal). */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(lower(text))
     val sw = typedLit(stopwords)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(size(array_intersect_count(toks, sw)).cast("double") / size(toks).cast("double"))
+    // filter, not array_intersect: the ratio needs the MULTISET count of
+    // stopword tokens and array_intersect dedups
+    when(text.isNull || size(toks) <= 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        size(toks).cast("double"))
   }
 
-  // array_intersect dedups; for a ratio we need the multiset count of stopword tokens
-  private def array_intersect_count(toks: Column, sw: Column): Column =
-    filter(toks, t => array_contains(sw, t))
-
-  /** Mean word length (0 for blank). */
+  /** Mean word length (0 for blank or null text — see [[stopwordRatio]]). */
   def meanWordLen(text: Column): Column = {
     val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0))
+    when(text.isNull || size(toks) <= 0, lit(0.0))
       .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         size(toks).cast("double"))
   }
