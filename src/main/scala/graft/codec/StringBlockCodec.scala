@@ -20,6 +20,12 @@ object StringBlockCodec {
   private val MAGIC0: Byte = 'G'
   private val MAGIC1: Byte = 'S'
 
+  /** The ONE string-block magic test — dispatchers must use this instead of
+    * duplicating the magic bytes (a header change would silently misroute
+    * blocks at any copy). */
+  def isStringBlock(bs: Array[Byte]): Boolean =
+    bs.length >= 2 && bs(0) == MAGIC0 && bs(1) == MAGIC1
+
   private val ID_PLAIN = 0 // lengths block + concatenated bytes
   private val ID_DICT = 1  // distinct strings as nested block + index block
   private val ID_FSST = 2  // symbol table + compressed-lengths block + payload

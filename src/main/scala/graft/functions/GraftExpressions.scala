@@ -60,6 +60,27 @@ object GraftExprUtil {
     out
   }
 
+  /** Analysis-time validation of a FOLDABLE type-name argument: a typo like
+    * 'int64' should be a named analysis error, not an IllegalArgumentException
+    * thrown from the first executed task of a distributed job (and re-thrown
+    * per retry). The empty string is the infer-from-element-type sentinel and
+    * passes; non-foldable type expressions stay runtime-checked. */
+  def checkTypeName(typeExpr: Expression, pretty: String)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (typeExpr.foldable) {
+      val v = typeExpr.eval()
+      if (v != null && v.toString.nonEmpty) {
+        try PhysicalIntType.fromName(v.toString)
+        catch {
+          case e: IllegalArgumentException =>
+            return TypeCheckResult.TypeCheckFailure(s"$pretty: ${e.getMessage}")
+        }
+      }
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
+
   /** (values, validity) honoring element nulls (graft block format path). */
   def toLongsNullable(arr: ArrayData, dt: DataType): (Array[Long], Array[Boolean]) = {
     val n = arr.numElements()
@@ -88,6 +109,10 @@ case class EgEncode(child: Expression, kExpr: Expression, typeExpr: Expression)
   override def third: Expression = typeExpr
   override def inputTypes: Seq[ShimTypes.AbstractDataType] =
     Seq(GraftExprUtil.IntegralArrays, IntegerType, StringType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base else GraftExprUtil.checkTypeName(typeExpr, prettyName)
+  }
   override def dataType: DataType = BinaryType
   override def nullSafeEval(arr: Any, k: Any, typ: Any): Any = {
     val t = typ.toString match {
@@ -109,6 +134,10 @@ case class EgDecode(child: Expression, kExpr: Expression, typeExpr: Expression)
   override def second: Expression = kExpr
   override def third: Expression = typeExpr
   override def inputTypes: Seq[ShimTypes.AbstractDataType] = Seq(BinaryType, IntegerType, StringType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base else GraftExprUtil.checkTypeName(typeExpr, prettyName)
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(bin: Any, k: Any, typ: Any): Any = {
     val t = PhysicalIntType.fromName(typ.toString)
@@ -133,10 +162,11 @@ case class EgEncodeAdaptive(children: Seq[Expression])
       Seq(shape(1), shape(2)).forall(t =>
         t == IntegerType || t == LongType || t == ShortType || t == ByteType) &&
       (children.length == 3 || shape(3) == StringType)
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (!ok) TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (array<integral>, k int, a int [, type string]), got " +
       shape.map(_.simpleString).mkString("(", ", ", ")"))
+    else if (children.length == 4) GraftExprUtil.checkTypeName(children(3), prettyName)
+    else TypeCheckResult.TypeCheckSuccess
   }
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = children.map(_.eval(input))
@@ -157,6 +187,18 @@ case class EgDecodeAdaptive(children: Seq[Expression])
     extends Expression with CodegenFallback with ImplicitCastInputTypes {
   override def inputTypes: Seq[ShimTypes.AbstractDataType] =
     Seq(BinaryType, IntegerType, IntegerType, StringType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    // explicit arity first: checkInputDataTypes zips children with inputTypes
+    // (truncating), so a 3-child instance would pass analysis and then throw a
+    // raw IndexOutOfBounds per ROW at vs(3) — the sibling encode guards too
+    if (children.length != 4) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (binary, k int, a int, type string), got ${children.length} arguments")
+    else {
+      val base = super.checkInputDataTypes()
+      if (!base.isSuccess) base else GraftExprUtil.checkTypeName(children(3), prettyName)
+    }
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -178,6 +220,10 @@ case class GraftEncode(child: Expression, typeExpr: Expression)
   override def right: Expression = typeExpr
   override def inputTypes: Seq[ShimTypes.AbstractDataType] =
     Seq(GraftExprUtil.IntegralArrays, StringType)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base else GraftExprUtil.checkTypeName(typeExpr, prettyName)
+  }
   override def dataType: DataType = BinaryType
   override def nullSafeEval(arr: Any, typ: Any): Any = {
     val t = typ.toString match {
@@ -219,7 +265,7 @@ case class GraftCodecName(child: Expression) extends UnaryExpression with Codege
   override def nullSafeEval(bin: Any): Any = {
     val bs = bin.asInstanceOf[Array[Byte]]
     val name =
-      if (bs.length >= 2 && bs(1) == 'S') StringBlockCodec.codecName(bs)
+      if (StringBlockCodec.isStringBlock(bs)) StringBlockCodec.codecName(bs)
       else IntBlockCodec.info(bs).codecName
     UTF8String.fromString(name)
   }
@@ -266,11 +312,17 @@ case class GraftDecodeStr(child: Expression) extends UnaryExpression with Codege
  * boundaries (+offset), the encode job's work-unit id. Implements doGenCode so the
  * pre-shuffle projection stays inside whole-stage codegen — the previous Scala UDF
  * forced a codegen break and blocked pushdown through the projection. Null sorts
- * first (bucket 0). The boundary array rides in the task binary via
- * `ctx.addReferenceObj` (broadcast once per stage, like any plan constant).
+ * first (bucket 0). The boundary array rides to executors via
+ * `ctx.addReferenceObj` — serialized with each task's plan references (NOT a
+ * broadcast; fine at the parts-1 boundary counts this job uses).
  */
 case class RangeBucketId(child: Expression, boundaries: Seq[String], offset: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // ExpectsInputTypes (no implicit casts): a numeric child must FAIL analysis —
+  // implicit-cast-to-string would silently bucket numbers in lexicographic
+  // order, and without any declaration the codegen emitted uncompilable
+  // `.toString()` on a primitive
+  override def inputTypes: Seq[ShimTypes.AbstractDataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
 

@@ -48,12 +48,18 @@ object GraftFunctions {
     }
 
   // ---- typed Column API ----
-  def eg_encode(arr: Column, k: Int, typ: String = "i64"): Column =
+  // no-type default "" = INFER the physical type from the array element type,
+  // the same default as the SQL 2-arg form — a fixed "i64" default here made
+  // the two surfaces emit DIFFERENT bitstreams for the same non-long column
+  def eg_encode(arr: Column, k: Int, typ: String = ""): Column =
     column(EgEncode(expression(arr), lit(k), lit(typ)))
   def eg_decode(bin: Column, k: Int, typ: String): Column =
     column(EgDecode(expression(bin), lit(k), lit(typ)))
-  def eg_encode_adaptive(arr: Column, k: Int, a: Int, typ: String = "i64"): Column =
-    column(EgEncodeAdaptive(Seq(expression(arr), lit(k), lit(a), lit(typ))))
+  def eg_encode_adaptive(arr: Column, k: Int, a: Int, typ: String = ""): Column = {
+    val args = Seq(expression(arr), lit(k), lit(a)) ++
+      (if (typ.isEmpty) Seq.empty else Seq(lit(typ))) // "" = infer (3-arg form)
+    column(EgEncodeAdaptive(args))
+  }
   def eg_decode_adaptive(bin: Column, k: Int, a: Int, typ: String): Column =
     column(EgDecodeAdaptive(Seq(expression(bin), lit(k), lit(a), lit(typ))))
   def graft_encode(arr: Column): Column = column(new GraftEncode(expression(arr)))
