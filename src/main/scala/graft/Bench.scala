@@ -59,13 +59,15 @@ object Bench {
     }
     def at(threads: Int): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      val t0 = System.nanoTime()
-      val futs = (0 until threads).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
-        def call(): Long = work()
-      }))
-      futs.foreach(_.get())
-      pool.shutdown()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        val t0 = System.nanoTime()
+        val futs = (0 until threads).map(_ => pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = work()
+        }))
+        futs.foreach(_.get())
+        (System.nanoTime() - t0) / 1e9
+      } finally pool.shutdown() // non-daemon threads: a skipped shutdown on a
+        // thrown work() would keep the JVM alive forever (hung bench, not a crash)
     }
     work() // JIT warmup
     val t2 = at(2); val t8 = at(8); val t32 = at(32)
@@ -192,7 +194,8 @@ object Bench {
   private def timeQueries(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                           names: Seq[String], rounds: Int): (Seq[(String, Double)], Seq[String]) = {
     val best = scala.collection.mutable.Map[String, Double]()
-    for (r <- 0 until rounds; name <- names) SparkEntry.queries.get(name) match {
+    val qs = SparkEntry.queries // def: rebuilds the whole closure Map per call — hoist
+    for (r <- 0 until rounds; name <- names) qs.get(name) match {
       case None =>
         if (r == 0) System.err.println(s"BENCH QUERY UNKNOWN: $name")
       case Some(fn) =>
@@ -222,13 +225,30 @@ object Bench {
   private def queriesOnly(names: Seq[String], sfDir: String, cpus: Int, rounds: Int): Unit = {
     val spark = newSession(cpus)
     val (timings, failed) = timeQueries(spark, sfDir, names, rounds)
-    spark.stop()
-    deleteRecursively(new java.io.File(scratch))
+    spark.stop() // scratch cleanup: main's finally
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"queries-only drift check","value":${timings.map(_._2).sum}%.3f,"unit":"sec","queries":$qs,"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","rounds":$rounds}""")
+    println(f"""{"metric":"queries-only drift check","value":${timings.map(_._2).sum}%.3f,"unit":"sec","queries":$qs,"failed_queries":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":${jstr(sfDir)},"rounds":$rounds}""")
   }
 
-  def main(args: Array[String]): Unit = {
+  /** JSON string value (escaped): env-provided paths can hold quotes or
+    * backslashes, and an unescaped one invalidates the whole metrics line. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def main(args: Array[String]): Unit =
+    // the one-line JSON is parsed by the driver: a comma-decimal format locale
+    // would break every %.3f field, and a crash must not leak the tmpfs
+    // scratch (hundreds of MB of RAM per aborted run)
+    try {
+      java.util.Locale.setDefault(java.util.Locale.ROOT)
+      mainImpl(args)
+    } finally deleteRecursively(new java.io.File(scratch))
+
+  private def mainImpl(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "400000").toLong
@@ -343,14 +363,16 @@ object Bench {
       "q1_agg", "q_join3", "q_window_rank", "q_topk_price", "q_rollup",
       "q_dedup_exact", "q_minhash_pairs", "q_knn_brute", "q_setops_exceptall",
       "q_store_roundtrip", "q_decode_projection", "q_dsv2_pushdown", "q_topn_url")
-    val (timings, failedQueries) = timeQueries(spark, sfDir, headline, rounds = 3)
-    spark.stop()
-
-    deleteRecursively(new java.io.File(scratch))
+    // SPARK_GRAFT_BENCH_ROUNDS governs the (expensive) scaling runs; the
+    // headline query min-of-N has its own knob so raising one doesn't silently
+    // leave the other untouched
+    val qRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_ROUNDS", "3").toInt
+    val (timings, failedQueries) = timeQueries(spark, sfDir, headline, rounds = qRounds)
+    spark.stop() // scratch cleanup: main's finally
 
     val total = timings.map(_._2).sum
     val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"decode_job_gbps_local$cpus":$decodeJobGbps%.3f,"v2_scan_gbps_local$cpus":$v2ScanGbps%.3f,"v2_write_gbps_local$cpus":$v2WriteGbps%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_efficiency_8_to_32_hw_normalized":$eff832Normalized%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
+      f"""{"metric":"encode GB/s + scaling + query secs","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":${jstr(sfDir)},"eg_encode_mbps_1t":$encMbps%.1f,"eg_decode_mbps_1t":$decMbps%.1f,"eg_ratio_pareto_i32_k0":$egRatio%.2f,"str_encode_mbps_1t":$strEncMbps%.1f,"str_decode_mbps_1t":$strDecMbps%.1f,"encode_job_gbps_local8":$gbps8%.3f,"encode_job_gbps_local32":$gbps32%.3f,"decode_job_gbps_local$cpus":$decodeJobGbps%.3f,"v2_scan_gbps_local$cpus":$v2ScanGbps%.3f,"v2_write_gbps_local$cpus":$v2WriteGbps%.3f,"encode_job_secs_local2":$j2%.2f,"encode_job_secs_local8":$j8%.2f,"encode_job_secs_local32":$j32%.2f,"encode_whole_secs_local2":$t2%.2f,"encode_whole_secs_local8":$t8%.2f,"encode_whole_secs_local32":$t32%.2f,"scaling_efficiency_n_to_4n":$eff28%.3f,"scaling_efficiency_n_to_4n_hw_normalized":$eff28Normalized%.3f,"scaling_n_to_4n_hw_limited":$eff28HwLimited,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_2_to_8_raw":$eff28Raw%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"scaling_efficiency_8_to_32_raw":$eff832Raw%.3f,"scaling_efficiency_8_to_32_hw_normalized":$eff832Normalized%.3f,"scaling_8_to_32_valid":$eff832Valid,"hw_weak_scaling_ceiling_2_to_8":$hwEff28%.3f,"hw_weak_scaling_ceiling_8_to_32":$hwEff832%.3f,"webtext_pages":$benchPages,"webtext_orig_bytes":$origBytes,"webtext_enc_bytes":$encBytes,"compression_ratio":${origBytes.toDouble / math.max(encBytes, 1)}%.2f}""")
   }
 }
