@@ -151,13 +151,30 @@ object GraftDataSource {
     val sqlConf = spark.sessionState.conf
     val maxBytes = sqlConf.filesMaxPartitionBytes
     val openCost = sqlConf.filesOpenCostInBytes
-    val allFiles = dirs.map { d =>
-      val dirPath = new Path(new Path(root), d)
-      val fs = dirPath.getFileSystem(conf.value)
-      d -> fs.listStatus(dirPath)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
-          !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
-        .map(st => (st.getPath.toString, st.getLen))
+    // PARALLEL dir listing: a long-streamed store holds one data dir per
+    // epoch; serial listStatus (one RPC per dir) would put minutes of
+    // driver-side planning in front of a scan over thousands of epochs on
+    // object storage. Bounded pool; listing order is restored by the map.
+    val allFiles: Seq[(String, Array[(String, Long)])] = {
+      def list(d: String): Array[(String, Long)] = {
+        val dirPath = new Path(new Path(root), d)
+        val fs = dirPath.getFileSystem(conf.value)
+        fs.listStatus(dirPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+          .map(st => (st.getPath.toString, st.getLen))
+      }
+      if (dirs.size <= 1) dirs.map(d => d -> list(d))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(dirs.size, 16))
+        try {
+          val futs = dirs.map(d => d -> pool.submit(
+            new java.util.concurrent.Callable[Array[(String, Long)]] {
+              def call(): Array[(String, Long)] = list(d)
+            }))
+          futs.map { case (d, f) => d -> f.get() }
+        } finally pool.shutdown()
+      }
     }
     val totalBytes = allFiles.iterator.flatMap(_._2).map(_._2 + openCost).sum
     val minPartitionNum = sqlConf.filesMinPartitionNum
@@ -454,7 +471,7 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
       // Spark pushes EITHER a bare limit or a top-n, never both; the per-task
       // early-stop row cap is sound only for the order-free bare limit (a task
       // truncating its url-ordered duty under top-n could drop true top-n rows)
-      new GraftScan(root, snapshotId, requiredSchema, predicates, pushed,
+      new GraftScan(root, snapshotId, requiredSchema, predicates,
         if (pushedTopN.isDefined) None else pushedLimit, pushedTopN)
   }
 }
@@ -515,6 +532,11 @@ final class GraftAggScan(root: String, snapshotId: Option[Long],
       case GraftDataSource.AggMaxTs =>
         if (row.isNullAt(2)) null else java.lang.Long.valueOf(row.getLong(2))
     }
+    // record THIS scan's stats: a gate reading planStatsFor after an
+    // agg-pushed query must not validate the PREVIOUS scan's plan (the
+    // stale-gate-result class); one metadata partition, zero data files
+    GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
+      partitions = 1, files = 0, predicates = 0, prunedGroupKeys = None))
     Array(GraftAggPartition(values))
   }
 
@@ -542,7 +564,6 @@ object GraftAggReaderFactory extends PartitionReaderFactory {
 final class GraftScan(root: String, snapshotId: Option[Long],
                       requiredSchema: StructType,
                       initialPredicates: Seq[DecodeJob.BlockPredicate],
-                      pushed: Array[Filter],
                       pushedLimit: Option[Int] = None,
                       pushedTopN: Option[GraftDataSource.TopN] = None)
     extends Scan with Batch with SupportsReportStatistics
@@ -576,10 +597,17 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     if (extra.nonEmpty) predicates = predicates ++ extra
   }
 
-  private def snapshotEntries(): Seq[SnapshotStore.PartEntry] = snapshotId match {
+  /** ONE manifest read per scan, pinned: estimateStatistics (optimization) and
+    * planInputPartitions (execution, possibly twice around runtime filters)
+    * must all describe the SAME snapshot — re-reading let a commit landing
+    * between them skew the optimizer's stats against the scanned data, and
+    * re-parsed a 100k-part manifest per call. */
+  private lazy val pinnedEntries: Seq[SnapshotStore.PartEntry] = snapshotId match {
     case Some(id) => SnapshotStore.entriesAt(root, id)
     case None => SnapshotStore.currentEntries(root)
   }
+
+  private def snapshotEntries(): Seq[SnapshotStore.PartEntry] = pinnedEntries
 
   override def readSchema(): StructType = requiredSchema
 
@@ -795,6 +823,16 @@ private final class BlockGroupStream(p: GraftInputPartition, readCols: Array[Str
           FilterApi.in(FilterApi.intColumn("block_seq"), seqs)))
     } else if (slicedKeys != null && slicedKeys.length > 0) {
       val pids = slicedKeys.map(k => Int.box((k >>> 32).toInt)).toSet.asJava
+      pred = FilterApi.and(pred, FilterApi.in(FilterApi.intColumn("part_id"), pids))
+    } else if (slicedKeys == null && p.liveParts.length <= inFilterMaxKeys) {
+      // NO key pruning (plain scan): still push the LIVE part ids — a
+      // metadata-only DELETE/rewrite leaves the replaced parts' files inside
+      // dirs the surviving parts keep referenced, and without this filter a
+      // plain SELECT reads and decompresses ALL of that dead data on every
+      // scan (until compaction) only for liveGroup to drop it. Row-group
+      // statistics skip the dead parts' groups at near-zero cost; exactness
+      // is unchanged (liveGroup already requires part ∈ liveParts).
+      val pids = p.liveParts.map(Int.box).toSet.asJava
       pred = FilterApi.and(pred, FilterApi.in(FilterApi.intColumn("part_id"), pids))
     }
     FilterCompat.get(pred)

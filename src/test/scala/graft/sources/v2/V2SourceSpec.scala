@@ -196,7 +196,7 @@ class V2SourceSpec extends AnyFunSuite {
   test("runtime filtering: join-delivered url In-filter prunes groups; joins stay exact") {
     // deterministic unit check of the runtime-filter hook itself
     val urls = Seq(Webtext.page(5L).url, Webtext.page(77L).url)
-    val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
+    val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty)
     assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("url"))
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("url", urls.toArray[Any])))
@@ -206,7 +206,7 @@ class V2SourceSpec extends AnyFunSuite {
     assert(stats.prunedGroupKeys.exists(k => k > 0 && k < totalGroups),
       s"runtime In-filter must prune groups: $stats of $totalGroups")
     // an oversized or unconvertible runtime filter is a sound no-op
-    val scan2 = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
+    val scan2 = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty)
     scan2.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("url", Array.tabulate(20000)(i => s"u$i": Any))))
     scan2.planInputPartitions()
@@ -418,7 +418,7 @@ class V2SourceSpec extends AnyFunSuite {
   }
 
   test("statistics report manifest row count and decoded size") {
-    val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty, Array.empty)
+    val scan = new GraftScan(root, None, GraftDataSource.PageSchema, Seq.empty)
     val st = scan.estimateStatistics()
     assert(st.numRows().getAsLong == N)
     assert(st.sizeInBytes().getAsLong > 0)
