@@ -136,6 +136,7 @@ object Bench {
       .appName(s"graft-bench-$threads")
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.local.dir", s"$scratch/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

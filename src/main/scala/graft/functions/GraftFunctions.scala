@@ -86,5 +86,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.BlockMinMaxPruneRule)
+    // streaming filter pushdown: runs on every micro-batch's optimized plan
+    ext.injectOptimizerRule(_ => graft.plans.StreamFilterPushRule)
+    // analysis-time: must run BEFORE the optimizer's V2Writes plans the write's
+    // distribution (an extraOptimizations rule would see the range exchange
+    // already injected)
+    ext.injectResolutionRule(s => graft.plans.GraftWriteArrangeRule(s))
   }
 }

@@ -89,14 +89,24 @@ object EncodeJob {
    */
   def computeBoundaries(pages: Dataset[WebPage], parts: Int,
                         knownTotal: Option[Long] = None): Array[String] = {
-    if (parts <= 1) return Array.empty
     val spark = pages.sparkSession
+    import spark.implicits._
+    computeUrlBoundaries(pages.select($"url").as[String], parts, knownTotal)
+  }
+
+  /** Boundary computation over a bare url column — shared by the batch job
+    * (above) and the V2 write-arrange rule ([[graft.plans.GraftWriteArrangeRule]]),
+    * whose input is an arbitrary resolved query, not a WebPage dataset. */
+  def computeUrlBoundaries(urlsCol: Dataset[String], parts: Int,
+                           knownTotal: Option[Long] = None): Array[String] = {
+    if (parts <= 1) return Array.empty
+    val spark = urlsCol.sparkSession
     import spark.implicits._
     val targetSample = math.min(parts * 200L, 200000L)
     // knownTotal skips the count() pass — for PARQUET inputs count is
     // metadata-only, but compaction's input is a full decode, where an extra
     // count() decompresses every block again
-    val total = math.max(knownTotal.getOrElse(pages.count()), 1L)
+    val total = math.max(knownTotal.getOrElse(urlsCol.count()), 1L)
     val rateDenom = 1000000L
     val threshold = math.min((targetSample * rateDenom) / total + 1, rateDenom)
     // null urls are excluded from the SAMPLE only: a null can never be a split
@@ -111,10 +121,10 @@ object EncodeJob {
     // layout than the one committed, which the anti-join then turns into
     // silently dropped or duplicated rows. Any sampled url is just a split
     // point, so narrowing the sample never hurts correctness.
-    val urls = pages.select($"url")
+    val urls = urlsCol
       .where($"url".isNotNull && $"url" =!= "" && !$"url".contains("\n") &&
         pmod(xxhash64($"url"), lit(rateDenom)) < lit(threshold))
-      .as[String].collect().sorted
+      .collect().sorted
     if (urls.isEmpty) Array.empty
     else Array.tabulate(parts - 1) { i =>
       urls(((i + 1).toLong * urls.length / parts).toInt.min(urls.length - 1))

@@ -69,7 +69,11 @@ final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
     require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
         expected.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft table schema is ${expected.simpleString}; cannot write ${s.simpleString}")
-    new GraftWrite(root, replaceAll)
+    // pre-arranged by GraftWriteArrangeRule: the query already carries the
+    // bucket exchange + url sort, so requiring a distribution here would stack
+    // a second (range, full-double-compute) exchange on top
+    new GraftWrite(root, replaceAll,
+      arranged = info.options.getBoolean(graft.plans.GraftWriteArrangeRule.ArrangedKey, false))
   }
 }
 
@@ -77,7 +81,7 @@ final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   * append ([[GraftWrite]]) and the copy-on-write rewrite
   * ([[GraftCowWrite]]). One definition: a fix to the distribution contract or
   * the partitions-conf validation must not have to land twice. */
-private[v2] object GraftWriteLayout {
+private[graft] object GraftWriteLayout {
   /** Range-partition + sort on url: the store's physical layout invariant. */
   val UrlOrdered: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING))
@@ -130,13 +134,18 @@ private[v2] object GraftWriteLayout {
     }.toSeq
 }
 
-final class GraftWrite(root: String, replaceAll: Boolean)
+final class GraftWrite(root: String, replaceAll: Boolean, arranged: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
-  // range-partition + sort on url: the store's physical layout invariant
-  override def requiredDistribution(): Distribution = GraftWriteLayout.urlDistribution
+  // range-partition + sort on url: the store's physical layout invariant.
+  // `arranged` = GraftWriteArrangeRule already injected the (cheaper,
+  // sample-free) bucket exchange + sort into the query — ask for nothing, or
+  // Spark stacks a second exchange with a full-double-compute sample pass
+  override def requiredDistribution(): Distribution =
+    if (arranged) Distributions.unspecified() else GraftWriteLayout.urlDistribution
 
-  override def requiredOrdering(): Array[SortOrder] = GraftWriteLayout.UrlOrdered
+  override def requiredOrdering(): Array[SortOrder] =
+    if (arranged) Array.empty else GraftWriteLayout.UrlOrdered
 
   /** Writer task count. Default 0 lets Spark size the range exchange
     * (shuffle partitions / AQE) — right for everyday appends. For BIG writes
@@ -150,6 +159,7 @@ final class GraftWrite(root: String, replaceAll: Boolean)
     * `parts` — partition count is the one knob an engine cannot infer at
     * write-plan time because the input's size is unknown there. */
   override def requiredNumPartitions(): Int = {
+    if (arranged) return 0 // count lives in the injected exchange
     // a store ever written by a STREAM has its width pinned in STREAM_PARTS —
     // a restarted stream must always ask Spark for exactly that width, never
     // the session conf (setting spark.graft.write.partitions for an unrelated
@@ -166,11 +176,15 @@ final class GraftWrite(root: String, replaceAll: Boolean)
     * rejects a write that pins BOTH a partition count and an advisory size,
     * so this yields 0 (unset) whenever the count conf is in force. */
   override def advisoryPartitionSizeInBytes(): Long =
-    if (requiredNumPartitions() > 0) 0L else 64L << 20
+    if (arranged || requiredNumPartitions() > 0) 0L else 64L << 20
 
   override def toBatch: BatchWrite = new GraftBatchWrite(root, replaceAll)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!arranged,
+      s"${graft.plans.GraftWriteArrangeRule.ArrangedKey} is an internal batch-write " +
+      "marker; a streaming write must keep its distribution requirement (the " +
+      "STREAM_PARTS width pin rides on it) — drop the option")
     require(!replaceAll,
       "graft streaming write supports APPEND output mode only (complete/update " +
       "would truncate the store every epoch)")
@@ -291,6 +305,27 @@ private[graft] object EpochRows {
     val prev = if (Files.exists(p)) new String(Files.readAllBytes(p), UTF_8) else ""
     SnapshotStore.writeSidecar(root, "EPOCH_ROWS", prev + s"$epochId $rows\n")
   }
+
+  /** The epoch's committed ORIGINAL row total for namespace [lo, hi): the
+    * sidecar when present, else the oldest retained manifest still listing the
+    * epoch's ids un-tombstoned (a manifest that already tombstoned part of the
+    * epoch lists only a PARTIAL total — unusable). Shared by BOTH streaming
+    * sinks' replay verification; callers should [[record]] a recovered total
+    * back (a crash between manifest commit and record() otherwise leaves the
+    * verification window open until compaction+expiry erase the evidence). */
+  def originalTotal(root: String, epochId: Long, lo: Long, hi: Long): Option[Long] =
+    lookup(root, epochId).orElse {
+      SnapshotStore.snapshotIds(root).iterator
+        .map { sid =>
+          val inRange = SnapshotStore.entriesAt(root, sid)
+            .filter(e => e.partId >= lo && e.partId < hi)
+          val partial = SnapshotStore.tombstonesAt(root, sid)
+            .exists(id => id >= lo && id < hi)
+          (inRange, partial)
+        }
+        .find(_._1.nonEmpty)
+        .collect { case (orig, false) => orig.iterator.map(_.nRows).sum }
+    }
 }
 
 final class GraftStreamingWrite(root: String)
@@ -347,22 +382,7 @@ final class GraftStreamingWrite(root: String)
       val lo = epochId * parts
       val hi = lo + parts
       val stagedRows = entries.iterator.map(_.nRows).sum
-      val original: Option[Long] = EpochRows.lookup(root, epochId).orElse {
-        // legacy fallback: walk the retained manifests oldest-first; a
-        // manifest that already tombstoned part of the epoch (compaction)
-        // lists only a PARTIAL total — unusable for the comparison
-        SnapshotStore.snapshotIds(root).iterator
-          .map { sid =>
-            val inRange = SnapshotStore.entriesAt(root, sid)
-              .filter(e => e.partId >= lo && e.partId < hi)
-            val partial = SnapshotStore.tombstonesAt(root, sid)
-              .exists(id => id >= lo && id < hi)
-            (inRange, partial)
-          }
-          .find(_._1.nonEmpty)
-          .collect { case (orig, false) => orig.iterator.map(_.nRows).sum }
-      }
-      original match {
+      EpochRows.originalTotal(root, epochId, lo, hi) match {
         case Some(origRows) =>
           if (origRows != stagedRows) throw new IllegalStateException(
             s"stream epoch $epochId stages $stagedRows rows but its committed " +
@@ -371,6 +391,10 @@ final class GraftStreamingWrite(root: String)
             "rows into already-committed epochs, and committing OR dropping " +
             "them would corrupt the store). Restart from the original " +
             "checkpoint, or stream into a fresh store")
+          // verified replay recovered via the manifest fallback: backfill the
+          // sidecar so a later compaction+expiry cannot reopen the window (a
+          // crash between the original commit and record() lands here)
+          EpochRows.record(root, epochId, origRows)
         case None =>
           // pre-sidecar store whose epoch entries were compacted away before
           // this replay arrived — the original total is gone, so the replay

@@ -13,6 +13,20 @@ object Shim {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+  /** DataFrame over an already-analyzed logical plan (classic.Dataset.ofRows is
+    * `private[sql]`). Used by the write-arrange rule to run its url-only
+    * boundary-sample job against the write's child query. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  /** Catalyst predicate -> data-source Filter (`private[sql]` DataSourceStrategy).
+    * Used by the stream-filter push rule: Spark's MicroBatchExecution builds
+    * stream scans with NO pushdown, so the engine translates filters itself. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }
 
 /** `private[sql]` analysis types re-exported for the graft expression layer. */

@@ -735,8 +735,11 @@ class PipelineSpec extends AnyFunSuite {
 
   test("tombstone sidecars are range-compressed and survive legacy format") {
     val root = freshRoot()
-    val entry = SnapshotStore.PartEntry(100, "data/x", 1L, 1L, 1L, "{}")
-    SnapshotStore.commitReplacing(root, Seq(entry), Set(3, 4, 5, 9))
+    def entry(id: Int) = SnapshotStore.PartEntry(id, "data/x", 1L, 1L, 1L, "{}")
+    // replaced ids must be LIVE (commitReplacing now refuses vanished ids —
+    // the concurrent-rewrite duplication guard), so commit them first
+    SnapshotStore.commit(root, Seq(3, 4, 5, 9, 6, 10).map(entry))
+    SnapshotStore.commitReplacing(root, Seq(entry(100)), Set(3, 4, 5, 9))
     SnapshotStore.commitReplacing(root, Seq.empty, Set(6, 10))
     assert(SnapshotStore.currentTombstones(root) == Set(3, 4, 5, 6, 9, 10))
     val id = SnapshotStore.currentSnapshotId(root).get
@@ -747,6 +750,28 @@ class PipelineSpec extends AnyFunSuite {
     java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifests", s"$id.tombstones"),
       "3\n4\n9\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(SnapshotStore.currentTombstones(root) == Set(3, 4, 9))
+  }
+
+  test("negative (rehomed) tombstone ids round-trip the range encoding") {
+    // compact -> truncate/overwrite -> compact re-homes ids into the NEGATIVE
+    // namespace and later tombstones them; the sidecar's "a-b" parser starts
+    // its separator search at index 1 to skip the sign ("-3--1"), and a
+    // "simplified" indexOf('-') would corrupt every compacted store's lineage
+    val root = freshRoot()
+    def entry(id: Int) = SnapshotStore.PartEntry(id, "data/x", 1L, 1L, 1L, "{}")
+    SnapshotStore.commit(root, Seq(-3, -2, -1, 7).map(entry))
+    SnapshotStore.commitReplacing(root, Seq(entry(-10)), Set(-3, -2, -1))
+    assert(SnapshotStore.currentTombstones(root) == Set(-3, -2, -1))
+    val id = SnapshotStore.currentSnapshotId(root).get
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "manifests", s"$id.tombstones")).toArray.toSeq
+    assert(lines == Seq("-3--1"), s"expected negative range encoding, got $lines")
+    assert(SnapshotStore.tombstoneCountAt(root, id) == 3L)
+    // bare negative id (legacy one-per-line form)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifests", s"$id.tombstones"),
+      "-5\n-3--2\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(SnapshotStore.currentTombstones(root) == Set(-5, -3, -2))
+    assert(SnapshotStore.tombstoneCountAt(root, id) == 3L)
   }
 
   test("expression surface: null elements reject (eg) or round-trip (graft); types check at analysis") {

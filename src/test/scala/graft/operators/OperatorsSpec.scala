@@ -11,6 +11,7 @@ class OperatorsSpec extends AnyFunSuite {
     .appName("operators-spec")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -20,6 +20,7 @@ class V2ProcedureSpec extends AnyFunSuite {
     .appName("v2-procedure-spec")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

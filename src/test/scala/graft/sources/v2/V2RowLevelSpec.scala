@@ -24,6 +24,7 @@ class V2RowLevelSpec extends AnyFunSuite {
     .appName("v2-rowlevel-spec")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

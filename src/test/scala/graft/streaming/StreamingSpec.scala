@@ -15,6 +15,7 @@ class StreamingSpec extends AnyFunSuite {
     .appName("streaming-spec")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
