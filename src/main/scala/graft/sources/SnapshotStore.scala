@@ -165,9 +165,14 @@ object SnapshotStore {
     if (!Files.exists(p)) Set.empty
     else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
       .filter(_.nonEmpty).iterator.flatMap { line =>
-        // "a-b" inclusive range or a bare id (legacy sidecars wrote one id/line)
+        // "a-b" inclusive range or a bare id (legacy sidecars wrote one id/line).
+        // NEGATIVE ids occur here: compaction re-homes rows into the negative
+        // namespace, and a later compact-after-truncate tombstones them (see
+        // nextRehomeBase) — e.g. "-3--1" or bare "-5". Starting the separator
+        // search at index 1 skips a leading sign, so "-3--1" splits at the
+        // middle dash into ("-3", "-1"); do NOT "simplify" to indexOf('-')
         val t = line.trim
-        val dash = t.indexOf('-', 1) // from 1: ids are non-negative, no leading '-'
+        val dash = t.indexOf('-', 1)
         if (dash < 0) Iterator.single(t.toInt)
         else (t.substring(0, dash).toInt to t.substring(dash + 1).toInt).iterator
       }.toSet
@@ -184,7 +189,7 @@ object SnapshotStore {
     else Files.readAllLines(p, StandardCharsets.UTF_8).asScala.iterator
       .filter(_.nonEmpty).map { line =>
         val t = line.trim
-        val dash = t.indexOf('-', 1)
+        val dash = t.indexOf('-', 1) // from 1: skips a negative id's sign (see tombstonesAt)
         if (dash < 0) 1L
         else t.substring(dash + 1).toLong - t.substring(0, dash).toLong + 1L
       }.sum
@@ -416,6 +421,17 @@ object SnapshotStore {
       s"part ids ${clash.toSeq.sorted.take(10)} are already committed under $root — " +
       "concurrent writers to one store are not supported; this commit is refused " +
       "before the pointer swap (the store is unchanged)")
+    // every replaced id must still be LIVE: a replaced id that is gone means a
+    // concurrent rewrite (e.g. a compaction between this caller's pinned scan
+    // and its commit) already re-homed those rows — silently filtering it out
+    // would keep the compaction's copies AND add this rewrite's copies
+    // (duplicated rows). Fail as loudly as the id-clash race above.
+    val vanished = replaced.diff(prevAll.map(_.partId).toSet)
+    require(vanished.isEmpty,
+      s"replaced part ids ${vanished.toSeq.sorted.take(10)} are no longer live under " +
+      s"$root — a concurrent rewrite re-homed them between this commit's planning " +
+      "and now; committing would duplicate their rows. Re-run the rewrite against " +
+      "the current snapshot (the store is unchanged)")
     val prev = prevAll.filterNot(e => replaced(e.partId))
     val nextId = curId.getOrElse(0L) + 1L
     val mfDir = Paths.get(root, "manifests")

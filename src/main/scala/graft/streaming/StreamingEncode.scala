@@ -66,16 +66,33 @@ object StreamingEncode {
             // nothing pended: a genuine replay of a committed batch — OR a
             // FRESH checkpoint over a grown source packing NEW rows into a
             // committed batch id, which the anti-join would silently drop.
-            // Distinguish by row total, exactly like the native sink.
-            graft.sources.v2.EpochRows.lookup(root, batchId).foreach { orig =>
-              val staged = batch.count()
-              if (staged != orig && staged > 0) throw new IllegalStateException(
-                s"stream batch $batchId carries $staged rows but its committed " +
-                s"namespace [$lo, $hi) holds $orig — this checkpoint does not " +
-                "match the store (a fresh checkpoint over a grown source packs " +
-                "new rows into already-committed batches, and dropping them " +
-                "would silently lose data). Restart from the original " +
-                "checkpoint, or stream into a fresh store")
+            // Distinguish by row total, exactly like the native sink — with
+            // the sink's manifest fallback too (a crash between the original
+            // commit and EpochRows.record leaves no sidecar line, and the
+            // lookup-only check would silently drop a grown batch here).
+            val staged = batch.count()
+            if (staged > 0) {
+              graft.sources.v2.EpochRows.originalTotal(root, batchId, lo, hi) match {
+                case Some(orig) =>
+                  if (staged != orig) throw new IllegalStateException(
+                    s"stream batch $batchId carries $staged rows but its committed " +
+                    s"namespace [$lo, $hi) holds $orig — this checkpoint does not " +
+                    "match the store (a fresh checkpoint over a grown source packs " +
+                    "new rows into already-committed batches, and dropping them " +
+                    "would silently lose data). Restart from the original " +
+                    "checkpoint, or stream into a fresh store")
+                  // verified: backfill so compaction+expiry cannot reopen the window
+                  graft.sources.v2.EpochRows.record(root, batchId, orig)
+                case None =>
+                  // pre-sidecar store whose batch entries were already
+                  // compacted/expired: the total is gone — flag the
+                  // unverifiable drop instead of silently doing nothing
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"stream batch $batchId replays ids in [$lo, $hi) whose " +
+                    "committed entries were compacted/expired and which predate " +
+                    "the EPOCH_ROWS sidecar; dropping the batch UNVERIFIED " +
+                    s"($staged staged rows assumed already committed)")
+              }
             }
           }
         } finally batch.unpersist()
