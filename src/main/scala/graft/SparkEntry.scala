@@ -88,11 +88,19 @@ object SparkEntry {
     })
   }
 
-  /** Ensure the block-metadata pruning rule runs in this (driver-built) session. */
-  private def withPruneRule(s: SparkSession): Unit =
+  /** Ensure the block-metadata pruning + stream-filter rules run in this
+    * (driver-built) session. The write-arrange rule needs a RESOLUTION hook
+    * and can only ride `spark.sql.extensions` (set in our own session
+    * builders); writes in a session without it fall back to the
+    * ordered-distribution path — slower, identical results. */
+  private def withPruneRule(s: SparkSession): Unit = {
     if (!s.experimental.extraOptimizations.contains(graft.plans.BlockMinMaxPruneRule))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.BlockMinMaxPruneRule
+    if (!s.experimental.extraOptimizations.contains(graft.plans.StreamFilterPushRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.StreamFilterPushRule
+  }
 
   /** Fixed ANN query vector (inlined into the DuckDB oracle as a literal list). */
   private val knnQueryVec: Array[Float] =
@@ -623,6 +631,82 @@ object SparkEntry {
       require(stats.prunedGroupKeys.isDefined,
         s"top-n planning must prune to a url-prefix of groups: $stats")
       rows.toDF("url", "lang")
+    }),
+
+    // ORDER BY warc_ts LIMIT n: top-n pushdown on the OTHER metadata-indexed
+    // column — exact int block_min/max bounds plan a ts-ordered prefix of
+    // groups (docsAsPages stamps ts monotone in url, the time-partitioned-
+    // crawl shape where this pays). Planted NULL ts rows prove null-exactness
+    // under both orderings; requires prove pushdown AND pruning in-query.
+    "q_topn_ts" -> ((s, d) => {
+      import s.implicits._
+      val root = synchronized(storeCache.getOrElseUpdate(d + "#topn_ts", {
+        val r = Files.createTempDirectory("graft-topn-ts-store-").toString
+        // nulls planted in the FIRST url range only: scattered nulls would
+        // (correctly) force every null-holding group to survive a NULLS FIRST
+        // plan — confining them keeps the oracle ALSO a pruning proof
+        val pages = t(s, d, "documents").select(
+          concat(lit("doc://"), lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+          when(col("doc_id") < 40, lit(null).cast("timestamp"))
+            .otherwise(timestamp_seconds(lit(1600000000L) + expr("doc_id div 50") * 3600L))
+            .as("warc_ts"),
+          col("text").cast("binary").as("html"), col("text"), col("lang"))
+        EncodeJob.run(s, pages.as(Encoders.product[WebPage]), r, parts = 4)
+        r
+      }))
+      val v2 = s.read.format("graft").load(root)
+      def stats() = graft.sources.v2.GraftDataSource.planStatsFor(root)
+        .getOrElse(sys.error("V2 scan did not record plan stats"))
+      // asc = NULLS FIRST (Spark default): the planted nulls are in the top-n
+      val ascRows = v2.orderBy(col("warc_ts")).limit(120)
+        .select(unix_micros(col("warc_ts")).as("ts_us")).collect()
+      val sa = stats()
+      require(sa.pushedTopN.exists(t => t.column == "warc_ts" && t.asc && t.nullsFirst),
+        s"ORDER BY warc_ts LIMIT 120 must push top-n to the graft scan: $sa")
+      require(sa.prunedGroupKeys.isDefined,
+        s"ts top-n planning must prune to a ts-prefix of groups: $sa")
+      require(ascRows.exists(_.isNullAt(0)), "planted null ts must sort into the asc top-n")
+      // desc = NULLS LAST (Spark default): pure non-null suffix
+      val descRows = v2.orderBy(col("warc_ts").desc).limit(120)
+        .select(unix_micros(col("warc_ts")).as("ts_us")).collect()
+      val sd = stats()
+      require(sd.pushedTopN.exists(t => t.column == "warc_ts" && !t.asc && !t.nullsFirst),
+        s"DESC must push too: $sd")
+      require(sd.prunedGroupKeys.isDefined, s"DESC must prune too: $sd")
+      (ascRows.map(r => (if (r.isNullAt(0)) null else r.get(0)).asInstanceOf[java.lang.Long] -> "asc") ++
+        descRows.map(r => (if (r.isNullAt(0)) null else r.get(0)).asInstanceOf[java.lang.Long] -> "desc"))
+        .toSeq.toDF("ts_us", "dir")
+    }),
+
+    // FILTERED streaming read: the pushed predicate prunes each micro-batch's
+    // delta groups (StreamFilterPushRule -> planPrunedKeys over the batch's
+    // entries) — Spark itself performs NO pushdown when building stream scans,
+    // so the require proves the engine-side path actually engaged
+    "q_stream_v2_filtered" -> ((s, d) => {
+      import s.implicits._
+      withPruneRule(s)
+      val root = encodedDocsStore(s, d)
+      val ckpt = Files.createTempDirectory("graft-sfilt-ckpt-").toString
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val q = s.readStream.format("graft").load(root)
+        .where(col("url").startsWith("doc://000001"))
+        .select(col("url"), col("lang"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect().map(r => (r.getString(0), r.getString(1)))
+          got.synchronized { got ++= rows }
+          ()
+        }.start()
+      try require(q.awaitTermination(120000), "filtered stream drain timed out")
+      finally if (q.isActive) q.stop()
+      val stats = graft.sources.v2.GraftDataSource.planStatsFor(root)
+        .getOrElse(sys.error("stream planning did not record plan stats"))
+      require(stats.predicates >= 1,
+        s"pushed predicate must reach the stream's batch planning: $stats")
+      require(stats.prunedGroupKeys.exists(_ > 0),
+        s"the stream batch must prune delta groups via block metadata: $stats")
+      got.toSeq.toDF("url", "lang")
     }),
 
     // metadata-only aggregates: count(*) from manifest nRows, min/max(warc_ts)
@@ -1211,6 +1295,14 @@ object SparkEntry {
       "FROM (SELECT * FROM documents LIMIT 123) t"),
     "q_topn_url" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents ORDER BY 1 LIMIT 40"),
+    "q_topn_ts" -> ("SELECT ts_us, dir FROM (SELECT CASE WHEN doc_id < 40 THEN NULL " +
+      "ELSE (CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000 END AS ts_us, " +
+      "'asc' AS dir FROM documents ORDER BY ts_us ASC NULLS FIRST LIMIT 120) " +
+      "UNION ALL SELECT ts_us, dir FROM (SELECT CASE WHEN doc_id < 40 THEN NULL " +
+      "ELSE (CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000 END AS ts_us, " +
+      "'desc' AS dir FROM documents ORDER BY ts_us DESC NULLS LAST LIMIT 120)"),
+    "q_stream_v2_filtered" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents WHERE doc_id // 100 = 1"),
     "q_agg_pushdown" -> ("SELECT CAST(count(*) AS BIGINT) AS row_count, " +
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +

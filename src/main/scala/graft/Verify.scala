@@ -5,19 +5,26 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
-      s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      s"usage: graft.Verify <sfDir> <outDir> [onlyQueries,comma,separated] (got ${args.length} args)")
+    val sfDir = args(0); val outDir = args(1)
+    // builder-side targeted gate (the driver always passes 2 args): run only
+    // the named queries — a full 90-query verify per iteration is the
+    // bottleneck when hardening one operator
+    val only: Option[Set[String]] =
+      if (args.length == 3) Some(args(2).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => only.forall(_(q._1))).foreach { case (name, fn) =>
       // remove any PRIOR run's output FIRST: with a reused outDir, a query
       // that fails this run would otherwise leave last round's (correct)
       // parquet in place and the driver's compare would read stale results

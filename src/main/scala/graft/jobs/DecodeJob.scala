@@ -313,37 +313,50 @@ object DecodeJob {
     if (keys.length > threshold) None else Some(keys)
   }
 
+  /** The metadata-indexed columns a pushed top-n can plan a prefix over: url
+    * via the string bounds, warc_ts via the exact int block_min/max. */
+  private[graft] val TopNColumns = Set("url", "warc_ts")
+
   /**
-   * ORDER BY url LIMIT n planning: the (part_id, block_seq) groups that can
-   * contain a row of the global top-`limit` under the given url ordering — a
-   * url-ordered PREFIX of the store's groups, found from block metadata alone.
-   * Sound with null urls: groups that may hold nulls (`n_nulls` > 0, or
-   * unknown on stores written before that column existed) always survive when
-   * nulls sort first, and never count toward the prefix quota when nulls sort
-   * last (their null rows cannot push a non-null row out of the top-n).
+   * ORDER BY <column> LIMIT n planning for a metadata-bounded column (`url`
+   * via block_str_min/max, `warc_ts` via the exact int block_min/max): the
+   * (part_id, block_seq) groups that can contain a row of the global
+   * top-`limit` under the given ordering — an ordered PREFIX of the store's
+   * groups, found from block metadata alone. Sound with nulls: groups that may
+   * hold nulls (`n_nulls` > 0, or unknown on stores written before that column
+   * existed) always survive when nulls sort first, and never count toward the
+   * prefix quota when nulls sort last (their null rows cannot push a non-null
+   * row out of the top-n).
    *
-   * Mechanics: a DISTRIBUTED sort of the manifest-scale url-block metadata by
-   * the prefix-establishing bound (block_str_max for ASC, block_str_min for
-   * DESC — a group's rows are all within the prefix ending at its far bound);
+   * Mechanics: a DISTRIBUTED sort of the manifest-scale block metadata by
+   * the prefix-establishing bound (far bound: max for ASC, min for DESC — a
+   * group's rows are all within the prefix ending at its far bound);
    * the driver streams the sorted pairs partition-by-partition
    * (`toLocalIterator`, so only the needed prefix is ever fetched) until the
-   * guaranteed-in-prefix row count reaches `limit`, yielding the threshold url
-   * `u`; survivors are then collected through the same gate as
+   * guaranteed-in-prefix row count reaches `limit`, yielding the threshold
+   * value `u`; survivors are then collected through the same gate as
    * [[planPrunedKeys]]. None (caller scans everything — always sound) when the
    * quota is unreachable from bounded groups, the threshold search exceeds
    * [[MaxPrunedKeyCollect]] groups, or the survivor set does.
    */
   private[graft] def planTopNKeys(blocksDf: org.apache.spark.sql.DataFrame,
+                                  column: String,
                                   asc: Boolean, nullsFirst: Boolean, limit: Int,
                                   totalGroupsEstimate: Long): Option[Array[(Int, Int)]] = {
     require(limit > 0, s"pushed top-n limit must be positive, got $limit")
+    require(TopNColumns(column),
+      s"top-n planning needs a metadata-bounded column ($TopNColumns), got $column")
+    val isTs = column == "warc_ts"
     val spark = blocksDf.sparkSession
     import spark.implicits._
     val nn = if (blocksDf.columns.contains("n_nulls")) col("n_nulls").cast("long")
              else lit(null).cast("long") // pre-n_nulls store: nulls unknown
-    val meta = blocksDf.where(col("column") === "url")
+    val (mnCol, mxCol) =
+      if (isTs) (col("block_min"), col("block_max"))
+      else (col("block_str_min"), col("block_str_max"))
+    val meta = blocksDf.where(col("column") === column)
       .select(col("part_id"), col("block_seq"), col("n").cast("long").as("n"),
-        col("block_str_min").as("mn"), col("block_str_max").as("mx"), nn.as("nn"))
+        mnCol.as("mn"), mxCol.as("mx"), nn.as("nn"))
     // rows of a group GUARANTEED to sort within the prefix ending at its own
     // far bound: all n when nulls sort first (any null precedes everything),
     // else only its known-non-null rows (unknown null count -> contributes 0)
@@ -354,21 +367,21 @@ object DecodeJob {
     val ordered = meta.where(boundCol.isNotNull)
       .select(boundCol.as("b"), countable.as("c"))
       .sort(if (asc) col("b").asc else col("b").desc)
-    var u: String = null
+    var u: Any = null
     var acc = 0L
     var pulled = 0L
     val it = ordered.toLocalIterator()
     while (u == null && it.hasNext && pulled < MaxPrunedKeyCollect) {
       val r = it.next(); pulled += 1
       acc += r.getLong(1)
-      if (acc >= limit) u = r.getString(0)
+      if (acc >= limit) u = r.get(0)
     }
     if (u == null) return None
     // a group survives when it may contain a non-null row within the prefix
     // (near bound unknown or within u) — or any null row, when nulls sort first
     val within =
-      if (asc) col("mn").isNull || col("mn") <= u
-      else col("mx").isNull || col("mx") >= u
+      if (asc) col("mn").isNull || col("mn") <= lit(u)
+      else col("mx").isNull || col("mx") >= lit(u)
     val survivor = if (nullsFirst) within || col("nn").isNull || col("nn") > 0 else within
     gatedKeyCollect(meta.where(survivor), totalGroupsEstimate)
   }

@@ -85,10 +85,10 @@ object GraftDataSource {
     StructField("text", StringType, nullable = true),
     StructField("lang", StringType, nullable = true)))
 
-  /** A pushed `ORDER BY url` top-n (see [[GraftScanBuilder.pushTopN]]). */
-  final case class TopN(asc: Boolean, nullsFirst: Boolean, limit: Int) {
+  /** A pushed `ORDER BY url|warc_ts` top-n (see [[GraftScanBuilder.pushTopN]]). */
+  final case class TopN(column: String, asc: Boolean, nullsFirst: Boolean, limit: Int) {
     override def toString: String =
-      s"url ${if (asc) "ASC" else "DESC"} ${if (nullsFirst) "NULLS FIRST" else "NULLS LAST"} LIMIT $limit"
+      s"$column ${if (asc) "ASC" else "DESC"} ${if (nullsFirst) "NULLS FIRST" else "NULLS LAST"} LIMIT $limit"
   }
 
   /** Last scan's planning decisions (driver-side, for tests/ops visibility). */
@@ -284,7 +284,7 @@ final class GraftTable(root: String) extends Table with SupportsRead
 
 /** Filter conversions shared by the scan builder (pruning predicates) and the
   * DELETE path (pruning + EXACT row conditions). */
-private[v2] object FilterConversion {
+private[graft] object FilterConversion {
 
   /** Epoch micros of a pushed-down timestamp literal (either external form). */
   private def tsMicros(v: Any): Option[Long] = v match {
@@ -389,12 +389,13 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     true
   }
 
-  /** PARTIAL top-n pushdown for `ORDER BY url [ASC|DESC] LIMIT n`: planning
-    * keeps only a url-ordered PREFIX of block groups whose guaranteed row
-    * count covers n ([[DecodeJob.planTopNKeys]] — block_str_min/max +
-    * exact per-block null counts), so the scan reads ~n rows instead of the
-    * store; Spark's retained Sort+Limit (isPartiallyPushed) trims exactly.
-    * Only the filterless single-key-on-url shape is accepted: with residual
+  /** PARTIAL top-n pushdown for `ORDER BY url|warc_ts [ASC|DESC] LIMIT n`:
+    * planning keeps only an ordered PREFIX of block groups whose guaranteed
+    * row count covers n ([[DecodeJob.planTopNKeys]] — block_str_min/max for
+    * url, the exact int block_min/max for warc_ts, plus exact per-block null
+    * counts), so the scan reads ~n rows instead of the store; Spark's retained
+    * Sort+Limit (isPartiallyPushed) trims exactly. Only the filterless
+    * single-key shape on a metadata-bounded column is accepted: with residual
     * filters the per-group row counts no longer bound the MATCHING rows, so a
     * count-based prefix could cut off true top-n rows. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
@@ -402,12 +403,13 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (sawFilters || orders.length != 1 || limit <= 0) return false
     val o = orders(0)
-    val onUrl = o.expression() match {
-      case n: NamedReference => n.fieldNames.toSeq == Seq("url")
-      case _ => false
+    val column = o.expression() match {
+      case n: NamedReference if n.fieldNames.length == 1 &&
+          DecodeJob.TopNColumns(n.fieldNames()(0)) => n.fieldNames()(0)
+      case _ => return false
     }
-    if (!onUrl) return false
     pushedTopN = Some(GraftDataSource.TopN(
+      column = column,
       asc = o.direction() == SortDirection.ASCENDING,
       nullsFirst = o.nullOrdering() == NullOrdering.NULLS_FIRST,
       limit = limit))
@@ -609,6 +611,42 @@ final class GraftScan(root: String, snapshotId: Option[Long],
 
   private def snapshotEntries(): Seq[SnapshotStore.PartEntry] = pinnedEntries
 
+  // ---- pruned-key plan, memoized per predicate set: runtime-filtered scans
+  // plan TWICE (pre- and post-filter()), and without this each planning pass
+  // left one more driver-held broadcast to the ContextCleaner (slow
+  // accumulation in a long-lived driver running many selective scans). Same
+  // predicates -> the whole metadata-scan plan is reused; changed predicates
+  // (a runtime In landed) -> the superseded broadcast is destroyed before the
+  // new one is built (its partitions never execute: Spark re-plans from this
+  // same Batch and only the final partitions run). ----
+  private val planLock = new Object
+  private var cachedPreds: Seq[DecodeJob.BlockPredicate] = null
+  private var cachedKeys: Option[Array[(Int, Int)]] = None
+  private var cachedKeysBc: org.apache.spark.broadcast.Broadcast[Array[Long]] = null
+
+  private def plannedKeys(spark: SparkSession, preds: Seq[DecodeJob.BlockPredicate],
+      entries: Seq[SnapshotStore.PartEntry])
+      : (Option[Array[(Int, Int)]], org.apache.spark.broadcast.Broadcast[Array[Long]]) =
+    planLock.synchronized {
+      if (cachedPreds != null && cachedPreds == preds) return (cachedKeys, cachedKeysBc)
+      val keysOpt: Option[Array[(Int, Int)]] =
+        if (preds.nonEmpty)
+          DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), preds,
+            DecodeJob.estimatedGroups(entries))
+        // top-n prefix pruning only when NO predicate of any kind arrived (a
+        // runtime filter landing via filter() makes per-group row counts stop
+        // bounding the MATCHING rows — same reason pushTopN refuses filters)
+        else pushedTopN.flatMap(t =>
+          DecodeJob.planTopNKeys(DecodeJob.fromEntries(spark, root, entries),
+            t.column, t.asc, t.nullsFirst, t.limit, DecodeJob.estimatedGroups(entries)))
+      if (cachedKeysBc != null) cachedKeysBc.destroy()
+      cachedPreds = preds
+      cachedKeys = keysOpt
+      cachedKeysBc = keysOpt.map(ks => spark.sparkContext.broadcast(
+        ks.map(k => DecodeJob.packKey(k._1, k._2)).sorted)).orNull
+      (cachedKeys, cachedKeysBc)
+    }
+
   override def readSchema(): StructType = requiredSchema
 
   override def description(): String = {
@@ -656,21 +694,10 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     // bounds pruning depth: the SQL surface now prunes as deep as the
     // decodeWhere API (10^6 keys), where r4 silently dropped ALL pruning past
     // 4096 surviving groups because the whole array rode every InputPartition.
-    val keysOpt: Option[Array[(Int, Int)]] =
-      if (predicates.nonEmpty)
-        DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), predicates,
-          DecodeJob.estimatedGroups(entries))
-      // top-n prefix pruning only when NO predicate of any kind arrived (a
-      // runtime filter landing via filter() makes per-group row counts stop
-      // bounding the MATCHING rows — same reason pushTopN refuses filters)
-      else pushedTopN.flatMap(t =>
-        DecodeJob.planTopNKeys(DecodeJob.fromEntries(spark, root, entries),
-          t.asc, t.nullsFirst, t.limit, DecodeJob.estimatedGroups(entries)))
-
+    // Memoized per predicate set (see plannedKeys): the double planning around
+    // runtime filters neither re-runs the metadata scan nor leaks broadcasts.
+    val (keysOpt, keysBc) = plannedKeys(spark, predicates, entries)
     val keyParts: Option[Set[Int]] = keysOpt.map(_.map(_._1).toSet)
-    val keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]] =
-      keysOpt.map(ks => spark.sparkContext.broadcast(
-        ks.map(k => DecodeJob.packKey(k._1, k._2)).sorted)).orNull
     val columnar = spark.conf.getOption("spark.graft.v2.columnar") match {
       case None => false
       case Some(v) if v.equalsIgnoreCase("true") => true
@@ -689,14 +716,15 @@ final class GraftScan(root: String, snapshotId: Option[Long],
   override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
 
   /** Micro-batch streaming read over the snapshot-id sequence (see
-    * [[GraftMicroBatchStream]]); pushed predicates run only as Spark-side
-    * residuals here, column pruning still applies. */
+    * [[GraftMicroBatchStream]]); pushed predicates prune each batch's delta
+    * groups exactly like the batch scan (and still run as Spark-side
+    * residuals for exactness), column pruning applies too. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(snapshotId.isEmpty,
       "snapshotId (time travel) and readStream are mutually exclusive: a stream " +
       "already replays the snapshot sequence from its checkpointed offset")
-    new GraftMicroBatchStream(root, requiredSchema.fieldNames)
+    new GraftMicroBatchStream(root, requiredSchema.fieldNames, initialPredicates)
   }
 }
 

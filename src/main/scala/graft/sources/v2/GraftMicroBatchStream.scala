@@ -59,8 +59,21 @@ object GraftOffset {
  * with the remediation — size `expireSnapshots(keepLast)` to cover the
  * maximum stream lag.
  */
-final class GraftMicroBatchStream(root: String, columns: Array[String])
+final class GraftMicroBatchStream(root: String, columns: Array[String],
+    initialPredicates: Seq[graft.jobs.DecodeJob.BlockPredicate] = Seq.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  /** Pushed block predicates for per-batch group pruning. Spark's
+    * MicroBatchExecution performs NO pushdown when building stream scans, so
+    * these arrive from [[graft.plans.StreamFilterPushRule]] during each
+    * micro-batch's optimization (always before that batch's
+    * planInputPartitions; the query's filters are static, so every batch sets
+    * the same value). Pruning-only — the plan keeps the Filter residual. */
+  @volatile private var predicates: Seq[graft.jobs.DecodeJob.BlockPredicate] =
+    initialPredicates
+
+  private[graft] def setPushedPredicates(ps: Seq[graft.jobs.DecodeJob.BlockPredicate]): Unit =
+    predicates = ps
 
   // pinned at prepareForTriggerAvailableNow: the AvailableNow run drains up to
   // HERE and stops, even if more commits land while it runs
@@ -151,20 +164,72 @@ final class GraftMicroBatchStream(root: String, columns: Array[String])
     // retention-fail after commits + expiry despite having emitted nothing —
     // re-base it at the earliest retained snapshot like the fresh path, which
     // is lossless by the same argument (full first emit).
-    val s = if (s0.snapshotId == 0L && !s0.fresh)
+    val s1 = if (s0.snapshotId == 0L && !s0.fresh)
       GraftOffset(SnapshotStore.snapshotIds(root).headOption.map(_ - 1L).getOrElse(0L),
         fresh = true)
     else s0
     val e = end.asInstanceOf[GraftOffset].snapshotId
+    // a FRESH stream whose pinned first snapshot was expired between
+    // initialOffset() and this (first) planning would retentionFail on every
+    // restart — the fresh flag only excuses a missing PREDECESSOR, not a
+    // missing first snapshot. Re-base to the current earliest retained
+    // snapshot: lossless by the same full-first-emit argument as the offset-0
+    // rebase (the stream has emitted nothing yet). Only when the rebased range
+    // stays non-degenerate — otherwise fall through to the honest retention
+    // failure instead of silently emitting an empty first batch.
+    val s = if (s1.fresh) {
+      SnapshotStore.snapshotIds(root).headOption
+        .map(_ - 1L)
+        .filter(eb => eb > s1.snapshotId && eb < e)
+        .map(eb => GraftOffset(eb, fresh = true))
+        .getOrElse(s1)
+    } else s1
     if (e <= s.snapshotId) return Array.empty
     val entries = emitEntries(s, e)
     if (entries.isEmpty) return Array.empty
     val spark = SparkSession.active
-    // row path only (batch-sized ColumnarBatches buy nothing on micro-batches);
-    // no block-key pruning — streaming filters run as Spark-side residuals
-    GraftDataSource.packPartitions(spark, root, entries, columns,
-      keyParts = None, keysBc = null, columnar = false, limit = -1)._1
+    planLock.synchronized {
+      // the engine plans one batch MULTIPLE times (logical planning + physical
+      // execution) — memoize per offset range so re-planning reuses the same
+      // partitions/broadcast instead of re-running the metadata scan (or,
+      // worse, destroying a broadcast the first plan's tasks still reference)
+      val rangeKey = (s.snapshotId, s.fresh, e, predicates)
+      if (lastRange == rangeKey) return lastPlan
+      // pushed predicates prune THIS BATCH's delta groups through the same
+      // gated metadata planning as the batch scan (planPrunedKeys over the
+      // emitted entries only) — the normal incremental-consumer shape (new
+      // crawl snapshots -> filter lang -> dedup) decodes only matching groups
+      // instead of every new part. Residual filters keep results exact; a
+      // None plan (non-selective) scans the delta whole, same as before.
+      import graft.jobs.DecodeJob
+      val keysOpt: Option[Array[(Int, Int)]] =
+        if (predicates.isEmpty) None
+        else DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries),
+          predicates, DecodeJob.estimatedGroups(entries))
+      val keyParts = keysOpt.map(_.map(_._1).toSet)
+      val newBc = keysOpt.map(ks => spark.sparkContext.broadcast(
+        ks.map(k => DecodeJob.packKey(k._1, k._2)).sorted)).orNull
+      // the PREVIOUS range's broadcast is done — micro-batches execute
+      // sequentially, so a new range means the old batch's tasks finished;
+      // destroy instead of accumulating one broadcast per filtered batch
+      if (lastKeysBc != null) lastKeysBc.destroy()
+      lastKeysBc = newBc
+      // row path only (batch-sized ColumnarBatches buy nothing on micro-batches)
+      val (parts, files) = GraftDataSource.packPartitions(spark, root, entries, columns,
+        keyParts = keyParts, keysBc = newBc, columnar = false, limit = -1)
+      GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
+        parts.length, files, predicates.size, keysOpt.map(_.length)))
+      lastRange = rangeKey
+      lastPlan = parts
+      parts
+    }
   }
+
+  // per-range plan memo (see planInputPartitions)
+  private val planLock = new Object
+  private var lastRange: (Long, Boolean, Long, Seq[graft.jobs.DecodeJob.BlockPredicate]) = null
+  private var lastPlan: Array[InputPartition] = null
+  private var lastKeysBc: org.apache.spark.broadcast.Broadcast[Array[Long]] = null
 
   override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory
 }

@@ -21,6 +21,7 @@ class V2SourceSpec extends AnyFunSuite {
     .appName("v2-source-spec")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -354,6 +355,90 @@ class V2SourceSpec extends AnyFunSuite {
     assert(graftTable.orderBy(col("url")).limit((N + 5).toInt).count() == N)
   }
 
+  test("top-n pushdown: ORDER BY warc_ts LIMIT n prunes via exact int block bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // a store whose warc_ts CORRELATES with the url layout (a time-partitioned
+    // crawl): per-block ts bounds are then narrow/disjoint and the prefix plan
+    // prunes. On the suite's shared store ts is random per block, every group
+    // survives, and the fraction gate correctly yields a full scan — covered
+    // at the end of this test.
+    val r2 = Files.createTempDirectory("graft-v2-topn-ts-").toString
+    val pages = Webtext.generate(spark, 8000L, 8).toDF()
+      .withColumn("rk", row_number().over(Window.orderBy(col("url"))))
+      .withColumn("warc_ts",
+        expr("timestampadd(SECOND, rk, timestamp'2024-01-01 00:00:00')"))
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .as[graft.sources.WebPage]
+    EncodeJob.run(spark, pages, r2, parts = 8)
+    val v2 = spark.read.format("graft").load(r2)
+    val full = DecodeJob.decode(spark, r2).toDF()
+
+    val got = v2.orderBy(col("warc_ts")).limit(40).select(col("url"), col("warc_ts"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = full.orderBy(col("warc_ts")).limit(40).select(col("url"), col("warc_ts"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    val stats = GraftDataSource.planStatsFor(r2).get
+    assert(stats.pushedTopN.exists(t => t.column == "warc_ts" && t.asc && t.limit == 40),
+      s"warc_ts top-n must reach the scan: $stats")
+    assert(stats.prunedGroupKeys.exists(_ <= 3),
+      s"a 40-row ts-prefix of an 8-group time-partitioned store keeps few groups: $stats")
+
+    // DESC reads the ts-suffix groups
+    val gotDesc = v2.orderBy(col("warc_ts").desc).limit(40).select(col("warc_ts"))
+      .collect().map(_.toString).sorted.toSeq
+    val wantDesc = full.orderBy(col("warc_ts").desc).limit(40).select(col("warc_ts"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotDesc == wantDesc)
+    assert(GraftDataSource.planStatsFor(r2).get.pushedTopN.exists(t =>
+      t.column == "warc_ts" && !t.asc))
+    assert(GraftDataSource.planStatsFor(r2).get.prunedGroupKeys.exists(_ <= 3))
+
+    // shared store: ts does NOT correlate with the url layout — every group
+    // survives, the gate trips, the scan stays full and results exact (the ts
+    // multiset is deterministic even with ties at the cut)
+    val gotShared = graftTable.orderBy(col("warc_ts")).limit(40).select(col("warc_ts"))
+      .collect().map(_.toString).sorted.toSeq
+    val wantShared = DecodeJob.decode(spark, root).toDF().orderBy(col("warc_ts"))
+      .limit(40).select(col("warc_ts")).collect().map(_.toString).sorted.toSeq
+    assert(gotShared == wantShared)
+    val sharedStats = GraftDataSource.planStatsFor(root).get
+    assert(sharedStats.pushedTopN.exists(_.column == "warc_ts") &&
+      sharedStats.prunedGroupKeys.isEmpty,
+      s"uncorrelated ts must fall back to a full (sound) scan: $sharedStats")
+  }
+
+  test("top-n pushdown on warc_ts with planted NULLs stays exact under both orderings") {
+    import spark.implicits._
+    val r2 = Files.createTempDirectory("graft-v2-topn-ts-nulls-").toString
+    val nullIds = Set("100", "101", "102", "103", "104")
+    val pages = Webtext.generate(spark, 4000L, 8).map { p =>
+      if (nullIds.contains(p.url.substring(p.url.lastIndexOf('/') + 1)))
+        p.copy(warc_ts = null)
+      else p
+    }
+    EncodeJob.run(spark, pages, r2, parts = 4)
+    val v2 = spark.read.format("graft").load(r2)
+    val full = DecodeJob.decode(spark, r2).toDF()
+    def tss(df: DataFrame): Seq[String] =
+      df.collect().map(r => if (r.isNullAt(0)) "null" else r.get(0).toString).sorted.toSeq
+
+    // default asc = NULLS FIRST: the 5 null-ts rows are in the top-20
+    val got = v2.orderBy(col("warc_ts")).limit(20).select(col("warc_ts"))
+    val want = full.orderBy(col("warc_ts")).limit(20).select(col("warc_ts"))
+    assert(tss(got) == tss(want))
+    assert(got.collect().count(_.isNullAt(0)) == 5, "null ts must sort into the top-n")
+    assert(GraftDataSource.planStatsFor(r2).get.pushedTopN.exists(t =>
+      t.column == "warc_ts" && t.nullsFirst))
+
+    // NULLS LAST: pure non-null top-15
+    val gotLast = v2.orderBy(col("warc_ts").asc_nulls_last).limit(15).select(col("warc_ts"))
+    val wantLast = full.orderBy(col("warc_ts").asc_nulls_last).limit(15).select(col("warc_ts"))
+    assert(tss(gotLast) == tss(wantLast))
+    assert(gotLast.collect().forall(!_.isNullAt(0)))
+  }
+
   test("top-n pushdown with NULL urls stays exact under both null orderings") {
     import spark.implicits._
     val r2 = Files.createTempDirectory("graft-v2-topn-nulls-").toString
@@ -386,17 +471,17 @@ class V2SourceSpec extends AnyFunSuite {
     // unsoundly: nulls-first keeps every possibly-null group (gate -> None),
     // nulls-last can never establish the quota (countable rows are 0) -> None
     val legacy = DecodeJob.blocks(spark, r2).drop("n_nulls")
-    assert(DecodeJob.planTopNKeys(legacy, asc = true, nullsFirst = false, 15, 4L).isEmpty,
+    assert(DecodeJob.planTopNKeys(legacy, "url", asc = true, nullsFirst = false, 15, 4L).isEmpty,
       "unknown null counts must yield no nulls-last pruning")
     // nulls-first on a legacy store keeps EVERY group (each may hold nulls):
     // a wide gate (estimate 1000 -> threshold 500) proves the survivor set is
     // genuinely all 4 url groups, not a coincidence of the gate tripping...
-    val legacyKeys = DecodeJob.planTopNKeys(legacy, asc = true, nullsFirst = true, 15, 1000L)
+    val legacyKeys = DecodeJob.planTopNKeys(legacy, "url", asc = true, nullsFirst = true, 15, 1000L)
     assert(legacyKeys.exists(_.length == 4), s"legacy nulls-first must keep ALL groups: " +
       s"${legacyKeys.map(_.length)}")
     // ...and at the store's REAL size the 4-of-4 survivor set trips the
     // fraction gate (threshold 2), so the caller scans everything — sound
-    assert(DecodeJob.planTopNKeys(legacy, asc = true, nullsFirst = true, 15, 4L).isEmpty,
+    assert(DecodeJob.planTopNKeys(legacy, "url", asc = true, nullsFirst = true, 15, 4L).isEmpty,
       "an all-groups survivor set must trip the fraction gate")
   }
 

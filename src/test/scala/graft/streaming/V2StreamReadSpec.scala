@@ -24,6 +24,7 @@ class V2StreamReadSpec extends AnyFunSuite {
     .appName("v2-stream-read-spec")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -339,6 +340,41 @@ class V2StreamReadSpec extends AnyFunSuite {
     assert(DecodeJob.decode(spark, root).count() == 1300L)
     assert(DecodeJob.decode(spark, root).toDF()
       .where(col("url").startsWith("nw-")).count() == 300L)
+  }
+
+  test("filtered stream prunes each batch's delta groups like the batch scan") {
+    import spark.implicits._
+    val root = tmp()
+    val ckpt = tmp()
+    EncodeJob.run(spark, Webtext.generate(spark, 8000L, 8), root, parts = 8)
+    val prefix = "https://host-1.example.com/"
+    val want = DecodeJob.decode(spark, root)
+      .where($"url".startsWith(prefix)).select($"url").as[String].collect().toSet
+    assert(want.nonEmpty)
+    val totalGroups = DecodeJob.blocks(spark, root)
+      .where(col("column") === "url").count()
+
+    val got = scala.collection.mutable.HashSet.empty[String]
+    val q = spark.readStream.format("graft").load(root)
+      .where(col("url").startsWith(prefix))
+      .select(col("url"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val urls = batch.collect().map(_.getString(0))
+        got.synchronized { got ++= urls }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    assert(got.toSet == want, "filtered drain must equal the filtered batch read")
+    // plan-stats proof: the stream's batch planning saw the predicate and
+    // pruned groups (not just a Spark-side residual over the full delta)
+    val stats = graft.sources.v2.GraftDataSource.planStatsFor(root).get
+    assert(stats.predicates >= 1, s"pushed predicate must reach stream planning: $stats")
+    assert(stats.prunedGroupKeys.exists(k => k > 0 && k < totalGroups),
+      s"stream batch must prune groups ($totalGroups total): $stats")
   }
 
   test("time travel option and readStream are mutually exclusive") {
