@@ -447,6 +447,24 @@ object SparkEntry {
       df
     }),
 
+    // GROUPED aggregate pushdown: `SELECT lang, count(*) GROUP BY lang` is
+    // answered from per-block dict metadata (block_str_dict + the r6
+    // occurrence counts) — zero decode; the require proves the COMPLETE push
+    // (no aggregate exec survives) and that no encoded bytes are read
+    "q_dsv2_agg_group" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      s.read.format("graft").load(root).createOrReplaceTempView("graft_gagg_store")
+      val df = s.sql("SELECT lang, count(*) AS cnt, count(lang) AS cnt_lang " +
+        "FROM graft_gagg_store GROUP BY lang")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates") && plan.contains("group by lang") &&
+        plan.contains("(metadata-only)"),
+        s"grouped aggregate must push completely to the graft scan:\n$plan")
+      require(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+        s"complete pushdown must leave no aggregate exec:\n$plan")
+      df
+    }),
+
     // streaming READ of the store: readStream.format("graft") replays the
     // committed snapshot sequence as micro-batches (offset = snapshot id);
     // the union of the drained batches must equal the full decoded table
@@ -1094,6 +1112,41 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // BATCHED ANN probes: a DataFrame of queries probes the persisted
+    // multi-table LSH index in one distributed plan (kernel-side probe
+    // buckets -> join on (table, bucket) -> per-query exact rerank). Each
+    // query's planted scaled twins (cosine exactly 1.0, identical sign
+    // buckets) must come back as its top-10, and the in-query require proves
+    // batch rows identical to the per-query annTopK
+    "q_knn_batch" -> ((s, d) => {
+      import s.implicits._
+      def qvec(qi: Int): Array[Double] =
+        Array.tabulate(64)(j => (math.sin(j + qi * 3.0) * 0.5).toFloat.toDouble)
+      val queries = (0 until 3).map(qi => (qi.toLong, qvec(qi)))
+      val planted = queries.flatMap { case (qi, v) =>
+        (0 until 10).map(r => (2100000L + qi * 100 + r, v.map(_ * (1.0 + r / 1000.0))))
+      }
+      val base = t(s, d, "embeddings").select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val df = base.union(s.createDataset(planted).toDF("vec_id", "embedding"))
+      val idx = Files.createTempDirectory("graft-batch-ann-idx-").toString
+      Similarity.buildIndex(df, "vec_id", "embedding", planes = 8, idx, tables = 2)
+      val queriesDf = s.createDataset(queries).toDF("qid", "qvec")
+      val batch = Similarity.annTopKBatch(s, idx, "vec_id", "embedding",
+        queriesDf, "qid", "qvec", k = 10, planes = 8, tables = 2)
+      val byQ = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(x => (x._2, x._3)).toSeq }
+      queries.foreach { case (qi, v) =>
+        val single = Similarity.annTopK(s, idx, "vec_id", "embedding",
+          v.map(_.toFloat), 10, planes = 8, tables = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        require(byQ(qi) == single,
+          s"batched probe for query $qi must be row-identical to annTopK")
+      }
+      s.createDataset(byQ.toSeq.flatMap { case (q, rows) => rows.map(r => (q, r._1)) })
+        .toDF("qid", "vec_id")
+    }),
+
     // stateful streaming exact-dedup (flatMapGroupsWithState): first occurrence
     // per content fingerprint passes; emitted count == distinct normalized texts
     "q_stream_dedup" -> ((s, d) => {
@@ -1274,6 +1327,8 @@ object SparkEntry {
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +
       "FROM documents"),
+    "q_dsv2_agg_group" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt, " +
+      "CAST(count(lang) AS BIGINT) AS cnt_lang FROM documents GROUP BY lang"),
     "q_stream_v2_read" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url FROM documents"),
     "q_dsv2_write" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
@@ -1497,6 +1552,9 @@ object SparkEntry {
     "q_embedding_neardups" -> ("SELECT CAST(vec_id AS BIGINT) AS a, " +
       "CAST(vec_id + 1000000 AS BIGINT) AS b FROM embeddings"),
     "q_knn_ann" -> "SELECT CAST(2000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",
+    "q_knn_batch" -> ("SELECT CAST(qi AS BIGINT) AS qid, " +
+      "CAST(2100000 + qi * 100 + r AS BIGINT) AS vec_id " +
+      "FROM range(3) q(qi), range(10) t(r)"),
     "q_knn_ivf" -> "SELECT CAST(3000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",
     "q_stream_window" -> ("SELECT (1600000000 + (doc_id // 50) * 3600) // 3600 * 3600 AS ws_s, " +
       "lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2"),

@@ -43,6 +43,12 @@ final case class BlockRow(
     block_str_min: Option[String],
     block_str_max: Option[String],
     block_str_dict: Option[Array[String]],
+    // per-dict-value occurrence counts, aligned with block_str_dict: what
+    // makes grouped aggregates (`SELECT lang, count(*) GROUP BY lang`)
+    // answerable from metadata alone. None whenever block_str_dict is None;
+    // stores written before this column read it as null = counts unknown
+    // (grouped pushdown then declines — sound)
+    block_str_dict_counts: Option[Array[Long]],
     orig_bytes: Long,
     enc_bytes: Long,
     encoded: Array[Byte])
@@ -182,7 +188,10 @@ object EncodeJob {
 
       var mn: Array[Byte] = null
       var mx: Array[Byte] = null
-      var dict: java.util.TreeSet[String] = if (textual) new java.util.TreeSet[String]() else null
+      // TreeMap value -> occurrence count: the counts are the dict metadata
+      // that lets grouped aggregates answer from blocks without decoding
+      var dict: java.util.TreeMap[String, Long] =
+        if (textual) new java.util.TreeMap[String, Long]() else null
       if (textual) {
         var i = 0
         while (i < arr.length) {
@@ -194,7 +203,7 @@ object EncodeJob {
             // value disqualifies the block and stops the per-value String copies
             if (dict != null) {
               if (v.length > 128 || dict.size > StrDictCap) dict = null
-              else dict.add(new String(v, StandardCharsets.UTF_8))
+              else dict.merge(new String(v, StandardCharsets.UTF_8), 1L, (a, b) => a + b)
             }
           }
           i += 1
@@ -206,13 +215,18 @@ object EncodeJob {
           val s = new String(v, StandardCharsets.UTF_8)
           if (s.length <= StrBoundMaxLen) Some(s) else None
         }
-      val strDict =
-        if (dict != null && dict.size <= StrDictCap && mn != null)
-          Some(dict.toArray(new Array[String](dict.size)))
-        else None
+      val (strDict, strDictCounts) =
+        if (dict != null && dict.size <= StrDictCap && mn != null) {
+          val vs = new Array[String](dict.size)
+          val cs = new Array[Long](dict.size)
+          val it = dict.entrySet().iterator()
+          var j = 0
+          while (it.hasNext) { val e = it.next(); vs(j) = e.getKey; cs(j) = e.getValue; j += 1 }
+          (Some(vs), Some(cs))
+        } else (None, None)
 
       BlockRow(partId, seq, name, "str", StringBlockCodec.codecName(enc), arr.length,
-        nulls, None, None, None, bound(mn), bound(mx), strDict,
+        nulls, None, None, None, bound(mn), bound(mx), strDict, strDictCounts,
         orig, enc.length.toLong, enc)
     }
 
@@ -249,7 +263,7 @@ object EncodeJob {
       BlockRow(partId, seq, "warc_ts", "i64", IntBlockCodec.info(tsEnc).codecName, tsN,
         tsN - tsValidN,
         if (any) Some(mn) else None, if (any) Some(mx) else None, intDict,
-        None, None, None, tsN.toLong * 8, tsEnc.length.toLong, tsEnc),
+        None, None, None, None, tsN.toLong * 8, tsEnc.length.toLong, tsEnc),
       strBlock("html", htmls, textual = false),
       strBlock("text", texts, textual = true),
       strBlock("lang", langs, textual = true))

@@ -541,4 +541,100 @@ object Dedup {
       if (!converged) labelsRdd.unpersist(blocking = false)
     }
   }
+
+  /**
+   * Connected components via the LARGE-STAR / SMALL-STAR alternation (Kiveris
+   * et al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+   * algorithm): converges in O(log n) rounds on ANY graph shape, which is the
+   * opt-in upgrade for long-chain graphs (session stitching, citation chains)
+   * where [[connectedComponents]]'s min-label propagation needs
+   * O(eccentricity) rounds and deliberately throws. Min-label stays the
+   * default: LSH near-dup components are near-cliques (2-4 rounds) and each
+   * min-label round is one narrow shuffle vs this algorithm's several.
+   *
+   * State = the edge set in canonical (hi > lo) orientation, persisted per
+   * round with the same two-snapshot storage bound as min-label. Per round:
+   *  - large-star: every node u links each LARGER neighbor to
+   *    min(N(u) ∪ {u});
+   *  - small-star: every node u links its smaller neighbors (and itself) to
+   *    min(N⁻(u) ∪ {u});
+   *  - fixpoint when the canonical edge set stops changing (exact exceptAll
+   *    check, not a probabilistic hash) — at fixpoint the edges form stars
+   *    (v, component-min), read directly as labels. Singleton vertices
+   *    self-label via anti-join, matching [[connectedComponents]]'s contract.
+   * Same output schema: (id, cluster_id, canonical); same loud divergence
+   * (throws past maxRounds, never partial labels).
+   */
+  def connectedComponentsStars(edges: DataFrame, aCol: String, bCol: String,
+                               vertices: DataFrame, idCol: String,
+                               maxRounds: Int = 60): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    def canonical(df: DataFrame): DataFrame = df
+      .select(greatest($"u", $"v").as("hi"), least($"u", $"v").as("lo"))
+      .where($"hi" =!= $"lo")
+      .distinct()
+
+    val allVerts = vertices.select(col(idCol).cast("long").as("id"))
+      .union(edges.select(col(aCol).cast("long").as("id")))
+      .union(edges.select(col(bCol).cast("long").as("id")))
+      .distinct()
+      .as[Long].rdd.persist(level)
+    val vertsDf = allVerts.toDF("id")
+
+    val initRdd = canonical(edges.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v")))
+      .as[(Long, Long)].rdd.persist(level)
+    var eRdd = initRdd
+    var e = initRdd.toDF("hi", "lo")
+    var round = 0
+    var changed = true
+    var converged = false
+    try {
+      while (changed && round < maxRounds) {
+        // large-star over the symmetric view: m(u) = min(N(u) ∪ {u}); for
+        // every neighbor v > u emit (v, m) — hi=v > u >= m=lo, canonical
+        val sym = e.select($"hi".as("u"), $"lo".as("v"))
+          .union(e.select($"lo".as("u"), $"hi".as("v")))
+        val mins = sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+        val large = canonical(sym.join(mins, "u").where($"v" > $"u")
+          .select($"v".as("u"), $"m".as("v")))
+        // small-star on the canonical orientation: per hi-node u, m = min of
+        // its smaller neighbors (all lo < hi); link u and each lo to m
+        val smins = large.groupBy($"hi").agg(min($"lo").as("m"))
+        val joined = large.join(smins, "hi")
+        val small = canonical(
+          joined.select($"hi".as("u"), $"m".as("v"))
+            .union(joined.select($"lo".as("u"), $"m".as("v"))))
+        val nextRdd = small.as[(Long, Long)].rdd.persist(level)
+        val nextDf = nextRdd.toDF("hi", "lo")
+        // exact fixpoint: same count and no edge outside the previous set
+        changed =
+          try {
+            val n = nextRdd.count() // materializes the cache
+            n != eRdd.count() || nextDf.exceptAll(e).limit(1).count() > 0
+          } catch { case t: Throwable => nextRdd.unpersist(blocking = false); throw t }
+        eRdd.unpersist(blocking = false)
+        eRdd = nextRdd
+        e = nextDf
+        round += 1
+      }
+      require(!changed,
+        s"connectedComponentsStars did not converge in $maxRounds rounds — " +
+        "pathological input (or maxRounds set below ~2 log2 |V|); raise maxRounds")
+      converged = true
+      // fixpoint edges are stars: (member, component-min). Roots and
+      // singletons (never a hi) self-label.
+      val member = e.select($"hi".as("id"), $"lo".as("label"))
+      val selfLabeled = vertsDf.join(member.select($"id"), Seq("id"), "left_anti")
+        .select($"id", $"id".as("label"))
+      member.union(selfLabeled)
+        .select($"id", $"label".as("cluster_id"), ($"id" === $"label").as("canonical"))
+    } finally {
+      allVerts.unpersist(blocking = false)
+      if (!converged) eRdd.unpersist(blocking = false)
+    }
+  }
 }

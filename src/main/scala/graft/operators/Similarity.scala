@@ -274,6 +274,72 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * BATCHED ANN probes — the reranking-pipeline shape where [[annTopK]]'s
+   * one-query form would mean millions of driver round-trips: a DataFrame of
+   * (query id, query vector) probes the persisted index in ONE distributed
+   * plan. Each query's probe buckets (own + Hamming-1 per table) are computed
+   * kernel-side (the same plane matrix as the index build, validated against
+   * the `_lsh_meta.json` sidecar), the probe rows join the index on
+   * (table, bucket), candidates colliding in several tables dedupe per
+   * (query, id), and the exact cosine rerank keeps each query's top-k via a
+   * per-query window. Scale shape: a SMALL probe batch broadcasts and Spark's
+   * dynamic partition pruning skips non-probed bucket directories; a HUGE
+   * batch shuffle-joins — one full index scan amortized over all queries,
+   * which is exactly when per-query pruning stops paying.
+   *
+   * Output: (qidCol, idCol, cosine), k rows per query (fewer when a query's
+   * probed buckets hold fewer candidates; a query with NO candidates is
+   * absent). Row-identical per query to [[annTopK]] by construction.
+   */
+  def annTopKBatch(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, planes: Int, tables: Int = 1): DataFrame = {
+    import spark.implicits._
+    val meta = readSidecar(spark, indexPath, "_lsh_meta.json").getOrElse(
+      throw new IllegalArgumentException(
+        s"no _lsh_meta.json under $indexPath — batched probes need the persisted " +
+        "LSH geometry (rebuild the index with buildIndex)"))
+    def field(key: String): Int =
+      ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed _lsh_meta.json under $indexPath: $meta"))
+    require(field("planes") == planes && field("tables") == tables,
+      s"index at $indexPath was built with (planes=${field("planes")}, " +
+      s"tables=${field("tables")}); probe requested (planes=$planes, tables=$tables)")
+    val dim = field("dim")
+    val idx = spark.read.parquet(indexPath)
+    require(idx.columns.contains("table"),
+      s"index at $indexPath is single-table (legacy layout); batched probes need " +
+      "the multi-table layout — rebuild with buildIndex")
+    val probes = queries
+      .where(col(qvecCol).isNotNull && size(col(qvecCol)) > 0)
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val m = planeMatrix(planes * tables, dim)
+        it.flatMap { case (qid, v) =>
+          // a wrong-model query would silently probe the wrong buckets
+          if (v.length != dim) throw new IllegalArgumentException(
+            s"query $qid has ${v.length}-dim embedding; index holds $dim-dim")
+          (0 until tables).iterator.flatMap { l =>
+            val qb = signBits(v, m, l * planes, planes)
+            (qb +: (0 until planes).map(p => qb ^ (1L << p)))
+              .map(b => (qid, v, l, b))
+          }
+        }
+      }
+      .toDF(qidCol, "__qvec", "table", "bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol)).orderBy(desc("cosine"), col(idCol))
+    idx.join(probes, Seq("table", "bucket"))
+      .dropDuplicates(qidCol, idCol) // multi-table collisions: one rerank per pair
+      .select(col(qidCol), col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   // ---------------- IVF (inverted-file) ANN index ----------------
 
   @inline private def sqDist(a: Array[Double], b: Array[Double]): Double = {

@@ -457,24 +457,73 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     if (fns.nonEmpty && fns.forall(_.isDefined)) Some(fns.flatten) else None
   }
 
+  // -------- GROUPED aggregate pushdown from dict metadata (GraftGroupedAgg) --------
+
+  /** The grouped shape this source can answer from metadata: one bare textual
+    * group column with only count(*) / count(<group column>) aggregates (an
+    * EMPTY aggregate list = SELECT DISTINCT, also served). Whether the STORE
+    * can answer it exactly is a separate data-dependent check (dict+counts
+    * coverage) performed in [[supportCompletePushDown]]. */
+  private def convertGroupedAgg(agg: aggregate.Aggregation)
+      : Option[(String, Seq[GroupedAggKind])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (pushed.nonEmpty || predicates.nonEmpty) return None
+    if (agg.groupByExpressions.length != 1) return None
+    val gcol = agg.groupByExpressions()(0) match {
+      case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames()(0)
+      case _ => return None
+    }
+    if (!Set("url", "text", "lang")(gcol)) return None // textual dict-capable columns
+    def isGroupCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case n: NamedReference => n.fieldNames.toSeq == Seq(gcol)
+        case _ => false
+      }
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: aggregate.CountStar => Some(GroupedCountStar)
+      case c: aggregate.Count if !c.isDistinct && isGroupCol(c.column) =>
+        Some(GroupedCountCol)
+      case _ => None
+    }
+    if (kinds.forall(_.isDefined)) Some((gcol, kinds.flatten)) else None
+  }
+
+  private var pushedGrouped: Option[(String, Seq[GroupedAggKind],
+    Seq[GraftGroupedAgg.GroupRow])] = None
+
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
-    convertAgg(agg).isDefined
+    convertAgg(agg).isDefined || (convertGroupedAgg(agg) match {
+      case Some((c, kinds)) =>
+        // data-dependent gate: every live block of c must carry dict+counts
+        // (or be all-null) — the store answers from metadata or not at all
+        GraftGroupedAgg.compute(SparkSession.active, root, snapshotId, c) match {
+          case Some(rows) => pushedGrouped = Some((c, kinds, rows)); true
+          case None => false
+        }
+      case None => false
+    })
 
   override def pushAggregation(agg: aggregate.Aggregation): Boolean =
     convertAgg(agg) match {
       case Some(a) => pushedAggs = Some(a); true
-      case None => false
+      // grouped: accepted only as the COMPLETE pushdown prepared above —
+      // a partial grouped pushdown (supportCompletePushDown false) must be
+      // refused, the per-block counts cannot serve Spark's partial agg shape
+      case None => pushedGrouped.isDefined && convertGroupedAgg(agg).isDefined
     }
 
   override def build(): Scan = pushedAggs match {
     // a pushed aggregate yields one metadata row — a limit on top is moot
     case Some(aggs) => new GraftAggScan(root, snapshotId, aggs)
-    case None =>
-      // Spark pushes EITHER a bare limit or a top-n, never both; the per-task
-      // early-stop row cap is sound only for the order-free bare limit (a task
-      // truncating its url-ordered duty under top-n could drop true top-n rows)
-      new GraftScan(root, snapshotId, requiredSchema, predicates,
-        if (pushedTopN.isDefined) None else pushedLimit, pushedTopN)
+    case None => pushedGrouped match {
+      case Some((c, kinds, rows)) => new GraftGroupedAggScan(root, c, kinds, rows)
+      case None =>
+        // Spark pushes EITHER a bare limit or a top-n, never both; the per-task
+        // early-stop row cap is sound only for the order-free bare limit (a task
+        // truncating its url-ordered duty under top-n could drop true top-n rows)
+        new GraftScan(root, snapshotId, requiredSchema, predicates,
+          if (pushedTopN.isDefined) None else pushedLimit, pushedTopN)
+    }
   }
 }
 

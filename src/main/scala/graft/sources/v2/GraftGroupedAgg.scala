@@ -1,0 +1,159 @@
+package graft.sources.v2
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.jobs.DecodeJob
+import graft.sources.SnapshotStore
+
+/**
+ * GROUPED aggregate pushdown from dictionary metadata — the north-star
+ * "predicate-push onto dictionary metadata" extended to the aggregate surface:
+ * `SELECT lang, count(*) [, count(lang)] FROM graft GROUP BY lang` is answered
+ * WITHOUT decoding a single block. Every block of a dict-covered string column
+ * carries its distinct values (`block_str_dict`) AND their per-block occurrence
+ * counts (`block_str_dict_counts`, written since r6), so the group counts are
+ * one column-pruned metadata scan: explode the (value, count) pairs, sum per
+ * value, plus the NULL group from the exact per-block `n_nulls`.
+ *
+ * Exactness gate (decline -> Spark computes normally, identical results):
+ *  - single GROUP BY key, a bare textual string column (url/text/lang);
+ *  - aggregates only count(*) and count(<group column>) — a count/min/max of a
+ *    DIFFERENT column cannot be attributed across a multi-value block;
+ *  - NO pushed filters (metadata reflects the unfiltered table);
+ *  - EVERY live block of the column either carries dict+counts (aligned) or
+ *    holds only nulls (n == n_nulls) — one old-format or high-cardinality
+ *    block declines the whole pushdown;
+ *  - at most [[GraftGroupedAgg.MaxGroups]] distinct values (`take(max+1)`,
+ *    never an unbounded driver collect — url/text realistically decline via
+ *    the per-block dict cap long before this).
+ */
+object GraftGroupedAgg {
+
+  /** Distinct-group driver ceiling; `private[v2]` var for tests. */
+  private[v2] var MaxGroups = 65536
+
+  /** One result row: group value (null = the SQL NULL group), count(*) value,
+    * count(col) value. */
+  final case class GroupRow(value: String, countStar: Long, countCol: Long)
+
+  /** Compute the grouped counts from block metadata, or None when the store's
+    * metadata cannot answer exactly (coverage gate above). Factored over a
+    * blocks DataFrame so tests can drive the legacy-store shape directly. */
+  private[v2] def fromBlocks(blocksDf: org.apache.spark.sql.DataFrame,
+                             column: String): Option[Seq[GroupRow]] = {
+    if (!blocksDf.columns.contains("block_str_dict_counts") ||
+        !blocksDf.columns.contains("n_nulls")) return None // pre-r6 / pre-r5 store
+    val meta = blocksDf.where(col("column") === column)
+      .select(col("n").cast("long").as("n"), col("n_nulls").cast("long").as("nn"),
+        col("block_str_dict").as("d"), col("block_str_dict_counts").as("k"))
+    // one metadata job: coverage violations + the NULL group total. A null
+    // n_nulls (mixed-in legacy file) is uncovered outright — its null count is
+    // unknown, and the `n =!= nn` all-null rescue would three-value to false
+    val uncovered = col("nn").isNull || ((col("d").isNull || col("k").isNull ||
+      size(col("d")) =!= size(col("k"))) && col("n") =!= col("nn"))
+    val head = meta.agg(
+      sum(when(uncovered, 1L).otherwise(0L)).as("bad"),
+      sum(col("nn")).as("nulls"),
+      count(lit(1)).as("blocks")).collect()(0)
+    if (head.getAs[Long]("blocks") == 0L) return Some(Seq.empty) // empty store: zero groups
+    if (head.getAs[Long]("bad") != 0L) return None
+    val nulls = head.getAs[Long]("nulls")
+    // second metadata job: per-value sums from the zipped dict+counts
+    val rows = meta.where(col("d").isNotNull)
+      .select(explode(arrays_zip(col("d"), col("k"))).as("z"))
+      .groupBy(col("z.d").as("v")).agg(sum(col("z.k")).as("cnt"))
+      .take(MaxGroups + 1)
+    if (rows.length > MaxGroups) return None
+    val out = rows.iterator.map { r =>
+      GroupRow(r.getString(0), r.getLong(1), r.getLong(1))
+    }.toSeq
+    // the SQL NULL group exists iff null rows exist; count(col) of it is 0
+    Some(if (nulls > 0) out :+ GroupRow(null, nulls, 0L) else out)
+  }
+
+  /** [[fromBlocks]] over a store snapshot (one manifest read). */
+  private[v2] def compute(spark: SparkSession, root: String,
+                          snapshotId: Option[Long], column: String): Option[Seq[GroupRow]] = {
+    val entries = snapshotId match {
+      case Some(id) => SnapshotStore.entriesAt(root, id)
+      case None =>
+        if (SnapshotStore.currentSnapshotId(root).isEmpty) return None // not a store: decline, scan fails loudly
+        SnapshotStore.currentEntries(root)
+    }
+    fromBlocks(DecodeJob.fromEntries(spark, root, entries), column)
+  }
+}
+
+/** The aggregate kinds a grouped pushdown serves. */
+private[v2] sealed trait GroupedAggKind
+private[v2] case object GroupedCountStar extends GroupedAggKind
+private[v2] case object GroupedCountCol extends GroupedAggKind
+
+/**
+ * Complete grouped-aggregate scan: rows are (group value, agg values...) in
+ * the positional layout Spark expects from a complete pushdown (group columns
+ * first, then aggregate expressions). The result was computed at PUSHDOWN time
+ * from block metadata ([[GraftGroupedAgg]]); execution serves it from one
+ * metadata partition with zero file IO.
+ */
+final class GraftGroupedAggScan(root: String, column: String,
+                                kinds: Seq[GroupedAggKind],
+                                rows: Seq[GraftGroupedAgg.GroupRow])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    StructField(column, StringType, nullable = true) +:
+      kinds.zipWithIndex.map {
+        case (GroupedCountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+        case (GroupedCountCol, i) => StructField(s"count_${column}_$i", LongType, nullable = false)
+      })
+
+  override def description(): String =
+    s"GraftStore root=$root PushedAggregates: [group by $column; " +
+      kinds.map { case GroupedCountStar => "count(*)"; case GroupedCountCol => s"count($column)" }
+        .mkString(", ") + "] (metadata-only)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
+      partitions = 1, files = 0, predicates = 0, prunedGroupKeys = None))
+    Array(GraftGroupedAggPartition(
+      rows.map(r => (r.value, r.countStar, r.countCol)).toArray, kinds.toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = GraftGroupedAggReaderFactory
+}
+
+final case class GraftGroupedAggPartition(
+    rows: Array[(String, Long, Long)], kinds: Array[GroupedAggKind]) extends InputPartition
+
+object GraftGroupedAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[GraftGroupedAggPartition]
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.rows.length }
+      override def get(): InternalRow = {
+        val (v, star, colCnt) = p.rows(i)
+        val row = new GenericInternalRow(1 + p.kinds.length)
+        row.update(0, if (v == null) null else UTF8String.fromString(v))
+        var j = 0
+        while (j < p.kinds.length) {
+          row.update(1 + j, p.kinds(j) match {
+            case GroupedCountStar => star
+            case GroupedCountCol => colCnt
+          })
+          j += 1
+        }
+        row
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -470,6 +470,11 @@ object GraftDataWriter {
       |      optional binary element (UTF8);
       |    }
       |  }
+      |  optional group block_str_dict_counts (LIST) {
+      |    repeated group list {
+      |      required int64 element;
+      |    }
+      |  }
       |  required int64 orig_bytes;
       |  required int64 enc_bytes;
       |  optional binary encoded;
@@ -562,6 +567,10 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
     b.block_str_max.foreach(v => g.add("block_str_max", v))
     b.block_str_dict.foreach { vs =>
       val lg = g.addGroup("block_str_dict")
+      vs.foreach(v => lg.addGroup("list").add("element", v))
+    }
+    b.block_str_dict_counts.foreach { vs =>
+      val lg = g.addGroup("block_str_dict_counts")
       vs.foreach(v => lg.addGroup("list").add("element", v))
     }
     g.add("orig_bytes", b.orig_bytes)

@@ -272,6 +272,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.collect().head.getLong(0) == 777777L)
   }
 
+  test("batched ANN probes: row-identical to per-query annTopK, one distributed plan") {
+    import spark.implicits._
+    val dim = 16
+    def mx(x: Long): Long = { var y = x + 0x9E3779B97F4A7C15L; y = (y ^ (y >>> 30)) * 0xBF58476D1CE4E5B9L; y ^ (y >>> 27) }
+    val base = (0 until 2000).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => mx(i.toLong * 37 + j).toDouble / Long.MaxValue)))
+    // three directionally-distinct queries; each gets two planted twins whose
+    // positive scaling keeps sign bits (bucket) AND cosine == 1.0 exactly
+    // float-precision values: annTopK takes Array[Float], so the batch side
+    // must see the identical doubles or cosines differ in the last ulps
+    val qs = (0 until 3).map(qi =>
+      (qi.toLong, Array.tabulate(dim)(j => math.cos(j * 0.7 + qi * 1.9).toFloat.toDouble)))
+    val twins = qs.flatMap { case (qi, v) =>
+      Seq((900000L + qi * 10, v.map(_ * 1.01)), (900001L + qi * 10, v.map(_ * 0.43)))
+    }
+    val df = spark.createDataset(base ++ twins).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-batch-ann-").toString
+    Similarity.buildIndex(df, "vec_id", "embedding", planes = 8, idx, tables = 2)
+
+    val queriesDf = spark.createDataset(qs).toDF("qid", "qvec")
+    val batch = Similarity.annTopKBatch(spark, idx, "vec_id", "embedding",
+      queriesDf, "qid", "qvec", k = 5, planes = 8, tables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(t => (t._2, t._3)).toSeq }
+
+    qs.foreach { case (qi, v) =>
+      val single = Similarity.annTopK(spark, idx, "vec_id", "embedding",
+        v.map(_.toFloat), 5, planes = 8, tables = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qi) == single, s"query $qi: batch must equal per-query annTopK")
+      // each query's own twins lead its top-k (cosine exactly 1.0)
+      assert(batch(qi).take(2).map(_._1) == Seq(900000L + qi * 10, 900001L + qi * 10))
+    }
+
+    // a legacy index (no meta sidecar) is refused loudly, never silently wrong
+    val noMeta = java.nio.file.Files.createTempDirectory("graft-batch-nometa-").toString
+    Similarity.buildIndex(df, "vec_id", "embedding", planes = 8, noMeta, tables = 2)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(noMeta, "_lsh_meta.json"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annTopKBatch(spark, noMeta, "vec_id", "embedding",
+        queriesDf, "qid", "qvec", 5, planes = 8, tables = 2)
+    }
+    assert(e.getMessage.contains("_lsh_meta"))
+  }
+
   test("text analysis: token counts, quality, lang id, fingerprints") {
     import spark.implicits._
     val df = Seq(
@@ -503,6 +548,47 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.connectedComponents(edges, "a", "b", vertices, "id", maxRounds = 1)
     }
     assert(e.getMessage.contains("converge"))
+  }
+
+  test("large-star/small-star CC converges logarithmically on a long chain; labels match") {
+    import spark.implicits._
+    // a 2000-vertex PATH — the shape min-label propagation cannot handle
+    // (eccentricity 1999 rounds; it must throw at its cap), while the
+    // alternation converges in ~log2(n) rounds
+    val n = 2000
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val verts = (0 until n).map(_.toLong).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "a", "b", verts, "id", maxRounds = 5)
+    }
+    assert(e.getMessage.contains("converge"))
+    val stars = Dedup.connectedComponentsStars(chain, "a", "b", verts, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(stars.length == n)
+    assert(stars.forall(_._2 == 0L), "the whole path is one component labeled by its min")
+    assert(stars.count(_._3) == 1, "exactly one canonical")
+
+    // same labels as min-label on the mixed graph the default-path test uses
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 10L), (30L, 31L)).toDF("a", "b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L).toDF("id")
+    val viaStars = Dedup.connectedComponentsStars(edges, "a", "b", vertices, "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val viaMinLabel = Dedup.connectedComponents(edges, "a", "b", vertices, "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(viaStars == viaMinLabel)
+
+    // loud divergence contract is shared (never partial labels)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStars(chain, "a", "b", verts, "id", maxRounds = 1)
+    }
+    assert(e2.getMessage.contains("converge"))
+
+    // empty edge list: everything is its own singleton component
+    val lonely = Dedup.connectedComponentsStars(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b", Seq(7L, 8L).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(lonely == Map(7L -> (7L, true), 8L -> (8L, true)))
   }
 
   test("connected components turns mined near-dup pairs into keep/drop decisions") {

@@ -149,11 +149,76 @@ class V2SourceSpec extends AnyFunSuite {
     assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
     assert(filtered.collect()(0).getLong(0) ==
       DecodeJob.decode(spark, root).toDF().where(col("lang") === "en").count())
-    // grouped aggregates fall back to the normal scan too
+    // grouped aggregates now push too — via the dict-metadata path (r6)
     val grouped = spark.sql("SELECT lang, count(*) FROM graft_agg_v2 GROUP BY lang")
-    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(grouped.queryExecution.executedPlan.toString.contains("group by lang"))
     assert(grouped.count() == DecodeJob.decode(spark, root).toDF()
       .select(col("lang")).distinct().count())
+  }
+
+  test("GROUPED aggregate pushdown: count(*) GROUP BY lang answers from dict metadata") {
+    graftTable.createOrReplaceTempView("graft_gagg")
+    val df = spark.sql(
+      "SELECT lang, count(*) AS cnt, count(lang) AS cl FROM graft_gagg GROUP BY lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") && plan.contains("group by lang") &&
+      plan.contains("(metadata-only)"),
+      s"grouped agg must push completely:\n$plan")
+    val want = DecodeJob.decode(spark, root).toDF()
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"), count(col("lang")).as("cl"))
+    assert(sortedRows(df) == sortedRows(want))
+
+    // NULL group: plant null langs, rebuild, the (null, n, 0) row must appear
+    import spark.implicits._
+    val r2 = Files.createTempDirectory("graft-v2-gagg-nulls-").toString
+    val pages = Webtext.generate(spark, 3000L, 8).map(p =>
+      if (p.url.endsWith("7")) p.copy(lang = null) else p)
+    EncodeJob.run(spark, pages, r2, parts = 4)
+    spark.read.format("graft").load(r2).createOrReplaceTempView("graft_gagg_n")
+    val dfn = spark.sql(
+      "SELECT lang, count(*) AS cnt, count(lang) AS cl FROM graft_gagg_n GROUP BY lang")
+    assert(dfn.queryExecution.executedPlan.toString.contains("(metadata-only)"))
+    val wantN = DecodeJob.decode(spark, r2).toDF()
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"), count(col("lang")).as("cl"))
+    assert(sortedRows(dfn) == sortedRows(wantN))
+    val nullRow = dfn.collect().find(_.isNullAt(0))
+    assert(nullRow.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0L),
+      "the NULL group must count via n_nulls with count(lang) = 0")
+  }
+
+  test("GROUPED aggregate pushdown declines exactly when metadata cannot answer") {
+    // text: high-cardinality long values never dict-qualify -> fallback, exact
+    graftTable.createOrReplaceTempView("graft_gagg_d")
+    val onText = spark.sql(
+      "SELECT text, count(*) AS cnt FROM graft_gagg_d GROUP BY text")
+    assert(!onText.queryExecution.executedPlan.toString.contains("(metadata-only)"),
+      "text grouping must fall back (no dict coverage)")
+    assert(onText.count() == DecodeJob.decode(spark, root).toDF()
+      .groupBy(col("text")).count().count())
+
+    // a filter blocks the pushdown (metadata reflects the unfiltered table)
+    val filtered = spark.sql(
+      "SELECT lang, count(*) AS cnt FROM graft_gagg_d WHERE lang <> 'en' GROUP BY lang")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("(metadata-only)"))
+    val wantF = DecodeJob.decode(spark, root).toDF().where(col("lang") =!= "en")
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    assert(sortedRows(filtered) == sortedRows(wantF))
+
+    // count of a DIFFERENT column cannot be attributed across a block
+    val otherCol = spark.sql(
+      "SELECT lang, count(url) AS cu FROM graft_gagg_d GROUP BY lang")
+    assert(!otherCol.queryExecution.executedPlan.toString.contains("(metadata-only)"))
+
+    // legacy store (no counts column) declines at the blocks level
+    val legacy = DecodeJob.blocks(spark, root).drop("block_str_dict_counts")
+    assert(GraftGroupedAgg.fromBlocks(legacy, "lang").isEmpty,
+      "a pre-counts store must decline grouped pushdown")
+    // and a store answering normally yields the same counts as the decode
+    val viaMeta = GraftGroupedAgg.fromBlocks(DecodeJob.blocks(spark, root), "lang")
+    assert(viaMeta.isDefined)
+    val wantMap = DecodeJob.decode(spark, root).toDF().groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaMeta.get.map(g => g.value -> g.countStar).toMap == wantMap)
   }
 
   test("time travel: option(snapshotId) reads a historical snapshot, aggs included") {
