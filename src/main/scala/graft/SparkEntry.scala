@@ -563,6 +563,36 @@ object SparkEntry {
       s.read.format("graft").load(root).select(col("url"), col("lang"))
     }),
 
+    // GENERALIZED store schema (r6): CREATE TABLE with a non-webtext shape,
+    // INSERT, SELECT back — the codec family keyed off the persisted SCHEMA
+    // sidecar (string sort key range layout, int columns through the
+    // width-matched physical codecs, timestamps as micros). The in-query
+    // require proves prefix pruning works on the new schema's own sort key.
+    "q_generic_roundtrip" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.v2.GraftCatalog")
+      val root = Files.createTempDirectory("graft-generic-").toString + "/t"
+      t(s, d, "events").selectExpr(
+        "concat('host-', lpad(cast(user_id % 50 as string), 4, '0'), '.example/e', " +
+          "cast(event_id as string)) AS host",
+        "event_id AS id",
+        "cast(event_id % 1000 as int) AS score",
+        "ts AS fetched").createOrReplaceTempView("generic_oracle_src")
+      s.sql(s"CREATE TABLE graftcat.`$root` " +
+        "(host string, id bigint, score int, fetched timestamp) USING graft")
+      s.sql(s"INSERT INTO graftcat.`$root` SELECT * FROM generic_oracle_src")
+      // prefix-pruning proof on the generic sort key (host = first string col)
+      val total = DecodeJob.blocks(s, root).where(col("column") === "host").count()
+      s.sql(s"SELECT id FROM graftcat.`$root` " +
+        "WHERE host LIKE 'host-0003.example/%'").collect()
+      val stats = graft.sources.v2.GraftDataSource.planStatsFor(root)
+        .getOrElse(sys.error("generic scan did not record plan stats"))
+      require(stats.predicates >= 1 &&
+        stats.prunedGroupKeys.exists(k => k > 0 && k < total),
+        s"host prefix must prune the generic store's groups ($total total): $stats")
+      s.sql(s"SELECT host, id, score, unix_micros(fetched) AS fetched_us " +
+        s"FROM graftcat.`$root`")
+    }),
+
     // SQL UPDATE (catalog-resolved row-level DML): group-based copy-on-write
     // ReplaceData — the pushed url bound prunes which parts get rewritten
     // (block metadata), survivors re-encode through the staged pipeline, the
@@ -1339,6 +1369,9 @@ object SparkEntry {
       "AS url, lang FROM documents WHERE lang <> 'en'"),
     "q_call_compact" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents"),
+    "q_generic_roundtrip" -> ("SELECT concat('host-', lpad(CAST(user_id % 50 AS VARCHAR), 4, '0'), " +
+      "'.example/e', CAST(event_id AS VARCHAR)) AS host, event_id AS id, " +
+      "CAST(event_id % 1000 AS INTEGER) AS score, epoch_us(ts) AS fetched_us FROM events"),
     "q_dsv2_update" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS url, " +
       "CASE WHEN doc_id <= (SELECT max(doc_id) // 5 FROM documents) THEN 'xx' ELSE lang END AS lang " +
       "FROM documents"),

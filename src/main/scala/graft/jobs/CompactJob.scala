@@ -37,6 +37,7 @@ object CompactJob {
   def run(spark: SparkSession, root: String,
           minRows: Long = EncodeJob.BlockSize / 2,
           targetRowsPerPart: Long = EncodeJob.BlockSize): CompactResult = {
+    DecodeJob.requireWebtext(root) // the rewrite decodes/re-encodes WebPage rows
     val entries = SnapshotStore.currentEntries(root)
     val small = entries.filter(_.nRows < minRows)
     val curSnap = SnapshotStore.currentSnapshotId(root).getOrElse(0L)

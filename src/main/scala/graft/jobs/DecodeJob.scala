@@ -74,6 +74,17 @@ object DecodeJob {
     require(SnapshotStore.currentSnapshotId(root).isDefined,
       s"no committed snapshot under $root")
 
+  /** The typed decode API reassembles WebPage rows — a generalized-schema
+    * store (SCHEMA sidecar, r6) would fail deep inside reassembly with a
+    * confusing column-set error; name the problem at the entry point. The V2
+    * SQL surface reads every schema. */
+  private[graft] def requireWebtext(root: String): Unit = {
+    val s = graft.sources.v2.GraftDataSource.storeSchema(root)
+    require(s == graft.sources.v2.GraftDataSource.PageSchema,
+      s"this decode API reads webtext-schema stores; $root has schema " +
+      s"${s.simpleString} — read it via spark.read.format(\"graft\").load(...)")
+  }
+
   /** Time travel: read the blocks visible at a specific committed snapshot
     * (entriesAt fails loudly when no such manifest exists; an empty manifest
     * reads as empty). */
@@ -87,8 +98,10 @@ object DecodeJob {
   }
 
   /** Decode the full snapshot back into pages. */
-  def decode(spark: SparkSession, root: String): Dataset[WebPage] =
+  def decode(spark: SparkSession, root: String): Dataset[WebPage] = {
+    requireWebtext(root)
     reassemble(spark, blocks(spark, root))
+  }
 
   // ---------------- predicate-pushed decode (decoded-view API) ----------------
 
@@ -119,6 +132,10 @@ object DecodeJob {
   final case class TsRange(loMicros: Long, hiMicros: Long) extends BlockPredicate {
     def column: String = "warc_ts"
   }
+  /** Inclusive raw-value range on ANY integer-family column (generalized
+    * schemas: bigint/int/smallint/tinyint, and timestamps as epoch micros) —
+    * prunes via the same exact block_min/max as [[TsRange]]. */
+  final case class IntRange(column: String, lo: Long, hi: Long) extends BlockPredicate
 
   /**
    * Smallest string greater than EVERY string with the given prefix, under
@@ -171,6 +188,9 @@ object DecodeJob {
     case TsRange(lo, hi) =>
       (col("block_min").isNull || col("block_min") <= hi) &&
       (col("block_max").isNull || col("block_max") >= lo)
+    case IntRange(_, lo, hi) =>
+      (col("block_min").isNull || col("block_min") <= hi) &&
+      (col("block_max").isNull || col("block_max") >= lo)
   }
 
   /** Exact row-level form of a predicate over decoded pages. */
@@ -181,6 +201,10 @@ object DecodeJob {
     case StrRange(c, lo, hi) =>
       lo.map(col(c) >= _).getOrElse(lit(true)) && hi.map(col(c) <= _).getOrElse(lit(true))
     case TsRange(lo, hi) => unix_micros(col("warc_ts")).between(lo, hi)
+    // raw stored value (timestamp columns of generalized stores decode as
+    // epoch-micros longs on the V2 surface, where residuals are Spark-side
+    // anyway; this row form serves the int-typed decode API columns)
+    case IntRange(c, lo, hi) => col(c).between(lo, hi)
   }
 
   /**
@@ -204,14 +228,28 @@ object DecodeJob {
     matchingKeysOf(fromEntries(spark, root, entries), predicates)
 
   private def matchingKeysOf(blocksDf: org.apache.spark.sql.DataFrame,
-                             predicates: Seq[BlockPredicate]): org.apache.spark.sql.DataFrame = {
+                             predicates: Seq[BlockPredicate],
+                             allowed: Option[Set[String]] = None): org.apache.spark.sql.DataFrame = {
     require(predicates.nonEmpty, "no predicates")
-    require(predicates.forall(p => PageColumns(p.column) && p.column != "html"),
-      "predicates must target url/warc_ts/text/lang (html is opaque binary: no metadata)")
-    require(predicates.forall {
-      case _: TsRange => true
-      case p => p.column != "warc_ts" // string bounds are meaningless on an i64 column
-    }, "warc_ts predicates must be TsRange")
+    // a predicate naming a column the store does not have matches ZERO block
+    // rows — the intersection would prune EVERYTHING and silently return
+    // empty. The V2 surface passes its table schema's columns (`allowed`);
+    // the webtext decode API keeps the fixed-page-column typo guard.
+    allowed match {
+      case Some(cols) =>
+        require(predicates.forall(p => cols(p.column)),
+          s"predicates must target store columns ${cols.toSeq.sorted.mkString(",")}; got " +
+          predicates.map(_.column).distinct.mkString(","))
+      case None =>
+        require(predicates.forall {
+          case _: IntRange => true // generalized-schema predicates: schema-validated upstream
+          case p => PageColumns(p.column) && p.column != "html"
+        }, "predicates must target url/warc_ts/text/lang (html is opaque binary: no metadata)")
+        require(predicates.forall {
+          case _: TsRange | _: IntRange => true
+          case p => p.column != "warc_ts" // string bounds are meaningless on an i64 column
+        }, "warc_ts predicates must be TsRange")
+    }
     predicates.map { p =>
       blocksDf.where(col("column") === p.column && metaCond(p))
         .select(col("part_id"), col("block_seq"))
@@ -294,8 +332,9 @@ object DecodeJob {
    */
   private[graft] def planPrunedKeys(blocksDf: org.apache.spark.sql.DataFrame,
                                     predicates: Seq[BlockPredicate],
-                                    totalGroupsEstimate: Long): Option[Array[(Int, Int)]] =
-    gatedKeyCollect(matchingKeysOf(blocksDf, predicates), totalGroupsEstimate)
+                                    totalGroupsEstimate: Long,
+                                    allowed: Option[Set[String]] = None): Option[Array[(Int, Int)]] =
+    gatedKeyCollect(matchingKeysOf(blocksDf, predicates, allowed), totalGroupsEstimate)
 
   /** The ONE driver-collect gate for every group-key planner ([[planPrunedKeys]],
     * [[planTopNKeys]]): `take(threshold + 1)` so a non-selective plan never
@@ -313,8 +352,10 @@ object DecodeJob {
     if (keys.length > threshold) None else Some(keys)
   }
 
-  /** The metadata-indexed columns a pushed top-n can plan a prefix over: url
-    * via the string bounds, warc_ts via the exact int block_min/max. */
+  /** The webtext columns a pushed top-n can plan a prefix over: url via the
+    * string bounds, warc_ts via the exact int block_min/max. Generalized
+    * schemas derive the set from their column types instead
+    * ([[graft.sources.v2.GraftScanBuilder.pushTopN]]). */
   private[graft] val TopNColumns = Set("url", "warc_ts")
 
   /**
@@ -342,11 +383,16 @@ object DecodeJob {
   private[graft] def planTopNKeys(blocksDf: org.apache.spark.sql.DataFrame,
                                   column: String,
                                   asc: Boolean, nullsFirst: Boolean, limit: Int,
-                                  totalGroupsEstimate: Long): Option[Array[(Int, Int)]] = {
+                                  totalGroupsEstimate: Long,
+                                  intBounds: Option[Boolean] = None): Option[Array[(Int, Int)]] = {
     require(limit > 0, s"pushed top-n limit must be positive, got $limit")
-    require(TopNColumns(column),
-      s"top-n planning needs a metadata-bounded column ($TopNColumns), got $column")
-    val isTs = column == "warc_ts"
+    // webtext callers omit intBounds (derived from the fixed schema);
+    // generalized-schema callers pass the column's kind explicitly
+    val isTs = intBounds.getOrElse {
+      require(TopNColumns(column),
+        s"top-n planning needs a metadata-bounded column ($TopNColumns), got $column")
+      column == "warc_ts"
+    }
     val spark = blocksDf.sparkSession
     import spark.implicits._
     val nn = if (blocksDf.columns.contains("n_nulls")) col("n_nulls").cast("long")
@@ -398,6 +444,7 @@ object DecodeJob {
   def decodeWhere(spark: SparkSession, root: String,
                   predicates: Seq[BlockPredicate]): Dataset[WebPage] = {
     if (predicates.isEmpty) return decode(spark, root) // no filter = plain decode
+    requireWebtext(root)
     // ONE manifest read feeds both the metadata scan and the data scan: a
     // compaction (StoreMaintenance) committing between two reads would re-home
     // rows into part ids the collected keys no longer match — silent row loss
@@ -428,6 +475,7 @@ object DecodeJob {
       s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
     if (predicates.isEmpty) return decodeColumns(spark, root, wanted) // projection-only
     requireStore(root)
+    requireWebtext(root)
     val entries = SnapshotStore.currentEntries(root) // ONE manifest read for both scans (see decodeWhere)
     val blocksDf = fromEntries(spark, root, entries)
     val effective = (wanted ++ predicates.map(_.column)).distinct
@@ -475,15 +523,19 @@ object DecodeJob {
   }
 
   /** Time travel: decode the pages visible at a specific committed snapshot. */
-  def decodeAt(spark: SparkSession, root: String, snapshotId: Long): Dataset[WebPage] =
+  def decodeAt(spark: SparkSession, root: String, snapshotId: Long): Dataset[WebPage] = {
+    requireWebtext(root)
     reassemble(spark, blocksAt(spark, root, snapshotId))
+  }
 
   /** Decode only the given parts (compaction input). Small lists become an `isin`
     * (pushed to parquet as an In filter); large ones — a year of streaming batches
     * can leave 100k+ small parts — use a broadcast semi-join instead of a
     * 100k-literal expression tree. */
-  def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] =
+  def decodeParts(spark: SparkSession, root: String, partIds: Seq[Int]): Dataset[WebPage] = {
+    requireWebtext(root)
     reassemble(spark, partsOnly(blocks(spark, root), partIds))
+  }
 
   /** [[decodeParts]] over a PINNED entry set (see [[matchingGroupKeysOf]]):
     * the rewrite jobs must decode through the SAME manifest read that chose
@@ -680,6 +732,7 @@ object DecodeJob {
     require(wanted.nonEmpty, "no columns requested")
     require(wanted.forall(PageColumns),
       s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
+    requireWebtext(root)
     projectedReassemble(spark,
       blocks(spark, root).where(col("column").isin(wanted: _*)), wanted)
   }

@@ -36,6 +36,7 @@ object DeleteJob {
    */
   def deleteWhere(spark: SparkSession, root: String, cond: Column,
                   prunePredicates: Seq[DecodeJob.BlockPredicate]): DeleteResult = {
+    DecodeJob.requireWebtext(root) // the COW rewrite decodes/re-encodes WebPage rows
     import spark.implicits._
     val entries = SnapshotStore.currentEntries(root)
     val curSnap = SnapshotStore.currentSnapshotId(root).getOrElse(0L)

@@ -167,84 +167,85 @@ object EncodeJob {
   /** Max chars for a stored string bound (a truncated max would be unsound). */
   val StrBoundMaxLen = 64
 
-  /** Encode one buffered block (all 5 columns) into BlockRows. `private[graft]`:
-    * the V2 write path ([[graft.sources.v2.GraftBatchWrite]]) runs the same
-    * kernel push-style inside each DataWriter task. */
-  private[graft] def flushBlock(partId: Int, seq: Int,
-      urls: java.util.ArrayList[Array[Byte]],
-      ts: Array[Long], tsValid: Array[Boolean], tsN: Int,
-      htmls: java.util.ArrayList[Array[Byte]],
-      texts: java.util.ArrayList[Array[Byte]],
-      langs: java.util.ArrayList[Array[Byte]]): Seq[BlockRow] = {
+  /** One string/binary column's buffered values -> encoded BlockRow with
+    * bounds/dict/count metadata. `textual` = UTF-8 string columns where that
+    * metadata is meaningful; opaque binary gets none (converting it to String
+    * would be unsound). Shared by the webtext kernel and the generalized
+    * schema-driven V2 writer. */
+  private[graft] def strBlockRow(partId: Int, seq: Int, name: String,
+      vs: java.util.ArrayList[Array[Byte]], textual: Boolean): BlockRow = {
+    val arr = vs.toArray(new Array[Array[Byte]](vs.size))
+    val enc = StringBlockCodec.encode(arr)
+    var orig = 0L
+    var nulls = 0
+    arr.foreach(v => if (v != null) orig += v.length else nulls += 1)
 
-    // textual = UTF-8 string columns where bounds/dict metadata is meaningful;
-    // html is opaque binary — converting it to String for metadata would be unsound
-    def strBlock(name: String, vs: java.util.ArrayList[Array[Byte]], textual: Boolean): BlockRow = {
-      val arr = vs.toArray(new Array[Array[Byte]](vs.size))
-      val enc = StringBlockCodec.encode(arr)
-      var orig = 0L
-      var nulls = 0
-      arr.foreach(v => if (v != null) orig += v.length else nulls += 1)
-
-      var mn: Array[Byte] = null
-      var mx: Array[Byte] = null
-      // TreeMap value -> occurrence count: the counts are the dict metadata
-      // that lets grouped aggregates answer from blocks without decoding
-      var dict: java.util.TreeMap[String, Long] =
-        if (textual) new java.util.TreeMap[String, Long]() else null
-      if (textual) {
-        var i = 0
-        while (i < arr.length) {
-          val v = arr(i)
-          if (v != null) {
-            if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
-            if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
-            // dict metadata is for short low-cardinality columns (lang); a long
-            // value disqualifies the block and stops the per-value String copies
-            if (dict != null) {
-              if (v.length > 128 || dict.size > StrDictCap) dict = null
-              else dict.merge(new String(v, StandardCharsets.UTF_8), 1L, (a, b) => a + b)
-            }
+    var mn: Array[Byte] = null
+    var mx: Array[Byte] = null
+    // TreeMap value -> occurrence count: the counts are the dict metadata
+    // that lets grouped aggregates answer from blocks without decoding
+    var dict: java.util.TreeMap[String, Long] =
+      if (textual) new java.util.TreeMap[String, Long]() else null
+    if (textual) {
+      var i = 0
+      while (i < arr.length) {
+        val v = arr(i)
+        if (v != null) {
+          if (mn == null || java.util.Arrays.compareUnsigned(v, mn) < 0) mn = v
+          if (mx == null || java.util.Arrays.compareUnsigned(v, mx) > 0) mx = v
+          // dict metadata is for short low-cardinality columns (lang); a long
+          // value disqualifies the block and stops the per-value String copies
+          if (dict != null) {
+            if (v.length > 128 || dict.size > StrDictCap) dict = null
+            else dict.merge(new String(v, StandardCharsets.UTF_8), 1L, (a, b) => a + b)
           }
-          i += 1
         }
+        i += 1
       }
-      def bound(v: Array[Byte]): Option[String] =
-        if (v == null) None
-        else {
-          val s = new String(v, StandardCharsets.UTF_8)
-          if (s.length <= StrBoundMaxLen) Some(s) else None
-        }
-      val (strDict, strDictCounts) =
-        if (dict != null && dict.size <= StrDictCap && mn != null) {
-          val vs = new Array[String](dict.size)
-          val cs = new Array[Long](dict.size)
-          val it = dict.entrySet().iterator()
-          var j = 0
-          while (it.hasNext) { val e = it.next(); vs(j) = e.getKey; cs(j) = e.getValue; j += 1 }
-          (Some(vs), Some(cs))
-        } else (None, None)
-
-      BlockRow(partId, seq, name, "str", StringBlockCodec.codecName(enc), arr.length,
-        nulls, None, None, None, bound(mn), bound(mx), strDict, strDictCounts,
-        orig, enc.length.toLong, enc)
     }
+    def bound(v: Array[Byte]): Option[String] =
+      if (v == null) None
+      else {
+        val s = new String(v, StandardCharsets.UTF_8)
+        if (s.length <= StrBoundMaxLen) Some(s) else None
+      }
+    val (strDict, strDictCounts) =
+      if (dict != null && dict.size <= StrDictCap && mn != null) {
+        val ds = new Array[String](dict.size)
+        val cs = new Array[Long](dict.size)
+        val it = dict.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) { val e = it.next(); ds(j) = e.getKey; cs(j) = e.getValue; j += 1 }
+        (Some(ds), Some(cs))
+      } else (None, None)
 
-    val tsSlice = java.util.Arrays.copyOf(ts, tsN)
-    val tsValidSlice = java.util.Arrays.copyOf(tsValid, tsN)
-    val tsEnc = IntBlockCodec.encodeNullable(tsSlice, tsValidSlice, PhysicalIntType.I64)
+    BlockRow(partId, seq, name, "str", StringBlockCodec.codecName(enc), arr.length,
+      nulls, None, None, None, bound(mn), bound(mx), strDict, strDictCounts,
+      orig, enc.length.toLong, enc)
+  }
+
+  /** One integer-family column's buffered values (epoch-micros timestamps,
+    * longs, ints, ...) -> encoded BlockRow with exact min/max + dict metadata.
+    * Values ride as Long regardless of width; `t` picks the physical codec
+    * family and the original-bytes accounting. */
+  private[graft] def intBlockRow(partId: Int, seq: Int, name: String,
+      vals: Array[Long], valid: Array[Boolean], n: Int,
+      t: PhysicalIntType): BlockRow = {
+    val slice = java.util.Arrays.copyOf(vals, n)
+    val validSlice = java.util.Arrays.copyOf(valid, n)
+    val enc = IntBlockCodec.encodeNullable(slice, validSlice, t)
     var mn = Long.MaxValue; var mx = Long.MinValue
     var any = false
-    var tsValidN = 0
+    var validN = 0
     val distinct = new java.util.TreeSet[java.lang.Long]()
     var i = 0
-    while (i < tsN) {
-      if (tsValid(i)) {
-        val v = ts(i)
+    while (i < n) {
+      if (valid(i)) {
+        val v = vals(i)
         if (v < mn) mn = v
         if (v > mx) mx = v
         any = true
-        tsValidN += 1
+        validN += 1
         if (distinct.size <= IntDictCap) distinct.add(v)
       }
       i += 1
@@ -257,17 +258,27 @@ object EncodeJob {
         while (it.hasNext) { out(j) = it.next(); j += 1 }
         Some(out)
       } else None
-
-    Seq(
-      strBlock("url", urls, textual = true),
-      BlockRow(partId, seq, "warc_ts", "i64", IntBlockCodec.info(tsEnc).codecName, tsN,
-        tsN - tsValidN,
-        if (any) Some(mn) else None, if (any) Some(mx) else None, intDict,
-        None, None, None, None, tsN.toLong * 8, tsEnc.length.toLong, tsEnc),
-      strBlock("html", htmls, textual = false),
-      strBlock("text", texts, textual = true),
-      strBlock("lang", langs, textual = true))
+    BlockRow(partId, seq, name, t.name, IntBlockCodec.info(enc).codecName, n,
+      n - validN,
+      if (any) Some(mn) else None, if (any) Some(mx) else None, intDict,
+      None, None, None, None, n.toLong * (t.width / 8), enc.length.toLong, enc)
   }
+
+  /** Encode one buffered block (all 5 webtext columns) into BlockRows.
+    * `private[graft]`: the V2 write path runs the same kernel push-style
+    * inside each DataWriter task. */
+  private[graft] def flushBlock(partId: Int, seq: Int,
+      urls: java.util.ArrayList[Array[Byte]],
+      ts: Array[Long], tsValid: Array[Boolean], tsN: Int,
+      htmls: java.util.ArrayList[Array[Byte]],
+      texts: java.util.ArrayList[Array[Byte]],
+      langs: java.util.ArrayList[Array[Byte]]): Seq[BlockRow] =
+    Seq(
+      strBlockRow(partId, seq, "url", urls, textual = true),
+      intBlockRow(partId, seq, "warc_ts", ts, tsValid, tsN, PhysicalIntType.I64),
+      strBlockRow(partId, seq, "html", htmls, textual = false),
+      strBlockRow(partId, seq, "text", texts, textual = true),
+      strBlockRow(partId, seq, "lang", langs, textual = true))
 
   /** Kernel row: raw UTF-8 bytes and epoch micros (+ validity for null warc_ts) —
     * no Timestamp, no String re-materialization (UTF8String -> String -> getBytes

@@ -59,13 +59,13 @@ case class GraftWriteArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case a @ AppendData(r: DataSourceV2Relation, query, opts, _, None, _)
         if a.resolved && isGraftStore(r) && !flagged(opts, r) =>
-      arrange(query).map { q =>
+      arrange(query, sortKeyName(r)).map { q =>
         val (newOpts, newRel) = withFlag(opts, r)
         a.copy(table = newRel, query = q, writeOptions = newOpts)
       }.getOrElse(a)
     case o @ OverwriteByExpression(r: DataSourceV2Relation, _, query, opts, _, None, _)
         if o.resolved && isGraftStore(r) && !flagged(opts, r) =>
-      arrange(query).map { q =>
+      arrange(query, sortKeyName(r)).map { q =>
         val (newOpts, newRel) = withFlag(opts, r)
         o.copy(table = newRel, query = q, writeOptions = newOpts)
       }.getOrElse(o)
@@ -74,6 +74,14 @@ case class GraftWriteArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] 
 
   private def isGraftStore(r: DataSourceV2Relation): Boolean =
     r.table.isInstanceOf[graft.sources.v2.GraftTable]
+
+  /** The table's physical layout key. RangeBucketId buckets strings, so only
+    * a STRING sort key arranges; a schema without one keeps the
+    * ordered-distribution fallback (still range-laid-out, via Spark). */
+  private def sortKeyName(r: DataSourceV2Relation): Option[String] = {
+    val key = graft.sources.v2.GraftDataSource.sortKeyOf(r.table.schema())
+    if (key.dataType == StringType) Some(key.name) else None
+  }
 
   private def flagged(opts: Map[String, String], r: DataSourceV2Relation): Boolean =
     opts.contains(ArrangedKey) || r.options.containsKey(ArrangedKey)
@@ -96,13 +104,13 @@ case class GraftWriteArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] 
     (newOpts, newRel)
   }
 
-  private def arrange(query: LogicalPlan): Option[LogicalPlan] = {
+  private def arrange(query: LogicalPlan, keyName: Option[String]): Option[LogicalPlan] = {
     // operational kill switch (also the A/B lever: WriteAB measures both paths
     // in one JVM with it)
     if (spark.conf.get("spark.graft.write.arrange", "true") == "false") return None
-    val url = query.output.find(_.name.equalsIgnoreCase("url"))
+    val url = keyName.flatMap(k => query.output.find(_.name.equalsIgnoreCase(k)))
       .filter(_.dataType == StringType)
-      .getOrElse(return None) // schema mismatch: let the builder reject it
+      .getOrElse(return None) // no string sort key / mismatch: ordered fallback
     try {
       val pinned = graft.sources.v2.GraftWriteLayout.confWritePartitions()
       val urlsDs = {

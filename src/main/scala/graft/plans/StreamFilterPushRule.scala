@@ -35,9 +35,13 @@ object StreamFilterPushRule extends Rule[LogicalPlan] with PredicateHelper {
     plan.foreach {
       case Filter(cond, r: StreamingDataSourceV2ScanRelation)
           if r.stream.isInstanceOf[GraftMicroBatchStream] =>
+        // column types come from the relation's own output attributes — the
+        // store's (possibly generalized) schema as this stream reads it
+        val schema = org.apache.spark.sql.types.StructType(
+          r.output.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
         val preds = splitConjunctivePredicates(cond)
           .flatMap(e => Shim.translateFilter(e))
-          .flatMap(FilterConversion.toBlockPredicates)
+          .flatMap(f => FilterConversion.toBlockPredicates(f, schema))
         r.stream.asInstanceOf[GraftMicroBatchStream].setPushedPredicates(preds)
       case _ => ()
     }

@@ -73,20 +73,24 @@ final class GraftCatalog extends TableCatalog
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && isStore(ident.name())
 
-  /** `CREATE TABLE graftcat.`/path`` (and the create half of CTAS): initializes
-    * an empty store — an empty snapshot is committed so the table is readable
-    * (zero rows) before its first append. Refuses to adopt an existing
-    * non-empty directory that is not a store: CTAS rollback would otherwise
-    * recursively delete pre-existing foreign data. */
+  /** `CREATE TABLE graftcat.`/path` (cols...)` (and the create half of CTAS):
+    * initializes an empty store — an empty snapshot is committed so the table
+    * is readable (zero rows) before its first append — and persists the
+    * SCHEMA sidecar, making the store self-describing. Any schema the codec
+    * family covers is accepted (string/binary/timestamp/int family;
+    * [[GraftDataSource.validateSchema]]); an empty column list means the
+    * webtext default. The physical layout key is the schema's first string
+    * column ([[GraftDataSource.sortKeyOf]]) — range-partitioned, sorted,
+    * prefix/range-prunable, exactly like url on the webtext schema. Refuses to
+    * adopt an existing non-empty directory that is not a store: CTAS rollback
+    * would otherwise recursively delete pre-existing foreign data. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val root = pathOf(ident)
-    val expected = GraftDataSource.PageSchema
-    require(schema.isEmpty || schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        expected.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"graft table schema is ${expected.simpleString}; cannot create with ${schema.simpleString}")
+    val effective = if (schema.isEmpty) GraftDataSource.PageSchema else schema
+    GraftDataSource.validateSchema(effective)
     require(partitions.isEmpty,
-      "graft tables manage their own layout (url range parts); PARTITIONED BY is not supported")
+      "graft tables manage their own layout (sort-key range parts); PARTITIONED BY is not supported")
     if (isStore(root))
       throw new TableAlreadyExistsException(ident)
     val dir = Paths.get(root)
@@ -99,13 +103,14 @@ final class GraftCatalog extends TableCatalog
         "create a table over it (a failed CTAS rollback would delete its contents)")
     }
     Files.createDirectories(dir)
+    GraftDataSource.writeSchemaSidecar(root, effective)
     SnapshotStore.commit(root, Seq.empty) // snapshot 1, zero parts: empty but readable
     new GraftTable(root)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "graft tables have a fixed schema; ALTER TABLE is not supported")
+      "graft table schemas are fixed at creation; ALTER TABLE is not supported")
 
   /** DROP TABLE deletes the store directory (manifests + data). Only a
     * directory [[isStore]] recognizes is ever deleted — see the safety note

@@ -64,8 +64,13 @@ import graft.sources.SnapshotStore
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.PageSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // an existing store is self-describing via its SCHEMA sidecar; anything
+    // else (new store about to be path-created) defaults to the webtext schema
+    val root = options.get("path")
+    if (root != null && root.nonEmpty) GraftDataSource.storeSchema(root)
+    else GraftDataSource.PageSchema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
@@ -77,13 +82,60 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftDataSource {
-  /** The decoded page view (input_hint schema: BASELINE.json:15). */
+  /** The decoded page view (input_hint schema: BASELINE.json:15) — the DEFAULT
+    * store schema, used by every store without a persisted SCHEMA sidecar. */
   val PageSchema: StructType = StructType(Seq(
     StructField("url", StringType, nullable = true),
     StructField("warc_ts", TimestampType, nullable = true),
     StructField("html", BinaryType, nullable = true),
     StructField("text", StringType, nullable = true),
     StructField("lang", StringType, nullable = true)))
+
+  // -------- generalized store schemas (SCHEMA sidecar) --------
+  // The codec family covers strings (dict/RLE/FSST), opaque binary, and the
+  // full integer family (timestamps ride as epoch micros). A store created
+  // through the catalog persists its schema as a sidecar; stores without one
+  // (every pre-r6 store, and path-created webtext stores) read as PageSchema.
+
+  /** Column types the encode kernel's per-column dispatch covers. */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | TimestampType |
+         LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  def validateSchema(schema: StructType): Unit = {
+    require(schema.nonEmpty, "graft table schema must have at least one column")
+    val bad = schema.fields.filterNot(f => supportedType(f.dataType))
+    require(bad.isEmpty,
+      s"unsupported graft column types: ${bad.map(f => s"${f.name} ${f.dataType.simpleString}")
+        .mkString(", ")} — supported: string, binary, timestamp, bigint, int, smallint, tinyint")
+    val lower = schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(lower.distinct.length == schema.length,
+      s"duplicate column names in ${schema.simpleString}")
+    require(!lower.contains("_part_id"),
+      "_part_id is the reserved group-identity metadata column")
+  }
+
+  /** The store's physical sort/range-layout key: the FIRST string column
+    * (range bucketing + prefix pruning ride string bounds), else the first
+    * column (ordered-distribution writes still give tight int bounds). */
+  def sortKeyOf(schema: StructType): StructField =
+    schema.fields.find(_.dataType == StringType).getOrElse(schema.fields.head)
+
+  def persistedSchema(root: String): Option[StructType] = {
+    val p = java.nio.file.Paths.get(root, "SCHEMA")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(DataType.fromJson(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  def writeSchemaSidecar(root: String, schema: StructType): Unit =
+    SnapshotStore.writeSidecar(root, "SCHEMA", schema.json)
+
+  /** The schema a store decodes as (sidecar, else the webtext default). */
+  def storeSchema(root: String): StructType =
+    persistedSchema(root).getOrElse(PageSchema)
 
   /** A pushed `ORDER BY url|warc_ts` top-n (see [[GraftScanBuilder.pushTopN]]). */
   final case class TopN(column: String, asc: Boolean, nullsFirst: Boolean, limit: Int) {
@@ -137,7 +189,8 @@ object GraftDataSource {
    * total file count).
    */
   private[v2] def packPartitions(spark: SparkSession, root: String,
-      entries: Seq[SnapshotStore.PartEntry], columns: Array[String],
+      entries: Seq[SnapshotStore.PartEntry], readSchema: StructType,
+      refColumn: String,
       keyParts: Option[Set[Int]],
       keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
       columnar: Boolean, limit: Int): (Array[InputPartition], Int) = {
@@ -192,7 +245,7 @@ object GraftDataSource {
         bin += path; binBytes += len + openCost
       }
       if (bin.nonEmpty) bins += bin
-      bins.map(b => GraftInputPartition(b.toArray, columns,
+      bins.map(b => GraftInputPartition(b.toArray, readSchema, refColumn,
         liveByDir(d), keysBc, conf, columnar, limit): InputPartition)
     }.toArray
     (partitions, allFiles.iterator.map(_._2.length).sum)
@@ -221,7 +274,11 @@ final class GraftTable(root: String) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft.`$root`"
-  override def schema(): StructType = GraftDataSource.PageSchema
+  // cached per table instance (instances are per-query); the sidecar is one
+  // tiny read and schemas are immutable for the life of a store
+  private lazy val tableSchema: StructType = GraftDataSource.storeSchema(root)
+  override def schema(): StructType = tableSchema
+  private def isWebtext: Boolean = tableSchema == GraftDataSource.PageSchema
 
   /** `_part_id`: the work-unit (part) a row belongs to — constant per block
     * group, served from the group key with zero decode cost. Queryable like
@@ -247,8 +304,15 @@ final class GraftTable(root: String) extends Table with SupportsRead
   // OptimizeMetadataOnlyDeleteFromTable rule ----
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // the COW rewrite path rides the webtext decode/encode jobs; a silent
+    // attempt on a generalized store would corrupt — refuse loudly
+    if (!isWebtext) throw new UnsupportedOperationException(
+      s"row-level ${info.command()} currently supports webtext-schema stores only; " +
+      s"table at $root has schema ${tableSchema.simpleString} — rewrite via " +
+      "CTAS/INSERT OVERWRITE instead")
     () => new GraftRowLevelOperation(root, info.command())
+  }
 
   // ---- metadata-only DELETE (SupportsDelete): see graft.jobs.DeleteJob ----
 
@@ -256,16 +320,17 @@ final class GraftTable(root: String) extends Table with SupportsRead
     * inexact condition would delete wrong rows (pruning, by contrast, is free
     * to be a superset because residual filters restore exactness on reads). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => FilterConversion.toExactColumn(f).isDefined)
+    isWebtext && // the metadata-only DELETE rides the webtext decode job
+      filters.forall(f => FilterConversion.toExactColumn(f, tableSchema).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val cols = filters.map(f => FilterConversion.toExactColumn(f).getOrElse(
+    val cols = filters.map(f => FilterConversion.toExactColumn(f, tableSchema).getOrElse(
       throw new IllegalArgumentException(
         s"DELETE condition not expressible exactly on the graft table: $f")))
     // AND of all top-level filters; DELETE with no condition = truncate
     val cond = cols.reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val prune = filters.toSeq.flatMap(FilterConversion.toBlockPredicates)
+    val prune = filters.toSeq.flatMap(f => FilterConversion.toBlockPredicates(f, tableSchema))
     graft.jobs.DeleteJob.deleteWhere(SparkSession.active, root, cond, prune)
     ()
   }
@@ -278,7 +343,7 @@ final class GraftTable(root: String) extends Table with SupportsRead
           s"invalid snapshotId option '$v': expected a numeric committed snapshot id")
       }
     }
-    new GraftScanBuilder(root, snapshotId)
+    new GraftScanBuilder(root, snapshotId, tableSchema)
   }
 }
 
@@ -298,56 +363,77 @@ private[graft] object FilterConversion {
   private def satMinus(us: Long): Long = if (us == Long.MinValue) us else us - 1
   private def satPlus(us: Long): Long = if (us == Long.MaxValue) us else us + 1
 
-  private val StringCols = Set("url", "text", "lang")
-
-  /** Block predicates a filter implies (conjuncts; empty = not convertible).
-    * Soundness: each returned predicate is a SUPERSET condition of the filter,
-    * and the filter itself always runs as a residual on decoded rows. */
-  def toBlockPredicates(f: Filter): Seq[DecodeJob.BlockPredicate] = f match {
-    case sources.And(l, r) => toBlockPredicates(l) ++ toBlockPredicates(r)
-    case sources.EqualTo(c, v: String) if StringCols(c) => Seq(DecodeJob.StrEq(c, v))
-    case sources.In(c, vs) if StringCols(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-      Seq(DecodeJob.StrIn(c, vs.toSeq.map(_.asInstanceOf[String])))
-    case sources.StringStartsWith(c, p) if StringCols(c) => Seq(DecodeJob.StrPrefix(c, p))
-    // open-ended ranges (a finite stand-in top bound would prune unsoundly —
-    // strings sort above any finite string); strict </> push the closed
-    // superset range, the residual filter restores strictness
-    case sources.GreaterThanOrEqual(c, v: String) if StringCols(c) =>
-      Seq(DecodeJob.StrRange(c, Some(v), None))
-    case sources.GreaterThan(c, v: String) if StringCols(c) =>
-      Seq(DecodeJob.StrRange(c, Some(v), None))
-    case sources.LessThanOrEqual(c, v: String) if StringCols(c) =>
-      Seq(DecodeJob.StrRange(c, None, Some(v)))
-    case sources.LessThan(c, v: String) if StringCols(c) =>
-      Seq(DecodeJob.StrRange(c, None, Some(v)))
-    case sources.EqualTo("warc_ts", v) =>
-      tsMicros(v).map(us => DecodeJob.TsRange(us, us)).toSeq
-    case sources.GreaterThan("warc_ts", v) =>
-      tsMicros(v).map(us => DecodeJob.TsRange(satPlus(us), Long.MaxValue)).toSeq
-    case sources.GreaterThanOrEqual("warc_ts", v) =>
-      tsMicros(v).map(us => DecodeJob.TsRange(us, Long.MaxValue)).toSeq
-    case sources.LessThan("warc_ts", v) =>
-      tsMicros(v).map(us => DecodeJob.TsRange(Long.MinValue, satMinus(us))).toSeq
-    case sources.LessThanOrEqual("warc_ts", v) =>
-      tsMicros(v).map(us => DecodeJob.TsRange(Long.MinValue, us)).toSeq
-    case _ => Seq.empty
+  /** The raw long of an integral pushed-down literal. */
+  private def intVal(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l)
+    case i: java.lang.Integer => Some(i.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case b: java.lang.Byte => Some(b.toLong)
+    case _ => None
   }
 
-  private val PageCols = Set("url", "warc_ts", "html", "text", "lang")
+  /** Block predicates a filter implies over a store of the given SCHEMA
+    * (conjuncts; empty = not convertible). String columns prune via string
+    * bounds/dicts; timestamp columns via epoch-micros block min/max; the
+    * integer family via raw block min/max. Soundness: each returned predicate
+    * is a SUPERSET condition of the filter, and the filter itself always runs
+    * as a residual on decoded rows. */
+  def toBlockPredicates(f: Filter,
+      schema: StructType = GraftDataSource.PageSchema): Seq[DecodeJob.BlockPredicate] = {
+    val strCols = schema.fields.iterator
+      .filter(_.dataType == StringType).map(_.name).toSet
+    def boundsOf(c: String, v: Any): Option[Long] =
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(TimestampType) => tsMicros(v)
+        case Some(LongType | IntegerType | ShortType | ByteType) => intVal(v)
+        case _ => None
+      }
+    f match {
+      case sources.And(l, r) => toBlockPredicates(l, schema) ++ toBlockPredicates(r, schema)
+      case sources.EqualTo(c, v: String) if strCols(c) => Seq(DecodeJob.StrEq(c, v))
+      case sources.In(c, vs) if strCols(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Seq(DecodeJob.StrIn(c, vs.toSeq.map(_.asInstanceOf[String])))
+      case sources.StringStartsWith(c, p) if strCols(c) => Seq(DecodeJob.StrPrefix(c, p))
+      // open-ended ranges (a finite stand-in top bound would prune unsoundly —
+      // strings sort above any finite string); strict </> push the closed
+      // superset range, the residual filter restores strictness
+      case sources.GreaterThanOrEqual(c, v: String) if strCols(c) =>
+        Seq(DecodeJob.StrRange(c, Some(v), None))
+      case sources.GreaterThan(c, v: String) if strCols(c) =>
+        Seq(DecodeJob.StrRange(c, Some(v), None))
+      case sources.LessThanOrEqual(c, v: String) if strCols(c) =>
+        Seq(DecodeJob.StrRange(c, None, Some(v)))
+      case sources.LessThan(c, v: String) if strCols(c) =>
+        Seq(DecodeJob.StrRange(c, None, Some(v)))
+      case sources.EqualTo(c, v) =>
+        boundsOf(c, v).map(x => DecodeJob.IntRange(c, x, x)).toSeq
+      case sources.GreaterThan(c, v) =>
+        boundsOf(c, v).map(x => DecodeJob.IntRange(c, satPlus(x), Long.MaxValue)).toSeq
+      case sources.GreaterThanOrEqual(c, v) =>
+        boundsOf(c, v).map(x => DecodeJob.IntRange(c, x, Long.MaxValue)).toSeq
+      case sources.LessThan(c, v) =>
+        boundsOf(c, v).map(x => DecodeJob.IntRange(c, Long.MinValue, satMinus(x))).toSeq
+      case sources.LessThanOrEqual(c, v) =>
+        boundsOf(c, v).map(x => DecodeJob.IntRange(c, Long.MinValue, x)).toSeq
+      case _ => Seq.empty
+    }
+  }
 
-  /** EXACT Column form of a filter over the decoded page view, or None when
+  /** EXACT Column form of a filter over the decoded view, or None when
     * not expressible (the DELETE path then refuses the whole statement —
     * unlike pruning, an inexact condition here would delete wrong rows). */
-  def toExactColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+  def toExactColumn(f: Filter,
+      schema: StructType = GraftDataSource.PageSchema): Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, lit}
+    val names = schema.fieldNames.toSet
     def ref(c: String): Option[org.apache.spark.sql.Column] =
-      if (PageCols(c)) Some(col(c)) else None
+      if (names(c)) Some(col(c)) else None
     f match {
       case sources.And(l, r) =>
-        for { a <- toExactColumn(l); b <- toExactColumn(r) } yield a && b
+        for { a <- toExactColumn(l, schema); b <- toExactColumn(r, schema) } yield a && b
       case sources.Or(l, r) =>
-        for { a <- toExactColumn(l); b <- toExactColumn(r) } yield a || b
-      case sources.Not(c) => toExactColumn(c).map(!_)
+        for { a <- toExactColumn(l, schema); b <- toExactColumn(r, schema) } yield a || b
+      case sources.Not(c) => toExactColumn(c, schema).map(!_)
       case sources.EqualTo(c, v) => ref(c).map(_ === lit(v))
       case sources.EqualNullSafe(c, v) => ref(c).map(_ <=> lit(v))
       case sources.In(c, vs) => ref(c).map(_.isin(vs.toIndexedSeq: _*))
@@ -367,11 +453,12 @@ private[graft] object FilterConversion {
   }
 }
 
-final class GraftScanBuilder(root: String, snapshotId: Option[Long])
+final class GraftScanBuilder(root: String, snapshotId: Option[Long],
+    tableSchema: StructType = GraftDataSource.PageSchema)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
-  private var requiredSchema: StructType = GraftDataSource.PageSchema
+  private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var predicates: Seq[DecodeJob.BlockPredicate] = Seq.empty
   private var sawFilters = false
@@ -404,10 +491,17 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
     if (sawFilters || orders.length != 1 || limit <= 0) return false
     val o = orders(0)
     val column = o.expression() match {
-      case n: NamedReference if n.fieldNames.length == 1 &&
-          DecodeJob.TopNColumns(n.fieldNames()(0)) => n.fieldNames()(0)
+      case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames()(0)
       case _ => return false
     }
+    // metadata-bounded columns only: strings carry str bounds, the int family
+    // (incl. timestamps as micros) carries exact block_min/max; opaque binary
+    // has neither
+    val bounded = tableSchema.fields.find(_.name == column).exists(f =>
+      f.dataType == StringType || f.dataType == TimestampType ||
+      f.dataType == LongType || f.dataType == IntegerType ||
+      f.dataType == ShortType || f.dataType == ByteType)
+    if (!bounded) return false
     pushedTopN = Some(GraftDataSource.TopN(
       column = column,
       asc = o.direction() == SortDirection.ASCENDING,
@@ -420,7 +514,7 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
   override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val converted = filters.map(f => f -> FilterConversion.toBlockPredicates(f))
+    val converted = filters.map(f => f -> FilterConversion.toBlockPredicates(f, tableSchema))
     pushed = converted.collect { case (f, ps) if ps.nonEmpty => f }
     predicates = converted.flatMap(_._2).toSeq
     sawFilters = filters.nonEmpty
@@ -439,7 +533,10 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
   private def isWarcTs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
     e match {
       case n: org.apache.spark.sql.connector.expressions.NamedReference =>
-        n.fieldNames.toSeq == Seq("warc_ts")
+        n.fieldNames.toSeq == Seq("warc_ts") &&
+          // a generalized schema could name a STRING column warc_ts: its
+          // blocks have no int bounds and the metadata scan would answer NULL
+          tableSchema.fields.exists(f => f.name == "warc_ts" && f.dataType == TimestampType)
       case _ => false
     }
 
@@ -473,7 +570,9 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
       case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames()(0)
       case _ => return None
     }
-    if (!Set("url", "text", "lang")(gcol)) return None // textual dict-capable columns
+    // textual dict-capable columns = the schema's string fields
+    if (!tableSchema.fields.exists(f => f.name == gcol && f.dataType == StringType))
+      return None
     def isGroupCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case n: NamedReference => n.fieldNames.toSeq == Seq(gcol)
@@ -522,7 +621,7 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long])
         // early-stop row cap is sound only for the order-free bare limit (a task
         // truncating its url-ordered duty under top-n could drop true top-n rows)
         new GraftScan(root, snapshotId, requiredSchema, predicates,
-          if (pushedTopN.isDefined) None else pushedLimit, pushedTopN)
+          if (pushedTopN.isDefined) None else pushedLimit, pushedTopN, tableSchema)
     }
   }
 }
@@ -616,7 +715,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
                       requiredSchema: StructType,
                       initialPredicates: Seq[DecodeJob.BlockPredicate],
                       pushedLimit: Option[Int] = None,
-                      pushedTopN: Option[GraftDataSource.TopN] = None)
+                      pushedTopN: Option[GraftDataSource.TopN] = None,
+                      tableSchema: StructType = GraftDataSource.PageSchema)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -630,19 +730,26 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     * evaluates exactly). */
   private val MaxRuntimeInValues = 10000
 
-  // ---- SupportsRuntimeFiltering: a broadcast-join build side over url (the
-  // store's sort/partition key) prunes block groups AT EXECUTION — the V2
+  // ---- SupportsRuntimeFiltering: a broadcast-join build side over the
+  // store's sort/partition key prunes block groups AT EXECUTION — the V2
   // analog of dynamic partition pruning, riding the same block metadata ----
+  private val sortKeyName: String = GraftDataSource.sortKeyOf(tableSchema).name
+  private val sortKeyIsString: Boolean =
+    GraftDataSource.sortKeyOf(tableSchema).dataType == StringType
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("url"))
+    if (sortKeyIsString)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(sortKeyName))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
     val extra = filters.toSeq.flatMap {
-      case sources.In("url", vs)
-          if vs.nonEmpty && vs.length <= MaxRuntimeInValues &&
+      case sources.In(c, vs)
+          if c == sortKeyName && vs.nonEmpty && vs.length <= MaxRuntimeInValues &&
             vs.forall(_.isInstanceOf[String]) =>
-        Seq(DecodeJob.StrIn("url", vs.toSeq.map(_.asInstanceOf[String])))
-      case sources.EqualTo("url", v: String) => Seq(DecodeJob.StrEq("url", v))
+        Seq(DecodeJob.StrIn(c, vs.toSeq.map(_.asInstanceOf[String])))
+      case sources.EqualTo(c, v: String) if c == sortKeyName =>
+        Seq(DecodeJob.StrEq(c, v))
       case _ => Seq.empty // unconvertible runtime filter: scan stays a superset
     }
     if (extra.nonEmpty) predicates = predicates ++ extra
@@ -681,13 +788,17 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       val keysOpt: Option[Array[(Int, Int)]] =
         if (preds.nonEmpty)
           DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), preds,
-            DecodeJob.estimatedGroups(entries))
+            DecodeJob.estimatedGroups(entries), Some(tableSchema.fieldNames.toSet))
         // top-n prefix pruning only when NO predicate of any kind arrived (a
         // runtime filter landing via filter() makes per-group row counts stop
         // bounding the MATCHING rows — same reason pushTopN refuses filters)
-        else pushedTopN.flatMap(t =>
+        else pushedTopN.flatMap { t =>
+          val intBounds = tableSchema.fields.find(_.name == t.column)
+            .map(_.dataType != StringType)
           DecodeJob.planTopNKeys(DecodeJob.fromEntries(spark, root, entries),
-            t.column, t.asc, t.nullsFirst, t.limit, DecodeJob.estimatedGroups(entries)))
+            t.column, t.asc, t.nullsFirst, t.limit, DecodeJob.estimatedGroups(entries),
+            intBounds)
+        }
       if (cachedKeysBc != null) cachedKeysBc.destroy()
       cachedPreds = preds
       cachedKeys = keysOpt
@@ -755,7 +866,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
         s"spark.graft.v2.columnar must be true or false, got '$v'")
     }
     val (partitions, fileCount) = GraftDataSource.packPartitions(spark, root, entries,
-      requiredSchema.fieldNames, keyParts, keysBc, columnar, pushedLimit.getOrElse(-1))
+      requiredSchema, tableSchema.fields.head.name, keyParts, keysBc, columnar,
+      pushedLimit.getOrElse(-1))
     GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
       partitions.length, fileCount,
       predicates.size, keysOpt.map(_.length), pushedLimit, pushedTopN))
@@ -773,7 +885,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     require(snapshotId.isEmpty,
       "snapshotId (time travel) and readStream are mutually exclusive: a stream " +
       "already replays the snapshot sequence from its checkpointed offset")
-    new GraftMicroBatchStream(root, requiredSchema.fieldNames, initialPredicates)
+    new GraftMicroBatchStream(root, requiredSchema, tableSchema.fields.head.name,
+      initialPredicates)
   }
 }
 
@@ -781,14 +894,17 @@ final class GraftScan(root: String, snapshotId: Option[Long],
   * within each file by construction. */
 final case class GraftInputPartition(
     files: Array[String],
-    columns: Array[String],          // required output columns, in schema order
+    readSchema: StructType,          // required output columns + types, in order
+    refColumn: String,               // store's first column: the count-only reference
     liveParts: Array[Int],           // sorted live part ids of the files' dir
     // broadcast of ALL surviving sorted (part_id<<32|seq) keys, or null = no
     // pruning; each task slices its dir's runs out (bounded per-task payload)
     keysBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
     conf: org.apache.spark.util.SerializableConfiguration,
     columnar: Boolean,
-    limit: Int = -1) extends InputPartition // pushed per-task row cap; -1 = none
+    limit: Int = -1) extends InputPartition { // pushed per-task row cap; -1 = none
+  def columns: Array[String] = readSchema.fieldNames
+}
 
 /** GroupReadSupport whose requested schema is a named-field projection of the
   * file's own schema nodes (exact repetition/type match by construction). */
@@ -1018,9 +1134,9 @@ final class GraftPartitionReader(p: GraftInputPartition)
   // empty DATA projection (count(*), or a metadata-only one like
   // `SELECT _part_id`): only (group key, row count) is needed, and the stream's
   // count-only mode reads exactly that — the `encoded` pages of the reference
-  // column (url, present in every group) are never pulled off disk
+  // column (the store's first column, present in every group) never leave disk
   private val metaOnly = dataCols.isEmpty
-  private val readCols: Array[String] = if (metaOnly) Array("url") else dataCols
+  private val readCols: Array[String] = if (metaOnly) Array(p.refColumn) else dataCols
   private val stream = new BlockGroupStream(p, readCols, countOnly = metaOnly)
 
   private var current: InternalRow = _
@@ -1033,19 +1149,34 @@ final class GraftPartitionReader(p: GraftInputPartition)
       val empty: InternalRow = new GenericInternalRow(0)
       return Iterator.fill(gd.n)(empty)
     }
-    val decoded: Array[Int => Any] = p.columns.map {
-      case "_part_id" =>
+    // per-column decode dispatch is TYPE-driven off the read schema (the
+    // store's persisted schema pruned to this scan): timestamps and the int
+    // family ride IntBlockCodec as longs, binary stays raw bytes, strings wrap
+    // zero-copy as UTF8String
+    val decoded: Array[Int => Any] = p.readSchema.fields.map { f =>
+      if (f.name == "_part_id") {
         val v = java.lang.Integer.valueOf(gd.pid)
-        (_: Int) => v
-      case "warc_ts" =>
-        val (us, ok) = IntBlockCodec.decodeNullable(gd.cols("warc_ts"))
-        (i: Int) => if (ok(i)) java.lang.Long.valueOf(us(i)) else null
-      case "html" =>
-        val vs = StringBlockCodec.decode(gd.cols("html"))
-        (i: Int) => vs(i)
-      case c =>
-        val vs = StringBlockCodec.decode(gd.cols(c))
-        (i: Int) => if (vs(i) == null) null else UTF8String.fromBytes(vs(i))
+        (_: Int) => v: Any
+      } else f.dataType match {
+        case TimestampType | LongType =>
+          val (us, ok) = IntBlockCodec.decodeNullable(gd.cols(f.name))
+          (i: Int) => if (ok(i)) java.lang.Long.valueOf(us(i)) else null
+        case IntegerType =>
+          val (vs, ok) = IntBlockCodec.decodeNullable(gd.cols(f.name))
+          (i: Int) => if (ok(i)) java.lang.Integer.valueOf(vs(i).toInt) else null
+        case ShortType =>
+          val (vs, ok) = IntBlockCodec.decodeNullable(gd.cols(f.name))
+          (i: Int) => if (ok(i)) java.lang.Short.valueOf(vs(i).toShort) else null
+        case ByteType =>
+          val (vs, ok) = IntBlockCodec.decodeNullable(gd.cols(f.name))
+          (i: Int) => if (ok(i)) java.lang.Byte.valueOf(vs(i).toByte) else null
+        case BinaryType =>
+          val vs = StringBlockCodec.decode(gd.cols(f.name))
+          (i: Int) => vs(i)
+        case _ =>
+          val vs = StringBlockCodec.decode(gd.cols(f.name))
+          (i: Int) => if (vs(i) == null) null else UTF8String.fromBytes(vs(i))
+      }
     }
     (0 until gd.n).iterator.map { i =>
       val row = new GenericInternalRow(decoded.length)
@@ -1092,12 +1223,11 @@ final class GraftColumnarReader(p: GraftInputPartition)
   import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
   private val countOnly = p.columns.isEmpty
-  private val readCols: Array[String] = if (countOnly) Array("url") else p.columns
+  private val readCols: Array[String] = if (countOnly) Array(p.refColumn) else p.columns
   private val stream = new BlockGroupStream(p, readCols, countOnly)
-  // single source of truth for field types (a hand-written name match here
-  // could silently drift from PageSchema and corrupt vector values)
-  private val schema: StructType =
-    StructType(p.columns.map(c => GraftDataSource.PageSchema(c)))
+  // single source of truth for field types: the scan's read schema (pruned
+  // from the store's persisted schema)
+  private val schema: StructType = p.readSchema
 
   /** Per-batch byte ceiling per column: OnHeapColumnVector backs variable-width
     * values with ONE contiguous byte array (hard ~2GB JVM limit), so a 64Ki-row
@@ -1114,12 +1244,16 @@ final class GraftColumnarReader(p: GraftInputPartition)
   private def toBatches(gd: BlockGroupStream#GroupData): Iterator[ColumnarBatch] = {
     if (countOnly)
       return Iterator.single(new ColumnarBatch(Array.empty[ColumnVector], gd.n))
+    @inline def isIntFamily(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case TimestampType | LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
     val decodedStr: Map[String, Array[Array[Byte]]] =
-      p.columns.iterator.filter(_ != "warc_ts")
-        .map(c => c -> StringBlockCodec.decode(gd.cols(c))).toMap
-    val ts: (Array[Long], Array[Boolean]) =
-      if (p.columns.contains("warc_ts")) IntBlockCodec.decodeNullable(gd.cols("warc_ts"))
-      else null
+      schema.fields.iterator.filterNot(f => isIntFamily(f.dataType))
+        .map(f => f.name -> StringBlockCodec.decode(gd.cols(f.name))).toMap
+    val decodedInt: Map[String, (Array[Long], Array[Boolean])] =
+      schema.fields.iterator.filter(f => isIntFamily(f.dataType))
+        .map(f => f.name -> IntBlockCodec.decodeNullable(gd.cols(f.name))).toMap
     // worst per-row byte estimate over string/binary columns drives the split
     val colBytes: Map[String, Long] =
       decodedStr.map { case (c, vs) =>
@@ -1167,14 +1301,23 @@ final class GraftColumnarReader(p: GraftInputPartition)
       var j = 0
       while (j < p.columns.length) {
         val vec = vectors(j)
-        p.columns(j) match {
-          case "warc_ts" =>
+        val f = schema.fields(j)
+        f.dataType match {
+          case TimestampType | LongType | IntegerType | ShortType | ByteType =>
+            val (vals, ok) = decodedInt(f.name)
+            val put: (Int, Long) => Unit = f.dataType match {
+              case IntegerType => (i, v) => vec.putInt(i, v.toInt)
+              case ShortType => (i, v) => vec.putShort(i, v.toShort)
+              case ByteType => (i, v) => vec.putByte(i, v.toByte)
+              case _ => (i, v) => vec.putLong(i, v)
+            }
             var i = 0
             while (i < n) {
-              if (ts._2(from + i)) vec.putLong(i, ts._1(from + i)) else vec.putNull(i)
+              if (ok(from + i)) put(i, vals(from + i)) else vec.putNull(i)
               i += 1
             }
-          case c =>
+          case _ =>
+            val c = f.name
             val vs = decodedStr(c)
             // one upfront child reserve: per-value growth doubles-and-copies
             // the contiguous array ~a dozen times per multi-MB column otherwise

@@ -59,7 +59,9 @@ object GraftOffset {
  * with the remediation — size `expireSnapshots(keepLast)` to cover the
  * maximum stream lag.
  */
-final class GraftMicroBatchStream(root: String, columns: Array[String],
+final class GraftMicroBatchStream(root: String,
+    readSchema: org.apache.spark.sql.types.StructType,
+    refColumn: String,
     initialPredicates: Seq[graft.jobs.DecodeJob.BlockPredicate] = Seq.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
@@ -205,7 +207,8 @@ final class GraftMicroBatchStream(root: String, columns: Array[String],
       val keysOpt: Option[Array[(Int, Int)]] =
         if (predicates.isEmpty) None
         else DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries),
-          predicates, DecodeJob.estimatedGroups(entries))
+          predicates, DecodeJob.estimatedGroups(entries),
+          Some(GraftDataSource.storeSchema(root).fieldNames.toSet))
       val keyParts = keysOpt.map(_.map(_._1).toSet)
       val newBc = keysOpt.map(ks => spark.sparkContext.broadcast(
         ks.map(k => DecodeJob.packKey(k._1, k._2)).sorted)).orNull
@@ -215,8 +218,9 @@ final class GraftMicroBatchStream(root: String, columns: Array[String],
       if (lastKeysBc != null) lastKeysBc.destroy()
       lastKeysBc = newBc
       // row path only (batch-sized ColumnarBatches buy nothing on micro-batches)
-      val (parts, files) = GraftDataSource.packPartitions(spark, root, entries, columns,
-        keyParts = keyParts, keysBc = newBc, columnar = false, limit = -1)
+      val (parts, files) = GraftDataSource.packPartitions(spark, root, entries,
+        readSchema, refColumn, keyParts = keyParts, keysBc = newBc,
+        columnar = false, limit = -1)
       GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
         parts.length, files, predicates.size, keysOpt.map(_.length)))
       lastRange = rangeKey

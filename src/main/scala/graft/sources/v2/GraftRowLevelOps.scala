@@ -204,7 +204,7 @@ final class GraftCowScan(root: String, op: GraftRowLevelOperation,
     val cowEntries = entries.filter(e => affected(e.partId))
     if (cowEntries.isEmpty) return Array.empty
     GraftDataSource.packPartitions(SparkSession.active, root, cowEntries,
-      requiredSchema.fieldNames, None, null, columnar = false, limit = -1)._1
+      requiredSchema, "url", None, null, columnar = false, limit = -1)._1
   }
 
   override def createReaderFactory(): PartitionReaderFactory = GraftReaderFactory

@@ -65,15 +65,18 @@ final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
 
   override def build(): Write = {
     val s = info.schema()
-    val expected = GraftDataSource.PageSchema
+    // the store's persisted schema (SCHEMA sidecar, written by the catalog's
+    // CREATE TABLE / the first commit), else the webtext default
+    val expected = GraftDataSource.storeSchema(root)
     require(s.fields.map(f => (f.name, f.dataType)).toSeq ==
         expected.fields.map(f => (f.name, f.dataType)).toSeq,
       s"graft table schema is ${expected.simpleString}; cannot write ${s.simpleString}")
     // pre-arranged by GraftWriteArrangeRule: the query already carries the
-    // bucket exchange + url sort, so requiring a distribution here would stack
-    // a second (range, full-double-compute) exchange on top
+    // bucket exchange + sort-key sort, so requiring a distribution here would
+    // stack a second (range, full-double-compute) exchange on top
     new GraftWrite(root, replaceAll,
-      arranged = info.options.getBoolean(graft.plans.GraftWriteArrangeRule.ArrangedKey, false))
+      arranged = info.options.getBoolean(graft.plans.GraftWriteArrangeRule.ArrangedKey, false),
+      schema = expected)
   }
 }
 
@@ -82,11 +85,21 @@ final class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   * ([[GraftCowWrite]]). One definition: a fix to the distribution contract or
   * the partitions-conf validation must not have to land twice. */
 private[graft] object GraftWriteLayout {
-  /** Range-partition + sort on url: the store's physical layout invariant. */
+  /** Range-partition + sort on url: the WEBTEXT store's physical layout
+    * invariant (kept for the webtext-only row-level rewrite path). */
   val UrlOrdered: Array[SortOrder] =
     Array(Expressions.sort(Expressions.column("url"), SortDirection.ASCENDING))
 
   def urlDistribution: Distribution = Distributions.ordered(UrlOrdered)
+
+  /** Generalized layout: range-partition + sort on the schema's sort key (the
+    * first string column, else the first column — GraftDataSource.sortKeyOf). */
+  def sortOrderFor(schema: org.apache.spark.sql.types.StructType): Array[SortOrder] =
+    Array(Expressions.sort(
+      Expressions.column(GraftDataSource.sortKeyOf(schema).name), SortDirection.ASCENDING))
+
+  def distributionFor(schema: org.apache.spark.sql.types.StructType): Distribution =
+    Distributions.ordered(sortOrderFor(schema))
 
   /** `spark.graft.write.partitions`, validated; 0 = unset (Spark/AQE sizes the
     * exchange). See [[GraftWrite.requiredNumPartitions]] for why big writes
@@ -134,18 +147,20 @@ private[graft] object GraftWriteLayout {
     }.toSeq
 }
 
-final class GraftWrite(root: String, replaceAll: Boolean, arranged: Boolean = false)
+final class GraftWrite(root: String, replaceAll: Boolean, arranged: Boolean = false,
+    schema: StructType = GraftDataSource.PageSchema)
     extends Write with RequiresDistributionAndOrdering {
 
-  // range-partition + sort on url: the store's physical layout invariant.
-  // `arranged` = GraftWriteArrangeRule already injected the (cheaper,
-  // sample-free) bucket exchange + sort into the query — ask for nothing, or
-  // Spark stacks a second exchange with a full-double-compute sample pass
+  // range-partition + sort on the schema's sort key: the store's physical
+  // layout invariant. `arranged` = GraftWriteArrangeRule already injected the
+  // (cheaper, sample-free) bucket exchange + sort into the query — ask for
+  // nothing, or Spark stacks a second exchange with a full-double-compute
+  // sample pass
   override def requiredDistribution(): Distribution =
-    if (arranged) Distributions.unspecified() else GraftWriteLayout.urlDistribution
+    if (arranged) Distributions.unspecified() else GraftWriteLayout.distributionFor(schema)
 
   override def requiredOrdering(): Array[SortOrder] =
-    if (arranged) Array.empty else GraftWriteLayout.UrlOrdered
+    if (arranged) Array.empty else GraftWriteLayout.sortOrderFor(schema)
 
   /** Writer task count. Default 0 lets Spark size the range exchange
     * (shuffle partitions / AQE) — right for everyday appends. For BIG writes
@@ -178,7 +193,7 @@ final class GraftWrite(root: String, replaceAll: Boolean, arranged: Boolean = fa
   override def advisoryPartitionSizeInBytes(): Long =
     if (arranged || requiredNumPartitions() > 0) 0L else 64L << 20
 
-  override def toBatch: BatchWrite = new GraftBatchWrite(root, replaceAll)
+  override def toBatch: BatchWrite = new GraftBatchWrite(root, replaceAll, schema)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!arranged,
@@ -188,7 +203,7 @@ final class GraftWrite(root: String, replaceAll: Boolean, arranged: Boolean = fa
     require(!replaceAll,
       "graft streaming write supports APPEND output mode only (complete/update " +
       "would truncate the store every epoch)")
-    new GraftStreamingWrite(root)
+    new GraftStreamingWrite(root, schema)
   }
 
   override def description(): String =
@@ -203,7 +218,8 @@ final case class GraftWriterCommitMessage(
     encBytes: Long,
     codecsJson: String) extends WriterCommitMessage
 
-final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrite {
+final class GraftBatchWrite(root: String, replaceAll: Boolean,
+    schema: StructType = GraftDataSource.PageSchema) extends BatchWrite {
 
   // a streaming-encoded store reserves the WHOLE upward id space as its
   // batchId*parts namespace: a SQL append at max+1 would occupy a future
@@ -227,9 +243,14 @@ final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrit
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftDataWriterFactory(absDir, partOffset,
       new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()), schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // the store is self-describing from its first commit on: later reads,
+    // writes, and the arrange rule all key off the persisted schema (absent =
+    // the webtext default, so persisting it for webtext too is just explicit)
+    if (GraftDataSource.persistedSchema(root).isEmpty)
+      GraftDataSource.writeSchemaSidecar(root, schema)
     val msgs = messages.map(_.asInstanceOf[GraftWriterCommitMessage])
     // exactly-once: a crashed/zombie attempt may have left a file no commit
     // message names — it must not be readable through the manifest's dir scan
@@ -252,10 +273,11 @@ final class GraftBatchWrite(root: String, replaceAll: Boolean) extends BatchWrit
 }
 
 final case class GraftDataWriterFactory(absDir: String, partOffset: Int,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    schema: StructType = GraftDataSource.PageSchema)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(absDir, partOffset + partitionId, partitionId, taskId, conf)
+    new GraftDataWriter(absDir, partOffset + partitionId, partitionId, taskId, conf, schema)
 }
 
 /**
@@ -328,7 +350,8 @@ private[graft] object EpochRows {
     }
 }
 
-final class GraftStreamingWrite(root: String)
+final class GraftStreamingWrite(root: String,
+    schema: StructType = GraftDataSource.PageSchema)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -345,9 +368,11 @@ final class GraftStreamingWrite(root: String)
     // already grown by batch/SQL appends (ids 0..parts-1 look committed and
     // epoch 0 would silently vanish)
     graft.streaming.StreamingEncode.checkStreamParts(root, parts)
+    if (GraftDataSource.persistedSchema(root).isEmpty)
+      GraftDataSource.writeSchemaSidecar(root, schema) // self-describing store
     GraftStreamingDataWriterFactory(root, runUuid, parts,
       new org.apache.spark.util.SerializableConfiguration(
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()), schema)
   }
 
   private def absDir(epochId: Long): String = Paths.get(root, relDir(epochId)).toString
@@ -419,7 +444,8 @@ final class GraftStreamingWrite(root: String)
 }
 
 final case class GraftStreamingDataWriterFactory(root: String, runUuid: String,
-    parts: Int, conf: org.apache.spark.util.SerializableConfiguration)
+    parts: Int, conf: org.apache.spark.util.SerializableConfiguration,
+    schema: StructType = GraftDataSource.PageSchema)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -434,7 +460,8 @@ final case class GraftStreamingDataWriterFactory(root: String, runUuid: String,
     require(partitionId < parts,
       s"writer partition $partitionId exceeds the pinned stream width $parts")
     val absDir = Paths.get(root, s"data/stream-$runUuid-e$epochId").toString
-    new GraftDataWriter(absDir, offset.toInt + partitionId, partitionId, taskId, conf)
+    new GraftDataWriter(absDir, offset.toInt + partitionId, partitionId, taskId, conf,
+      schema)
   }
 }
 
@@ -482,16 +509,20 @@ object GraftDataWriter {
 }
 
 /**
- * One task's encode kernel: buffers the (url-sorted) partition rows into
+ * One task's encode kernel: buffers the (sort-key-ordered) partition rows into
  * bounded blocks — the same 64Ki-row / [[EncodeJob.MaxBlockBytes]] flush rule
  * as [[EncodeJob.encodePartition]], push-style — and appends each flushed
- * block's 5 column rows to this task's own parquet file. Memory is one block
+ * block's column rows to this task's own parquet file. Memory is one block
  * in flight; the file is attempt-unique so speculative twins cannot collide.
+ * Columns are SCHEMA-DRIVEN: strings get textual bounds/dict metadata, binary
+ * is opaque, timestamps ride as epoch micros, and the integer family encodes
+ * through the width-matched physical codec (i64/i32/i16/i8).
  */
 final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskId: Long,
     conf: org.apache.spark.util.SerializableConfiguration =
       new org.apache.spark.util.SerializableConfiguration(
-        new org.apache.hadoop.conf.Configuration()))
+        new org.apache.hadoop.conf.Configuration()),
+    schema: StructType = GraftDataSource.PageSchema)
     extends DataWriter[InternalRow] {
   import graft.jobs.EncodeJob.{BlockSize, MaxBlockBytes}
 
@@ -510,14 +541,37 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
   private var writer: ParquetWriter[Group] = _
   private val factory = new SimpleGroupFactory(GraftDataWriter.BlockFileSchema)
 
-  // ---- block buffers (mirrors EncodeJob.encodePartition) ----
+  // ---- schema-driven block buffers (mirrors EncodeJob.encodePartition) ----
+  private val fields = schema.fields
+  // per field: a byte-array buffer (string/binary) OR a long+valid buffer (ints)
+  private val strBufs = new Array[java.util.ArrayList[Array[Byte]]](fields.length)
+  private val textual = new Array[Boolean](fields.length)
+  private val longBufs = new Array[Array[Long]](fields.length)
+  private val validBufs = new Array[Array[Boolean]](fields.length)
+  private val intKind = new Array[graft.core.PhysicalIntType](fields.length)
+  fields.zipWithIndex.foreach { case (f, i) =>
+    f.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        strBufs(i) = new java.util.ArrayList[Array[Byte]](BlockSize); textual(i) = true
+      case org.apache.spark.sql.types.BinaryType =>
+        strBufs(i) = new java.util.ArrayList[Array[Byte]](BlockSize)
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.LongType =>
+        longBufs(i) = new Array[Long](BlockSize); validBufs(i) = new Array[Boolean](BlockSize)
+        intKind(i) = graft.core.PhysicalIntType.I64
+      case org.apache.spark.sql.types.IntegerType =>
+        longBufs(i) = new Array[Long](BlockSize); validBufs(i) = new Array[Boolean](BlockSize)
+        intKind(i) = graft.core.PhysicalIntType.I32
+      case org.apache.spark.sql.types.ShortType =>
+        longBufs(i) = new Array[Long](BlockSize); validBufs(i) = new Array[Boolean](BlockSize)
+        intKind(i) = graft.core.PhysicalIntType.I16
+      case org.apache.spark.sql.types.ByteType =>
+        longBufs(i) = new Array[Long](BlockSize); validBufs(i) = new Array[Boolean](BlockSize)
+        intKind(i) = graft.core.PhysicalIntType.I8
+      case other => throw new IllegalArgumentException(
+        s"unsupported graft column type ${f.name} ${other.simpleString}")
+    }
+  }
   private var blockSeq = 0
-  private val urls = new java.util.ArrayList[Array[Byte]](BlockSize)
-  private val htmls = new java.util.ArrayList[Array[Byte]](BlockSize)
-  private val texts = new java.util.ArrayList[Array[Byte]](BlockSize)
-  private val langs = new java.util.ArrayList[Array[Byte]](BlockSize)
-  private val ts = new Array[Long](BlockSize)
-  private val tsValid = new Array[Boolean](BlockSize)
   private var n = 0
   private var bufBytes = 0L
 
@@ -582,31 +636,53 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
   private def flush(): Unit = {
     if (n == 0) return
     if (writer == null) openWriter()
-    val blocks = EncodeJob.flushBlock(partId, blockSeq, urls, ts, tsValid, n,
-      htmls, texts, langs)
-    blocks.foreach { b =>
+    var i = 0
+    while (i < fields.length) {
+      val b =
+        if (strBufs(i) != null)
+          EncodeJob.strBlockRow(partId, blockSeq, fields(i).name, strBufs(i), textual(i))
+        else
+          EncodeJob.intBlockRow(partId, blockSeq, fields(i).name,
+            longBufs(i), validBufs(i), n, intKind(i))
       writer.write(toGroup(b))
       origBytes += b.orig_bytes
       encBytes += b.enc_bytes
-      if (b.column == "url") rows += b.n
       codecsByColumn.getOrElseUpdate(b.column,
         scala.collection.mutable.TreeSet.empty[String]) ++= b.codec.split('+')
+      if (strBufs(i) != null) strBufs(i).clear()
+      i += 1
     }
-    urls.clear(); htmls.clear(); texts.clear(); langs.clear()
+    rows += n
     n = 0; bufBytes = 0L; blockSeq += 1
   }
 
   override def write(row: InternalRow): Unit = {
-    // PageSchema order: url, warc_ts (micros), html, text, lang
-    val url = if (row.isNullAt(0)) null else row.getUTF8String(0).getBytes
-    if (row.isNullAt(1)) { ts(n) = 0L; tsValid(n) = false }
-    else { ts(n) = row.getLong(1); tsValid(n) = true }
-    val html = if (row.isNullAt(2)) null else row.getBinary(2)
-    val text = if (row.isNullAt(3)) null else row.getUTF8String(3).getBytes
-    val lang = if (row.isNullAt(4)) null else row.getUTF8String(4).getBytes
-    urls.add(url); htmls.add(html); texts.add(text); langs.add(lang)
+    var i = 0
+    while (i < fields.length) {
+      if (strBufs(i) != null) {
+        val v =
+          if (row.isNullAt(i)) null
+          else if (textual(i)) row.getUTF8String(i).getBytes
+          else row.getBinary(i)
+        strBufs(i).add(v)
+        bufBytes += lenOf(v)
+      } else {
+        if (row.isNullAt(i)) { longBufs(i)(n) = 0L; validBufs(i)(n) = false }
+        else {
+          longBufs(i)(n) = fields(i).dataType match {
+            case org.apache.spark.sql.types.IntegerType => row.getInt(i).toLong
+            case org.apache.spark.sql.types.ShortType => row.getShort(i).toLong
+            case org.apache.spark.sql.types.ByteType => row.getByte(i).toLong
+            case _ => row.getLong(i) // timestamp micros / bigint
+          }
+          validBufs(i)(n) = true
+        }
+        bufBytes += 8L
+      }
+      i += 1
+    }
     n += 1
-    bufBytes += lenOf(url) + lenOf(html) + lenOf(text) + lenOf(lang) + 16L
+    bufBytes += 8L
     if (n == 50 && GraftDataWriter.failNextWriteOnce.compareAndSet(true, false)) {
       flush() // leave a partial staged file so abort/cleanup is actually exercised
       throw new RuntimeException("graft test hook: injected write failure")

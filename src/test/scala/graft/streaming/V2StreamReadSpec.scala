@@ -162,7 +162,9 @@ class V2StreamReadSpec extends AnyFunSuite {
     val root = tmp()
     EncodeJob.run(spark, Webtext.generate(spark, 2000L, 4), root, parts = 4, waves = 2)
     assert(GraftOffset.fromJson(GraftOffset(7L).json()) == GraftOffset(7L))
-    val stream = new graft.sources.v2.GraftMicroBatchStream(root, Array("url", "lang"))
+    val stream = new graft.sources.v2.GraftMicroBatchStream(root,
+      org.apache.spark.sql.types.StructType(Seq("url", "lang").map(c =>
+        graft.sources.v2.GraftDataSource.PageSchema(c))), "url")
     val p1 = stream.planInputPartitions(GraftOffset(0L), GraftOffset(1L))
     val p2 = stream.planInputPartitions(GraftOffset(1L), GraftOffset(2L))
     val p1again = stream.planInputPartitions(GraftOffset(0L), GraftOffset(1L))
@@ -304,7 +306,8 @@ class V2StreamReadSpec extends AnyFunSuite {
     Webtext.generate(spark, 200L, 1).toDF()
       .write.format("graft").mode("append").save(root) // snapshot 2
     SnapshotStore.expireSnapshots(root, keepLast = 1, orphanGraceMs = 0)
-    val stream = new GraftMicroBatchStream(root, Array("url"))
+    val stream = new GraftMicroBatchStream(root,
+      org.apache.spark.sql.types.StructType(Seq(graft.sources.v2.GraftDataSource.PageSchema("url"))), "url")
     val end = SnapshotStore.currentSnapshotId(root).get
     val parts = stream.planInputPartitions(
       GraftOffset(0L), GraftOffset(end)) // non-fresh zero offset
