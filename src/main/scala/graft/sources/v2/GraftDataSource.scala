@@ -589,6 +589,10 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
 
   private var pushedGrouped: Option[(String, Seq[GroupedAggKind],
     Seq[GraftGroupedAgg.GroupRow])] = None
+  // build() serves the grouped scan ONLY after Spark ACCEPTED it through
+  // pushAggregation — a supportCompletePushDown probe alone must not flip the
+  // scan's output schema (Spark would still expect full-width rows)
+  private var groupedAccepted = false
 
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
     convertAgg(agg).isDefined || (convertGroupedAgg(agg) match {
@@ -605,16 +609,21 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
   override def pushAggregation(agg: aggregate.Aggregation): Boolean =
     convertAgg(agg) match {
       case Some(a) => pushedAggs = Some(a); true
-      // grouped: accepted only as the COMPLETE pushdown prepared above —
-      // a partial grouped pushdown (supportCompletePushDown false) must be
-      // refused, the per-block counts cannot serve Spark's partial agg shape
-      case None => pushedGrouped.isDefined && convertGroupedAgg(agg).isDefined
+      // grouped: accepted only as the COMPLETE pushdown prepared above, for
+      // the SAME (group column, aggregate kinds) — a partial grouped pushdown
+      // (supportCompletePushDown false) must be refused, the per-block counts
+      // cannot serve Spark's partial agg shape
+      case None =>
+        val matches = pushedGrouped.exists(p =>
+          convertGroupedAgg(agg).contains((p._1, p._2)))
+        if (matches) groupedAccepted = true
+        matches
     }
 
   override def build(): Scan = pushedAggs match {
     // a pushed aggregate yields one metadata row — a limit on top is moot
     case Some(aggs) => new GraftAggScan(root, snapshotId, aggs)
-    case None => pushedGrouped match {
+    case None => pushedGrouped.filter(_ => groupedAccepted) match {
       case Some((c, kinds, rows)) => new GraftGroupedAggScan(root, c, kinds, rows)
       case None =>
         // Spark pushes EITHER a bare limit or a top-n, never both; the per-task
