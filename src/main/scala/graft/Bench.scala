@@ -125,10 +125,7 @@ object Bench {
   }
 
   /** tmpfs scratch so the measurement reflects compute, not sandbox disk noise. */
-  private val scratch: String = {
-    val base = if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
-    java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(base), "graft-bench-").toString
-  }
+  private val scratch: String = graft.jobs.LocalSession.tmpfsScratchDir("graft-bench-")
 
   private def newSession(threads: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -177,11 +174,8 @@ object Bench {
     best.toMap
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.jobs.LocalSession.deleteRecursively(f)
 
   /** Min-of-`rounds` INTERLEAVED query timing (round-robin A,B,C,A,B,C…): the
     * first round pays JIT + the shared store encode, and interleaving spreads

@@ -19,4 +19,19 @@ object LocalSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Fresh tmpfs-backed scratch dir (falls back to /tmp when /dev/shm is not
+    * writable) so measurements reflect compute, not sandbox disk noise.
+    * Shared by the measurement mains (Bench / WriteAB / WriteScaleCheck). */
+  def tmpfsScratchDir(prefix: String): String = {
+    val base = if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else "/tmp"
+    java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(base), prefix).toString
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -21,19 +21,12 @@ import org.apache.spark.sql.functions._
  * methodology (this host shows 2-3x minute-scale noise).
  */
 object WriteAB {
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete()
-  }
+  import LocalSession.deleteRecursively
 
   def main(args: Array[String]): Unit = {
     val pagesN = if (args.length > 0) args(0).toLong else 400000L
     val rounds = if (args.length > 1) args(1).toInt else 3
-    val scratch = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(if (java.nio.file.Files.isWritable(
-        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"), "graft-ab-").toString
+    val scratch = LocalSession.tmpfsScratchDir("graft-ab-")
     try {
       val spark = SparkSession.builder()
         .master("local[32]")

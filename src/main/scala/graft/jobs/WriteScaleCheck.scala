@@ -14,19 +14,12 @@ import org.apache.spark.sql.functions._
  *   sbt "runMain graft.jobs.WriteScaleCheck 5000000 512"
  */
 object WriteScaleCheck {
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete()
-  }
+  import LocalSession.deleteRecursively
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 5000000L
     val parts = if (args.length > 1) args(1).toInt else 512
-    val scratch = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get(if (java.nio.file.Files.isWritable(
-        java.nio.file.Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"), "graft-wsc-").toString
+    val scratch = LocalSession.tmpfsScratchDir("graft-wsc-")
     try {
       val spark = SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -589,6 +589,7 @@ object Dedup {
       .as[(Long, Long)].rdd.persist(level)
     var eRdd = initRdd
     var e = initRdd.toDF("hi", "lo")
+    var eCount = -1L // carried across rounds: count of eRdd (-1 = not yet counted)
     var round = 0
     var changed = true
     var converged = false
@@ -611,10 +612,13 @@ object Dedup {
         val nextRdd = small.as[(Long, Long)].rdd.persist(level)
         val nextDf = nextRdd.toDF("hi", "lo")
         // exact fixpoint: same count and no edge outside the previous set
+        // (the previous round's count is carried in eCount — no re-count job)
         changed =
           try {
             val n = nextRdd.count() // materializes the cache
-            n != eRdd.count() || nextDf.exceptAll(e).limit(1).count() > 0
+            val prev = if (eCount >= 0) eCount else eRdd.count()
+            eCount = n
+            n != prev || nextDf.exceptAll(e).limit(1).count() > 0
           } catch { case t: Throwable => nextRdd.unpersist(blocking = false); throw t }
         eRdd.unpersist(blocking = false)
         eRdd = nextRdd
@@ -633,8 +637,16 @@ object Dedup {
       member.union(selfLabeled)
         .select($"id", $"label".as("cluster_id"), ($"id" === $"label").as("canonical"))
     } finally {
-      allVerts.unpersist(blocking = false)
-      if (!converged) eRdd.unpersist(blocking = false)
+      // the returned plan reads BOTH caches (fixpoint edges via `e`, the
+      // singleton anti-join via vertsDf) — on success leave them persisted
+      // for the caller's materialization (ContextCleaner reclaims them once
+      // the result is dropped, same policy as connectedComponents' labels);
+      // unpersisting allVerts here would silently re-run the full
+      // union+distinct over all edges at collect time
+      if (!converged) {
+        allVerts.unpersist(blocking = false)
+        eRdd.unpersist(blocking = false)
+      }
     }
   }
 }

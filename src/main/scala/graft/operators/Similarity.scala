@@ -312,6 +312,14 @@ object Similarity {
     require(idx.columns.contains("table"),
       s"index at $indexPath is single-table (legacy layout); batched probes need " +
       "the multi-table layout — rebuild with buildIndex")
+    // the output carries one column per role — a qid name that collides with
+    // the id or score column would produce an unusable duplicate-named result
+    require(qidCol != idCol && qidCol != "cosine",
+      s"qidCol '$qidCol' collides with an output column — alias the query id " +
+      "in `queries` to a name distinct from idCol and 'cosine'")
+    // internal names ("__qid"/"__qvec") keep the probe/join plan unambiguous
+    // even when qidCol is named like an index or probe column (e.g. 'table',
+    // 'bucket', or the index's vector column); qidCol is restored at the end
     val probes = queries
       .where(col(qvecCol).isNotNull && size(col(qvecCol)) > 0)
       .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
@@ -329,15 +337,16 @@ object Similarity {
           }
         }
       }
-      .toDF(qidCol, "__qvec", "table", "bucket")
+      .toDF("__qid", "__qvec", "table", "bucket")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qidCol)).orderBy(desc("cosine"), col(idCol))
+      .partitionBy(col("__qid")).orderBy(desc("cosine"), col(idCol))
     idx.join(probes, Seq("table", "bucket"))
-      .dropDuplicates(qidCol, idCol) // multi-table collisions: one rerank per pair
-      .select(col(qidCol), col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .dropDuplicates("__qid", idCol) // multi-table collisions: one rerank per pair
+      .select(col("__qid"), col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= k)
       .drop("__rk")
+      .withColumnRenamed("__qid", qidCol)
   }
 
   // ---------------- IVF (inverted-file) ANN index ----------------

@@ -52,6 +52,16 @@ import org.apache.spark.sql.types.StringType
  * V2 CreateTableAsSelect exec where no analyzer hook sees the query. The rule
  * degrades safely: any sampling failure logs and leaves the command unchanged
  * (ordered-distribution path, correct but slower).
+ *
+ * Known cost, accepted: the count + boundary-sample jobs run at ANALYSIS of
+ * the write command (the only hook that sees the query plan for AppendData),
+ * so `EXPLAIN INSERT INTO <graft store> ...` pays one url-column count+sample
+ * of the source before printing — the same two jobs the real INSERT would pay
+ * anyway, column-pruned to the sort key. Deferring them to execution would
+ * need a custom exchange (Spark's own range exchange samples lazily inside
+ * doExecute); not worth the machinery for an explain-only path. The
+ * fired-evidence counter is NOT affected: [[graft.sources.v2.GraftWrite]]
+ * increments it at `toBatch` (execution), so explain never counts.
  */
 case class GraftWriteArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftWriteArrangeRule._
@@ -142,7 +152,6 @@ case class GraftWriteArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] 
       val exchanged = RepartitionByExpression(
         Seq(org.apache.spark.sql.catalyst.expressions.DirectShufflePartitionID(bucket)),
         query, Some(parts), None)
-      arranged.incrementAndGet()
       Some(Sort(Seq(SortOrder(url, Ascending)), global = false, exchanged))
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -157,8 +166,10 @@ object GraftWriteArrangeRule {
   /** Write option marking a pre-arranged query; the builder skips
     * RequiresDistributionAndOrdering when set. */
   val ArrangedKey = "graft.internal.arranged"
-  /** Test hook: rewrites applied in this JVM (asserting the fast path FIRED,
+  /** Test hook: arranged writes EXECUTED in this JVM (incremented by
+    * GraftWrite.toBatch at execution, asserting the fast path actually ran,
     * not just that results match — a silently dead rule would otherwise read
-    * as green via the fallback). */
+    * as green via the fallback; rule-side counting would also miscount
+    * EXPLAINed-but-never-run writes). */
   val arranged = new java.util.concurrent.atomic.AtomicLong(0)
 }

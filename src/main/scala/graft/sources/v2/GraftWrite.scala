@@ -193,7 +193,14 @@ final class GraftWrite(root: String, replaceAll: Boolean, arranged: Boolean = fa
   override def advisoryPartitionSizeInBytes(): Long =
     if (arranged || requiredNumPartitions() > 0) 0L else 64L << 20
 
-  override def toBatch: BatchWrite = new GraftBatchWrite(root, replaceAll, schema)
+  override def toBatch: BatchWrite = {
+    // fired-evidence hook: count arranged writes at EXECUTION — toBatch is
+    // invoked by the write exec's run(), never by planning, so an
+    // `EXPLAIN INSERT` (which analyzes the command and fires the arrange
+    // rule) does not pollute the counter with writes that never ran
+    if (arranged) graft.plans.GraftWriteArrangeRule.arranged.incrementAndGet()
+    new GraftBatchWrite(root, replaceAll, schema)
+  }
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!arranged,

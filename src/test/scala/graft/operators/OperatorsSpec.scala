@@ -315,6 +315,27 @@ class OperatorsSpec extends AnyFunSuite {
         queriesDf, "qid", "qvec", 5, planes = 8, tables = 2)
     }
     assert(e.getMessage.contains("_lsh_meta"))
+
+    // qid names that collide with index/probe internals ('table', 'bucket',
+    // the vector column) must still work — the plan uses reserved internal
+    // names and restores the caller's name at the end
+    for (qname <- Seq("table", "bucket", "embedding")) {
+      val renamed = queriesDf.withColumnRenamed("qid", qname)
+      val col0 = Similarity.annTopKBatch(spark, idx, "vec_id", "embedding",
+        renamed, qname, "qvec", k = 5, planes = 8, tables = 2)
+      assert(col0.columns.head == qname, s"output must carry '$qname' back")
+      val byQ = col0.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(t => (t._2, t._3)).toSeq }
+      assert(byQ == batch, s"qidCol='$qname' must not change results")
+    }
+    // a qid name equal to the OUTPUT id column would yield a duplicate-named
+    // result — refused with remediation, not an AnalysisException deep in the plan
+    val dup = intercept[IllegalArgumentException] {
+      Similarity.annTopKBatch(spark, idx, "vec_id", "embedding",
+        queriesDf.withColumnRenamed("qid", "vec_id"), "vec_id", "qvec", 5,
+        planes = 8, tables = 2)
+    }
+    assert(dup.getMessage.contains("collides"))
   }
 
   test("text analysis: token counts, quality, lang id, fingerprints") {

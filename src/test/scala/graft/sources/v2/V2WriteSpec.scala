@@ -274,6 +274,17 @@ class V2WriteSpec extends AnyFunSuite {
         .collect()
     assert(contentHash(arrangedRoot).toSeq == contentHash(orderedRoot).toSeq)
 
+    // 2b. EXPLAIN of an INSERT analyzes the command (and fires the rule) but
+    //     never executes the write — the fired-evidence counter must not move
+    //     (it counts toBatch at execution, not rule rewrites at analysis)
+    val nExplain = GraftWriteArrangeRule.arranged.get()
+    pages(100L).createOrReplaceTempView("arrange_explain_src")
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.v2.GraftCatalog")
+    spark.sql("EXPLAIN EXTENDED INSERT INTO graftcat.`" + arrangedRoot + "` " +
+      "SELECT * FROM arrange_explain_src").collect()
+    assert(GraftWriteArrangeRule.arranged.get() == nExplain,
+      "EXPLAIN must not count as an arranged write")
+
     // 3. arranged stores keep tight url bounds: blocks are url-sorted inside
     //    bucket runs, so prefix pruning must still skip most groups
     val blocks = spark.read.parquet(

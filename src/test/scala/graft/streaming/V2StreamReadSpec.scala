@@ -380,6 +380,48 @@ class V2StreamReadSpec extends AnyFunSuite {
       s"stream batch must prune groups ($totalGroups total): $stats")
   }
 
+  test("self-union of one stream never prunes by a single branch's filter") {
+    import spark.implicits._
+    // MicroBatchExecution dedups identical source nodes: s.where(a) union
+    // s.where(b) holds ONE stream instance behind two relation references.
+    // Pushing either branch's filter alone would prune groups the OTHER
+    // branch needs — rows would vanish silently (the branch residual cannot
+    // restore rows that were never read). The rule must detect the multi-
+    // reference shape and reset the stream's predicates instead.
+    val root = tmp()
+    val ckpt = tmp()
+    EncodeJob.run(spark, Webtext.generate(spark, 8000L, 8), root, parts = 8)
+    val p1 = "https://host-1.example.com/"
+    val p2 = "https://host-2.example.com/"
+    val all = DecodeJob.decode(spark, root).toDF()
+    val want = all.where($"url".startsWith(p1)).select($"url").as[String].collect().toSet ++
+      all.where($"url".startsWith(p2)).select($"url").as[String].collect().toSet
+    assert(want.nonEmpty)
+
+    val got = scala.collection.mutable.HashSet.empty[String]
+    val s = spark.readStream.format("graft").load(root)
+    val q = s.where(col("url").startsWith(p1))
+      .union(s.where(col("url").startsWith(p2)))
+      .select(col("url"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val urls = batch.collect().map(_.getString(0))
+        got.synchronized { got ++= urls }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "stream drain timed out")
+    assert(got.toSet == want,
+      s"self-union drain lost rows: got ${got.size}, want ${want.size}")
+    // plan-stats proof the safety valve engaged: the shared stream planned
+    // its batch with ZERO pushed predicates (full-delta scan + residuals)
+    val stats = graft.sources.v2.GraftDataSource.planStatsFor(root).get
+    assert(stats.predicates == 0,
+      s"multi-referenced stream must not push any branch's filter: $stats")
+  }
+
   test("time travel option and readStream are mutually exclusive") {
     val root = tmp()
     EncodeJob.run(spark, Webtext.generate(spark, 500L, 2), root, parts = 2)
