@@ -338,6 +338,36 @@ object SparkEntry {
       latest.toDF().select(col("url"))
     }),
 
+    // incremental batch read: `.option("fromSnapshot", a)` reads only the rows
+    // ADDED after snapshot a (the streaming reader's additions-changelog walk
+    // on the batch surface) — wave 1 commits, wave 2 appends via the SQL write
+    // path, and the delta read returns exactly wave 2, planned from the delta
+    // manifests only (plan-stats-proven in-query)
+    "q_incremental_read" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft-incr-").toString
+      val pages = docsAsPages(s, d)
+      // sf-independent wave split on the doc id embedded in the url
+      val docId = col("url").substr(7, 8).cast("long")
+      EncodeJob.run(s, pages.where(docId % 5 =!= 0)
+        .as(Encoders.product[WebPage]), root, parts = 2)
+      val snap1 = SnapshotStore.currentSnapshotId(root).get
+      pages.where(docId % 5 === 0)
+        .write.format("graft").mode("append").save(root)
+      val delta = s.read.format("graft")
+        .option("fromSnapshot", snap1.toString).load(root)
+      delta.count() // force planning so the delta scope is observable
+      val stats = graft.sources.v2.GraftDataSource.planStatsFor(root)
+        .getOrElse(sys.error("V2 scan did not record plan stats"))
+      val totalFiles = SnapshotStore.currentEntries(root).size
+      val wave2Files = SnapshotStore.deltaEntries(root, snap1,
+        SnapshotStore.currentSnapshotId(root).get, freshFrom = false)((_, e) => throw e).size
+      require(wave2Files > 0 && wave2Files < totalFiles &&
+        stats.files == wave2Files,
+        s"incremental scan must plan ONLY the delta parts: $stats, " +
+        s"delta=$wave2Files of $totalFiles")
+      delta.select(col("url"), col("lang"))
+    }),
+
     // projected decode: only the url+lang blocks are read (the `column` filter is
     // a pushed parquet In-filter — text/html blocks never leave the row groups)
     "q_decode_projection" -> ((s, d) => {
@@ -1331,6 +1361,8 @@ object SparkEntry {
       "FROM documents"),
     "q_time_travel" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url FROM documents"),
+    "q_incremental_read" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
+      "AS url, lang FROM documents WHERE doc_id % 5 = 0"),
     "q_compact" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url, lang FROM documents"),
     "q_expire" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +

@@ -392,6 +392,59 @@ object SnapshotStore {
     Files.exists(Paths.get(root, "manifests", s"$id.rehomed"))
 
   /**
+   * Entries of every part ADDED in the snapshot range `(from, to]` —
+   * append-only changelog semantics shared by the streaming reader
+   * ([[graft.sources.v2.GraftMicroBatchStream]]) and the incremental batch
+   * read (`.option("fromSnapshot", n)`): rehomed commits (compaction,
+   * COW DELETE) contribute nothing — their parts carry only rows earlier
+   * snapshots already delivered — while append/overwrite/UPDATE/MERGE
+   * commits contribute exactly their NEW parts. Row deletions are NOT
+   * reflected (this is an additions changelog, not a diff).
+   *
+   * `freshFrom` marks `from` as a synthetic "earliest-1" position (a fresh
+   * stream's initial offset): the first walked manifest is then a legal FULL
+   * first emit even when `from`'s own manifest is expired, and that full
+   * emit includes a compaction snapshot's state (the consumer has seen
+   * nothing yet). `onMissing` is invoked with the id of a needed manifest
+   * that no longer exists — the range is not reconstructible — and must not
+   * return.
+   */
+  def deltaEntries(root: String, from: Long, to: Long, freshFrom: Boolean)
+      (onMissing: (Long, Throwable) => Nothing): Seq[PartEntry] = {
+    val out = Seq.newBuilder[PartEntry]
+    var prevParts: Set[Int] = null
+    var fullEmitFirst = false
+    var sid = from + 1
+    while (sid <= to) {
+      val entries =
+        try entriesAt(root, sid)
+        catch { case e: IllegalArgumentException => onMissing(sid, e) }
+      if (prevParts == null) { // first walked snapshot: load its predecessor
+        prevParts =
+          if (sid == 1) Set.empty
+          else try entriesAt(root, sid - 1).map(_.partId).toSet
+          catch {
+            case e: IllegalArgumentException =>
+              // legal exactly at a FRESH consumer's first batch: it began at
+              // the earliest retained snapshot, whose manifest is the full
+              // state — emit it whole. Anywhere else it is a retention hole.
+              if (freshFrom && sid == from + 1) { fullEmitFirst = true; Set.empty }
+              else onMissing(sid - 1, e)
+          }
+      }
+      // rehomed (compaction) commits carry only already-delivered rows —
+      // EXCEPT at a fresh full-emit: this consumer delivered nothing yet, so
+      // even a compaction snapshot's full state is all-new to it (skipping it
+      // here would drop the whole existing table with no error)
+      if ((fullEmitFirst && sid == from + 1) || !isRehomedCommit(root, sid))
+        out ++= entries.filterNot(e => prevParts(e.partId))
+      prevParts = entries.map(_.partId).toSet
+      sid += 1
+    }
+    out.result()
+  }
+
+  /**
    * Atomic commit that REPLACES the entries of `replaced` part ids with
    * `newEntries` (compaction/truncate): the new manifest drops the replaced
    * parts and adds the new ones. Old snapshots keep referencing the old data

@@ -335,15 +335,34 @@ final class GraftTable(root: String) extends Table with SupportsRead
     ()
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // time travel: .option("snapshotId", id) reads a historical committed
-    // snapshot (manifests are immutable per id — same mechanism as decodeAt)
-    val snapshotId = Option(options.get("snapshotId")).map { v =>
+    def longOpt(key: String): Option[Long] = Option(options.get(key)).map { v =>
       try v.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"invalid snapshotId option '$v': expected a numeric committed snapshot id")
+          s"invalid $key option '$v': expected a numeric committed snapshot id")
       }
     }
-    new GraftScanBuilder(root, snapshotId, tableSchema)
+    // time travel: .option("snapshotId", id) reads a historical committed
+    // snapshot (manifests are immutable per id — same mechanism as decodeAt)
+    val snapshotId = longOpt("snapshotId")
+    // incremental read: .option("fromSnapshot", a)[.option("toSnapshot", b)]
+    // reads the rows ADDED in (a, b] (b defaults to the current snapshot) —
+    // batch consumption of a snapshot-range changelog without a stream
+    val from = longOpt("fromSnapshot")
+    val toOpt = longOpt("toSnapshot")
+    require(snapshotId.isEmpty || from.isEmpty,
+      "snapshotId (time travel) and fromSnapshot (incremental read) are " +
+      "mutually exclusive: one reads a state, the other a range of changes")
+    require(from.isDefined || toOpt.isEmpty,
+      "toSnapshot requires fromSnapshot (the incremental range is (from, to])")
+    val incremental = from.map { f =>
+      val t = toOpt.getOrElse(SnapshotStore.currentSnapshotId(root).getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshot under $root")))
+      require(f >= 0 && t >= f,
+        s"invalid incremental range (fromSnapshot=$f, toSnapshot=$t]: " +
+        "need 0 <= from <= to")
+      (f, t)
+    }
+    new GraftScanBuilder(root, snapshotId, tableSchema, incremental)
   }
 }
 
@@ -454,7 +473,8 @@ private[graft] object FilterConversion {
 }
 
 final class GraftScanBuilder(root: String, snapshotId: Option[Long],
-    tableSchema: StructType = GraftDataSource.PageSchema)
+    tableSchema: StructType = GraftDataSource.PageSchema,
+    incremental: Option[(Long, Long)] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -544,6 +564,10 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
     * table — a pushed predicate would make manifest counts wrong), there is no
     * grouping, and every aggregate is count(*)/min(warc_ts)/max(warc_ts). */
   private def convertAgg(agg: aggregate.Aggregation): Option[Seq[GraftDataSource.MetaAgg]] = {
+    // incremental (fromSnapshot) scans answer over a snapshot-RANGE delta; the
+    // metadata aggregate paths read one snapshot's state — decline, the
+    // ordinary scan + Spark's aggregate stay exact over the delta rows
+    if (incremental.isDefined) return None
     if (pushed.nonEmpty || predicates.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     val fns = agg.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(GraftDataSource.AggCountStar)
@@ -564,6 +588,7 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
   private def convertGroupedAgg(agg: aggregate.Aggregation)
       : Option[(String, Seq[GroupedAggKind])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
+    if (incremental.isDefined) return None // see convertAgg: delta != state
     if (pushed.nonEmpty || predicates.nonEmpty) return None
     if (agg.groupByExpressions.length != 1) return None
     val gcol = agg.groupByExpressions()(0) match {
@@ -630,7 +655,8 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
         // early-stop row cap is sound only for the order-free bare limit (a task
         // truncating its url-ordered duty under top-n could drop true top-n rows)
         new GraftScan(root, snapshotId, requiredSchema, predicates,
-          if (pushedTopN.isDefined) None else pushedLimit, pushedTopN, tableSchema)
+          if (pushedTopN.isDefined) None else pushedLimit, pushedTopN, tableSchema,
+          incremental)
     }
   }
 }
@@ -725,7 +751,8 @@ final class GraftScan(root: String, snapshotId: Option[Long],
                       initialPredicates: Seq[DecodeJob.BlockPredicate],
                       pushedLimit: Option[Int] = None,
                       pushedTopN: Option[GraftDataSource.TopN] = None,
-                      tableSchema: StructType = GraftDataSource.PageSchema)
+                      tableSchema: StructType = GraftDataSource.PageSchema,
+                      incremental: Option[(Long, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -769,9 +796,21 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     * must all describe the SAME snapshot — re-reading let a commit landing
     * between them skew the optimizer's stats against the scanned data, and
     * re-parsed a 100k-part manifest per call. */
-  private lazy val pinnedEntries: Seq[SnapshotStore.PartEntry] = snapshotId match {
-    case Some(id) => SnapshotStore.entriesAt(root, id)
-    case None => SnapshotStore.currentEntries(root)
+  private lazy val pinnedEntries: Seq[SnapshotStore.PartEntry] = incremental match {
+    // incremental read: the parts ADDED in (from, to] — the same additions-
+    // changelog walk as the streaming reader, planned once per scan; every
+    // downstream stage (pruning, projection, limit/top-n, runtime filtering)
+    // rides these entries unchanged
+    case Some((f, t)) => SnapshotStore.deltaEntries(root, f, t, freshFrom = false)(
+      (sid, e) => throw new IllegalStateException(
+        s"incremental read of $root needs the manifest of snapshot $sid to " +
+        s"reconstruct range ($f, $t], but it is gone — expired. Widen " +
+        "SnapshotStore.expireSnapshots(keepLast) to cover your consumption lag, " +
+        "or read the full table and re-baseline.", e))
+    case None => snapshotId match {
+      case Some(id) => SnapshotStore.entriesAt(root, id)
+      case None => SnapshotStore.currentEntries(root)
+    }
   }
 
   private def snapshotEntries(): Seq[SnapshotStore.PartEntry] = pinnedEntries
@@ -822,9 +861,10 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     val cols = requiredSchema.fieldNames.mkString(",")
     val preds = predicates.mkString(", ")
     val snap = snapshotId.map(id => s" snapshotId=$id").getOrElse("")
+    val inc = incremental.map { case (f, t) => s" incremental=($f,$t]" }.getOrElse("")
     val lim = pushedLimit.map(n => s" PushedLimit: $n").getOrElse("")
     val topn = pushedTopN.map(t => s" PushedTopN: [$t] (partial)").getOrElse("")
-    s"GraftStore root=$root$snap columns=[$cols] PushedBlockPredicates: [$preds]$lim$topn"
+    s"GraftStore root=$root$snap$inc columns=[$cols] PushedBlockPredicates: [$preds]$lim$topn"
   }
 
   override def toBatch: Batch = this
@@ -894,6 +934,9 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     require(snapshotId.isEmpty,
       "snapshotId (time travel) and readStream are mutually exclusive: a stream " +
       "already replays the snapshot sequence from its checkpointed offset")
+    require(incremental.isEmpty,
+      "fromSnapshot (incremental batch read) and readStream are mutually " +
+      "exclusive: a stream IS the incremental consumption of the store")
     new GraftMicroBatchStream(root, requiredSchema, tableSchema.fields.head.name,
       initialPredicates)
   }

@@ -121,41 +121,12 @@ final class GraftMicroBatchStream(root: String,
     "Size SnapshotStore.expireSnapshots(keepLast) to cover the stream lag, or " +
     "restart the stream from a fresh checkpoint (re-reads the table).", cause)
 
-  /** Entries of every part to EMIT in `(start.snapshotId, end]`. */
-  private def emitEntries(start: GraftOffset, end: Long): Seq[SnapshotStore.PartEntry] = {
-    val out = Seq.newBuilder[SnapshotStore.PartEntry]
-    var prevParts: Set[Int] = null
-    var fullEmitFirst = false
-    var sid = start.snapshotId + 1
-    while (sid <= end) {
-      val entries =
-        try SnapshotStore.entriesAt(root, sid)
-        catch { case e: IllegalArgumentException => retentionFail(sid, start.snapshotId, end, e) }
-      if (prevParts == null) { // first walked snapshot: load its predecessor
-        prevParts =
-          if (sid == 1) Set.empty
-          else try SnapshotStore.entriesAt(root, sid - 1).map(_.partId).toSet
-          catch {
-            case e: IllegalArgumentException =>
-              // legal exactly at a FRESH stream's first batch: the stream began
-              // at the earliest retained snapshot, whose manifest is the full
-              // state — emit it whole. Anywhere else it is a retention hole.
-              if (start.fresh && sid == start.snapshotId + 1) { fullEmitFirst = true; Set.empty }
-              else retentionFail(sid - 1, start.snapshotId, end, e)
-          }
-      }
-      // rehomed (compaction) commits carry only already-streamed rows — EXCEPT
-      // at a fresh full-emit: this stream delivered nothing yet, so even a
-      // compaction snapshot's full state is all-new to it (skipping it here
-      // would drop the whole existing table with no error)
-      if ((fullEmitFirst && sid == start.snapshotId + 1) ||
-          !SnapshotStore.isRehomedCommit(root, sid))
-        out ++= entries.filterNot(e => prevParts(e.partId))
-      prevParts = entries.map(_.partId).toSet
-      sid += 1
-    }
-    out.result()
-  }
+  /** Entries of every part to EMIT in `(start.snapshotId, end]` — the shared
+    * additions-changelog walk ([[SnapshotStore.deltaEntries]], also behind the
+    * incremental batch read) with this stream's retention remediation. */
+  private def emitEntries(start: GraftOffset, end: Long): Seq[SnapshotStore.PartEntry] =
+    SnapshotStore.deltaEntries(root, start.snapshotId, end, freshFrom = start.fresh)(
+      (sid, e) => retentionFail(sid, start.snapshotId, end, e))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[GraftOffset]

@@ -240,6 +240,61 @@ class V2SourceSpec extends AnyFunSuite {
     assert(c.collect()(0).getLong(0) == nOld)
   }
 
+  test("incremental read: option(fromSnapshot) returns rows ADDED in the range") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val r2 = Files.createTempDirectory("graft-v2-incr-").toString
+    // snapshot 1: batch job; snapshot 2: SQL append; snapshot 3: compaction
+    // (rehomed — must add nothing); snapshot 4: another SQL append
+    EncodeJob.run(spark, Webtext.generate(spark, 1000L, 2), r2, parts = 2)
+    def tagged(n: Long, tag: String): DataFrame =
+      Webtext.generate(spark, n, 2).toDF()
+        .select(concat(lit(tag), col("url")).as("url"), col("warc_ts"),
+          col("html"), col("text"), col("lang"))
+    tagged(400L, "w2-").write.format("graft").mode("append").save(r2)
+    assert(graft.jobs.CompactJob.run(spark, r2).partsCompacted > 0)
+    tagged(300L, "w4-").write.format("graft").mode("append").save(r2)
+    val ids = graft.sources.SnapshotStore.snapshotIds(r2)
+    assert(ids.size == 4)
+
+    def delta(from: Long, to: Option[Long] = None): DataFrame = {
+      var r = spark.read.format("graft").option("fromSnapshot", from.toString)
+      to.foreach(t => r = r.option("toSnapshot", t.toString))
+      r.load(r2)
+    }
+    // (1, current]: both appends, nothing from wave 1, nothing from compaction
+    val d1 = delta(1L).select(col("url")).collect().map(_.getString(0))
+    assert(d1.length == 700 && d1.forall(u => u.startsWith("w2-") || u.startsWith("w4-")),
+      s"(1, head] must be exactly the two appends, got ${d1.length}")
+    // bounded ranges
+    assert(delta(1L, Some(2L)).count() == 400)
+    assert(delta(2L, Some(3L)).count() == 0, "a compaction commit adds nothing")
+    assert(delta(3L, Some(4L)).count() == 300)
+    assert(delta(4L).count() == 0, "empty range (from == current) reads nothing")
+    // from = 0 is the full additions history (original wave 1 dirs still exist)
+    assert(delta(0L).count() == 1700)
+    // pushed filters prune within the delta and stay exact
+    val f = delta(1L).where(col("url").startsWith("w4-"))
+    assert(f.count() == 300)
+    // mutually exclusive options are refused loudly
+    val ex = intercept[Exception] {
+      spark.read.format("graft").option("fromSnapshot", "1")
+        .option("snapshotId", "2").load(r2).count()
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
+    val ex2 = intercept[Exception] {
+      spark.read.format("graft").option("toSnapshot", "2").load(r2).count()
+    }
+    assert(ex2.getMessage.contains("toSnapshot requires fromSnapshot"))
+    // a range whose manifests were expired fails with the remediation, never
+    // a silent partial delta
+    graft.sources.SnapshotStore.expireSnapshots(r2, keepLast = 1, orphanGraceMs = 0L)
+    val ex3 = intercept[Exception] { delta(1L).count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex3).exists(_.contains("expired")),
+      s"expired range must fail with remediation, got: ${messages(ex3)}")
+  }
+
   test("multi-file bins: reader chains files, flushing groups at boundaries") {
     // at default confs every test-scale bin holds ONE file, so the cross-file
     // reader path (openNext, boundary flush) would go untested; forcing

@@ -432,5 +432,13 @@ class V2StreamReadSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("mutually exclusive") ||
       e.getCause != null && e.getCause.getMessage.contains("mutually exclusive"))
+    // same for the incremental batch range: a stream IS incremental consumption
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft").option("fromSnapshot", "1").load(root)
+        .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination(60000)
+    }
+    assert(e2.getMessage.contains("mutually exclusive") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("mutually exclusive"))
   }
 }
