@@ -100,6 +100,9 @@ object SparkEntry {
     if (!s.experimental.extraOptimizations.contains(graft.plans.StreamFilterPushRule))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.StreamFilterPushRule
+    if (!s.experimental.extraOptimizations.contains(graft.plans.GroupedAggMetadataRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.GroupedAggMetadataRule
   }
 
   /** Fixed ANN query vector (inlined into the DuckDB oracle as a literal list). */
@@ -492,6 +495,23 @@ object SparkEntry {
         s"grouped aggregate must push completely to the graft scan:\n$plan")
       require(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
         s"complete pushdown must leave no aggregate exec:\n$plan")
+      df
+    }),
+
+    // FILTERED grouped aggregate from dict metadata: the V2 contract cannot
+    // push an aggregate past a residual filter, so GroupedAggMetadataRule
+    // answers `GROUP BY lang WHERE <cond on lang>` at plan level — the whole
+    // subtree becomes a LocalTableScan (zero store IO, plan-proven in-query),
+    // with the condition evaluated exactly per dict value
+    "q_dsv2_agg_group_filtered" -> ((s, d) => {
+      withPruneRule(s)
+      val root = encodedDocsStore(s, d)
+      s.read.format("graft").load(root).createOrReplaceTempView("graft_gaggf_store")
+      val df = s.sql("SELECT lang, count(*) AS cnt FROM graft_gaggf_store " +
+        "WHERE lang <> 'de' AND lang LIKE '__' GROUP BY lang")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("GraftStore"),
+        s"filtered grouped aggregate must answer from metadata, not a scan:\n$plan")
       df
     }),
 
@@ -1063,6 +1083,16 @@ object SparkEntry {
       col("doc_id"), TextAnalysis.tokenCount(col("text")).as("tc"),
       TextAnalysis.pieceCount(col("text")).as("pc"))),
 
+    // deterministic stratified sampling (training-data quota step): keep/drop
+    // is md5(doc_id)-keyed per language rate — a pure codegen'd filter, zero
+    // shuffles, and the DuckDB oracle evaluates the IDENTICAL expression, so
+    // the sample is bit-reproducible across engines and cluster sizes
+    "q_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(t(s, d, "documents"),
+        keyCol = "doc_id", strataCol = "lang",
+        rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))),
+
     "q_quality" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"),
       TextAnalysis.punctRatio(col("text")).as("pr"),
@@ -1391,6 +1421,8 @@ object SparkEntry {
       "FROM documents"),
     "q_dsv2_agg_group" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt, " +
       "CAST(count(lang) AS BIGINT) AS cnt_lang FROM documents GROUP BY lang"),
+    "q_dsv2_agg_group_filtered" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +
+      "FROM documents WHERE lang <> 'de' AND lang LIKE '__' GROUP BY lang"),
     "q_stream_v2_read" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
       "AS url FROM documents"),
     "q_dsv2_write" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) " +
@@ -1531,6 +1563,11 @@ object SparkEntry {
       "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) END AS tc, " +
       "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) " +
       "AS INTEGER) AS pc FROM documents"),
+
+    "q_sample_stratified" -> ("SELECT doc_id, lang FROM documents WHERE " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
+      "(CASE WHEN lang = 'en' THEN '80000000' WHEN lang = 'de' THEN '40000000' " +
+      "ELSE '19999999' END)"),
 
     "q_quality" -> ("SELECT doc_id, pr, mwl, swr, " +
       "(least(len_d / 500.0, 1.0) + CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END + " +

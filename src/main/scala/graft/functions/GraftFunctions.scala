@@ -88,6 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.BlockMinMaxPruneRule)
     // streaming filter pushdown: runs on every micro-batch's optimized plan
     ext.injectOptimizerRule(_ => graft.plans.StreamFilterPushRule)
+    // filtered grouped aggregates answered from dict metadata (pre-scan-build
+    // form: the V2 pushdown contract cannot express this shape)
+    ext.injectOptimizerRule(_ => graft.plans.GroupedAggMetadataRule)
     // analysis-time: must run BEFORE the optimizer's V2Writes plans the write's
     // distribution (an extraOptimizations rule would see the range exchange
     // already injected)

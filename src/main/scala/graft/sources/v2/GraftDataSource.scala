@@ -274,6 +274,8 @@ final class GraftTable(root: String) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft.`$root`"
+  /** Store root for plan-level rules ([[graft.plans.GroupedAggMetadataRule]]). */
+  private[graft] def storeRoot: String = root
   // cached per table instance (instances are per-query); the sidecar is one
   // tiny read and schemas are immutable for the life of a store
   private lazy val tableSchema: StructType = GraftDataSource.storeSchema(root)
@@ -755,6 +757,13 @@ final class GraftScan(root: String, snapshotId: Option[Long],
                       incremental: Option[(Long, Long)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** Metadata-answer scope for plan-level rules
+    * ([[graft.plans.GroupedAggMetadataRule]]): (root, snapshotId) when this
+    * scan reads ONE snapshot's full state — the state block metadata
+    * describes; None for incremental scans (a range delta is not that). */
+  private[graft] def metadataScope: Option[(String, Option[Long])] =
+    if (incremental.isDefined) None else Some((root, snapshotId))
 
   /** Compile-time predicates + any runtime (DPP-style) In-filters Spark
     * delivers just before execution. */

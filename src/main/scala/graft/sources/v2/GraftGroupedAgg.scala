@@ -78,7 +78,7 @@ object GraftGroupedAgg {
   }
 
   /** [[fromBlocks]] over a store snapshot (one manifest read). */
-  private[v2] def compute(spark: SparkSession, root: String,
+  private[graft] def compute(spark: SparkSession, root: String,
                           snapshotId: Option[Long], column: String): Option[Seq[GroupRow]] = {
     val entries = snapshotId match {
       case Some(id) => SnapshotStore.entriesAt(root, id)

@@ -338,6 +338,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("collides"))
   }
 
+  test("stratified sampling: deterministic, rate-respecting, null-safe") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = spark.range(40000).select(
+      col("id"),
+      when(col("id") % 10 < 6, "en").when(col("id") % 10 < 9, "de").as("lang"))
+    // lang: 60% en, 30% de, 10% NULL (falls to defaultRate)
+    val s1 = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), defaultRate = 1.0)
+    val s2 = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), defaultRate = 1.0)
+    // bit-deterministic: identical row sets across runs
+    assert(s1.collect().map(_.toString).sorted.toSeq ==
+      s2.collect().map(_.toString).sorted.toSeq)
+    val byLang = s1.groupBy(col("lang")).count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    // md5-uniform Bernoulli: observed rates within 3 sigma of the target
+    def within(n: Long, total: Long, rate: Double): Boolean =
+      math.abs(n - total * rate) <= 3 * math.sqrt(total * rate * (1 - rate)) + 1
+    assert(within(byLang("en"), 24000, 0.5), s"en: $byLang")
+    assert(within(byLang("de"), 12000, 0.1), s"de: $byLang")
+    // defaultRate 1.0 keeps the whole NULL stratum
+    assert(byLang("NULL") == 4000L, s"default 1.0 must keep all: $byLang")
+    // rate 0 drops (essentially) everything; rate bounds validated
+    assert(Sampling.stratifiedSample(df, "id", "lang",
+      Map.empty, defaultRate = 0.0).count() == 0L)
+    intercept[IllegalArgumentException] { Sampling.hexThreshold(1.5) }
+    // NULL keys never sample in (md5(NULL) is NULL — no silent correlation)
+    val withNullKeys = df.select(
+      when(col("id") % 2 === 0, col("id")).as("id"), col("lang"))
+    assert(Sampling.stratifiedSample(withNullKeys, "id", "lang",
+      Map.empty, defaultRate = 1.0).count() == 20000L)
+    // subsample property: a stratum's 0.1 sample is a subset of its 0.5 sample
+    // (same key hash, lower threshold) — lets curriculum stages nest exactly
+    val wide = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.5), 0.0)
+      .select("id").as[Long].collect().toSet
+    val narrow = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.1), 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(narrow.subsetOf(wide) && narrow.nonEmpty)
+  }
+
   test("text analysis: token counts, quality, lang id, fingerprints") {
     import spark.implicits._
     val df = Seq(

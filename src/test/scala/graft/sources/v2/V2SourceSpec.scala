@@ -221,6 +221,72 @@ class V2SourceSpec extends AnyFunSuite {
     assert(viaMeta.get.map(g => g.value -> g.countStar).toMap == wantMap)
   }
 
+  test("FILTERED grouped aggregate answers from metadata at plan level (zero scan)") {
+    import spark.implicits._
+    val n0 = graft.plans.GroupedAggMetadataRule.fired.get()
+    graftTable.createOrReplaceTempView("graft_gaggf")
+    val df = spark.sql("SELECT lang, count(*) AS cnt, count(lang) AS cl " +
+      "FROM graft_gaggf WHERE lang <> 'en' AND lang LIKE '__' GROUP BY lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("GraftStore"),
+      s"filtered grouped agg must become a local relation:\n$plan")
+    assert(graft.plans.GroupedAggMetadataRule.fired.get() > n0, "rule did not fire")
+    val want = DecodeJob.decode(spark, root).toDF()
+      .where(col("lang") =!= "en" && col("lang").like("__"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"), count(col("lang")).as("cl"))
+    assert(sortedRows(df) == sortedRows(want))
+
+    // NULL-group three-valued logic on a store with planted null langs:
+    // `<>` must DROP the NULL group, `IS NULL` must keep exactly it
+    val r2 = Files.createTempDirectory("graft-v2-gaggf-nulls-").toString
+    val pages = Webtext.generate(spark, 2000L, 4).map(p =>
+      if (p.url.endsWith("3")) p.copy(lang = null) else p)
+    EncodeJob.run(spark, pages, r2, parts = 2)
+    spark.read.format("graft").load(r2).createOrReplaceTempView("graft_gaggf_n")
+    val neq = spark.sql(
+      "SELECT lang, count(*) AS cnt FROM graft_gaggf_n WHERE lang <> 'zz' GROUP BY lang")
+    assert(neq.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(neq.collect().forall(!_.isNullAt(0)), "<> must drop the NULL group")
+    val wantNeq = DecodeJob.decode(spark, r2).toDF().where(col("lang") =!= "zz")
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    assert(sortedRows(neq) == sortedRows(wantNeq))
+    val isNull = spark.sql(
+      "SELECT lang, count(*) AS cnt, count(lang) AS cl FROM graft_gaggf_n " +
+      "WHERE lang IS NULL GROUP BY lang")
+    assert(isNull.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val rows = isNull.collect()
+    assert(rows.length == 1 && rows(0).isNullAt(0) && rows(0).getLong(1) > 0 &&
+      rows(0).getLong(2) == 0L, s"IS NULL must keep exactly the NULL group: ${rows.toSeq}")
+    assert(rows(0).getLong(1) ==
+      DecodeJob.decode(spark, r2).toDF().where(col("lang").isNull).count())
+
+    // declines, each falling back to an exact scan: a condition on ANOTHER
+    // column; count of another column; a high-cardinality group column
+    val otherCond = spark.sql("SELECT lang, count(*) AS c FROM graft_gaggf " +
+      "WHERE url LIKE 'https%' GROUP BY lang")
+    assert(!otherCond.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "a filter on another column must decline the metadata answer")
+    val otherCount = spark.sql("SELECT lang, count(url) AS c FROM graft_gaggf " +
+      "WHERE lang <> 'en' GROUP BY lang")
+    assert(!otherCount.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    val onText = spark.sql("SELECT text, count(*) AS c FROM graft_gaggf " +
+      "WHERE text <> 'x' GROUP BY text")
+    assert(!onText.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "no dict coverage must decline")
+    val wantText = DecodeJob.decode(spark, root).toDF().where(col("text") =!= "x")
+      .groupBy(col("text")).agg(count(lit(1)).as("c"))
+    assert(onText.count() == wantText.count())
+
+    // incremental (fromSnapshot) scans are NOT the state metadata describes
+    spark.read.format("graft").option("fromSnapshot", "0").load(r2)
+      .createOrReplaceTempView("graft_gaggf_incr")
+    val incr = spark.sql("SELECT lang, count(*) AS c FROM graft_gaggf_incr " +
+      "WHERE lang <> 'zz' GROUP BY lang")
+    assert(!incr.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "an incremental scan must decline the metadata answer")
+    assert(sortedRows(incr) == sortedRows(wantNeq.withColumnRenamed("cnt", "c")))
+  }
+
   test("time travel: option(snapshotId) reads a historical snapshot, aggs included") {
     // a second committed wave on a COPY of the store (the shared fixture must
     // stay single-snapshot for the other tests)
