@@ -1567,7 +1567,7 @@ object SparkEntry {
     "q_sample_stratified" -> ("SELECT doc_id, lang FROM documents WHERE " +
       "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < " +
       "(CASE WHEN lang = 'en' THEN '80000000' WHEN lang = 'de' THEN '40000000' " +
-      "ELSE '19999999' END)"),
+      "ELSE '1999999a' END)"),
 
     "q_quality" -> ("SELECT doc_id, pr, mwl, swr, " +
       "(least(len_d / 500.0, 1.0) + CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END + " +

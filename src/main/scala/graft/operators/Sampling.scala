@@ -28,11 +28,14 @@ object Sampling {
 
   /** Lexicographic 8-hex-char threshold for a rate in [0, 1]: md5-prefix
     * strings sort uniformly, so `prefix < threshold` keeps ~rate of rows.
-    * rate >= 1 returns "g", which every hex string sorts below (keep all). */
+    * rate >= 1 returns "g", which every hex string sorts below (keep all).
+    * Granularity is 2^-32 and positive rates round UP to the next grid
+    * point — a tiny rate like 1e-10 keeps ~2^-32 of rows instead of being
+    * silently truncated to zero (only rate == 0.0 keeps nothing). */
   private[operators] def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"sampling rate $rate outside [0, 1]")
     if (rate >= 1.0) "g"
-    else f"${(rate * 4294967296L).toLong}%08x"
+    else f"${math.ceil(rate * 4294967296.0).toLong}%08x"
   }
 
   /** The keep-condition alone (composable into larger plans). */

@@ -62,10 +62,19 @@ object GroupedAggMetadataRule extends Rule[LogicalPlan] {
   private def graftScope(p: LogicalPlan): Option[(String, Option[Long], StructType)] =
     p match {
       case r: DataSourceV2Relation => r.table match {
-        case t: GraftTable if !r.options.containsKey("fromSnapshot") =>
-          val snap = Option(r.options.get("snapshotId")).flatMap(v =>
-            try Some(v.toLong) catch { case _: NumberFormatException => None })
-          Some((t.storeRoot, snap, t.schema()))
+        // decline on ANY incremental option (also a lone toSnapshot — the
+        // builder rejects it; answering from full-state metadata here would
+        // swallow that validation) and on an unparseable snapshotId (the
+        // builder throws; defaulting to the CURRENT state would silently
+        // answer the wrong snapshot)
+        case t: GraftTable if !r.options.containsKey("fromSnapshot") &&
+            !r.options.containsKey("toSnapshot") =>
+          Option(r.options.get("snapshotId")) match {
+            case None => Some((t.storeRoot, None, t.schema()))
+            case Some(v) =>
+              try Some((t.storeRoot, Some(v.toLong), t.schema()))
+              catch { case _: NumberFormatException => None }
+          }
         case _ => None
       }
       case r: DataSourceV2ScanRelation => r.scan match {
@@ -116,8 +125,7 @@ object GroupedAggMetadataRule extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
-    val rows = GraftGroupedAgg.compute(SparkSession.active, root, snapshotId, g.name)
-      .getOrElse(return None)
+    val rows = cachedCompute(root, snapshotId, g.name).getOrElse(return None)
     // exact per-value filter: bind cond to a one-column row and evaluate with
     // full Catalyst semantics (three-valued null logic included — the SQL NULL
     // group passes iff cond(NULL) is TRUE, exactly like the row filter would)
@@ -145,4 +153,36 @@ object GroupedAggMetadataRule extends Rule[LogicalPlan] {
 
   /** Test hook: metadata-answered filtered grouped aggregates in this JVM. */
   val fired = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Memoized [[GraftGroupedAgg.compute]] — both negative and positive
+    * results. The rule sits in FIXED-POINT optimizer batches (the operator
+    * batch runs before AND after filter inference, plus extraOptimizations),
+    * so one query would otherwise re-run the metadata jobs 4-8 times; and a
+    * decline (e.g. GROUP BY text) re-matches on every iteration. Keyed by the
+    * RESOLVED snapshot id: explicit ids are immutable forever, and the
+    * current-state key changes with every commit (one tiny pointer read), so
+    * a write between queries can never serve stale counts. Bounded LRU. */
+  private val MaxCached = 64
+  private val cache = new java.util.LinkedHashMap[(String, Long, String),
+      Option[Seq[GraftGroupedAgg.GroupRow]]](MaxCached, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long, String),
+          Option[Seq[GraftGroupedAgg.GroupRow]]]): Boolean = size() > MaxCached
+  }
+
+  private def cachedCompute(root: String, snapshotId: Option[Long],
+      column: String): Option[Seq[GraftGroupedAgg.GroupRow]] = {
+    val resolved = snapshotId.orElse(
+      graft.sources.SnapshotStore.currentSnapshotId(root)).getOrElse(return None)
+    cache.synchronized {
+      val key = (root, resolved, column)
+      val hit = cache.get(key)
+      if (hit != null) return hit
+      // compute under the lock: concurrent planners of the same store would
+      // otherwise race the same two metadata jobs (compute is driver-side)
+      val res = GraftGroupedAgg.compute(SparkSession.active, root, Some(resolved), column)
+      cache.put(key, res)
+      res
+    }
+  }
 }

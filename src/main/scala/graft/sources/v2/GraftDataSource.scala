@@ -357,11 +357,18 @@ final class GraftTable(root: String) extends Table with SupportsRead
     require(from.isDefined || toOpt.isEmpty,
       "toSnapshot requires fromSnapshot (the incremental range is (from, to])")
     val incremental = from.map { f =>
-      val t = toOpt.getOrElse(SnapshotStore.currentSnapshotId(root).getOrElse(
-        throw new IllegalArgumentException(s"no committed snapshot under $root")))
+      val cur = SnapshotStore.currentSnapshotId(root).getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshot under $root"))
+      val t = toOpt.getOrElse(cur)
       require(f >= 0 && t >= f,
         s"invalid incremental range (fromSnapshot=$f, toSnapshot=$t]: " +
         "need 0 <= from <= to")
+      // an explicit bound past the head would otherwise surface as a
+      // misleading retention ("expired") failure for a snapshot that never
+      // existed
+      require(t <= cur,
+        s"toSnapshot=$t is beyond the current snapshot $cur of $root — " +
+        "the range end must be a committed snapshot id")
       (f, t)
     }
     new GraftScanBuilder(root, snapshotId, tableSchema, incremental)

@@ -365,6 +365,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Sampling.stratifiedSample(df, "id", "lang",
       Map.empty, defaultRate = 0.0).count() == 0L)
     intercept[IllegalArgumentException] { Sampling.hexThreshold(1.5) }
+    // positive rates never silently truncate to zero: 1e-10 rounds UP to one
+    // 2^-32 grid point, so the keep-set is merely tiny, not empty
+    assert(Sampling.hexThreshold(1e-10) == "00000001")
+    assert(Sampling.hexThreshold(0.0) == "00000000")
     // NULL keys never sample in (md5(NULL) is NULL — no silent correlation)
     val withNullKeys = df.select(
       when(col("id") % 2 === 0, col("id")).as("id"), col("lang"))

@@ -277,6 +277,18 @@ class V2SourceSpec extends AnyFunSuite {
       .groupBy(col("text")).agg(count(lit(1)).as("c"))
     assert(onText.count() == wantText.count())
 
+    // the plan rule must not swallow the builder's option validation: an
+    // unparseable snapshotId still throws (instead of silently answering the
+    // CURRENT state from metadata before the builder ever sees the option)
+    val badSnap = intercept[Exception] {
+      spark.read.format("graft").option("snapshotId", "latest").load(root)
+        .createOrReplaceTempView("graft_gaggf_bad")
+      spark.sql("SELECT lang, count(*) AS c FROM graft_gaggf_bad " +
+        "WHERE lang <> 'x' GROUP BY lang").collect()
+    }
+    assert(badSnap.getMessage.contains("invalid snapshotId"),
+      s"rule must decline and let the builder validate: ${badSnap.getMessage}")
+
     // incremental (fromSnapshot) scans are NOT the state metadata describes
     spark.read.format("graft").option("fromSnapshot", "0").load(r2)
       .createOrReplaceTempView("graft_gaggf_incr")
@@ -351,6 +363,12 @@ class V2SourceSpec extends AnyFunSuite {
       spark.read.format("graft").option("toSnapshot", "2").load(r2).count()
     }
     assert(ex2.getMessage.contains("toSnapshot requires fromSnapshot"))
+    // a bound past the head is a user error, not a (misleading) retention one
+    val exHead = intercept[Exception] {
+      spark.read.format("graft").option("fromSnapshot", "1")
+        .option("toSnapshot", "99").load(r2).count()
+    }
+    assert(exHead.getMessage.contains("beyond the current snapshot"))
     // a range whose manifests were expired fails with the remediation, never
     // a silent partial delta
     graft.sources.SnapshotStore.expireSnapshots(r2, keepLast = 1, orphanGraceMs = 0L)
