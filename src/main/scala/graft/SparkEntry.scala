@@ -480,6 +480,23 @@ object SparkEntry {
       df
     }),
 
+    // GENERALIZED ungrouped aggregate pushdown (r6): count(col)/min/max over
+    // ANY metadata-bounded column — string bounds are exact full values, so
+    // min/max(url)/min/max(lang) answer from block metadata with zero decode
+    // (plan-proven complete: no aggregate exec survives)
+    "q_dsv2_agg_any" -> ((s, d) => {
+      val root = encodedDocsStore(s, d)
+      s.read.format("graft").load(root).createOrReplaceTempView("graft_aggany_store")
+      val df = s.sql("SELECT count(lang) AS cl, min(url) AS mnu, max(url) AS mxu, " +
+        "min(lang) AS mnl, max(lang) AS mxl FROM graft_aggany_store")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates") && plan.contains("(metadata-only)"),
+        s"generalized aggregates must push completely:\n$plan")
+      require(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+        s"complete pushdown must leave no aggregate exec:\n$plan")
+      df
+    }),
+
     // GROUPED aggregate pushdown: `SELECT lang, count(*) GROUP BY lang` is
     // answered from per-block dict metadata (block_str_dict + the r6
     // occurrence counts) — zero decode; the require proves the COMPLETE push
@@ -1419,6 +1436,10 @@ object SparkEntry {
       "min((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS min_warc_ts_us, " +
       "max((CAST(1600000000 AS BIGINT) + (doc_id // 50) * 3600) * 1000000) AS max_warc_ts_us " +
       "FROM documents"),
+    "q_dsv2_agg_any" -> ("SELECT CAST(count(lang) AS BIGINT) AS cl, " +
+      "min(concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS mnu, " +
+      "max(concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS mxu, " +
+      "min(lang) AS mnl, max(lang) AS mxl FROM documents"),
     "q_dsv2_agg_group" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt, " +
       "CAST(count(lang) AS BIGINT) AS cnt_lang FROM documents GROUP BY lang"),
     "q_dsv2_agg_group_filtered" -> ("SELECT lang, CAST(count(*) AS BIGINT) AS cnt " +

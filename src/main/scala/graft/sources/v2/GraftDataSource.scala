@@ -264,8 +264,14 @@ object GraftDataSource {
 
   sealed trait MetaAgg
   case object AggCountStar extends MetaAgg
-  case object AggMinTs extends MetaAgg
-  case object AggMaxTs extends MetaAgg
+  /** `count(col)` — exact from per-block `n`/`n_nulls`, any column. */
+  final case class AggCountCol(column: String) extends MetaAgg
+  /** `min(col)`/`max(col)` — exact from per-block bounds: `block_min/max`
+    * for the int family (timestamps as epoch micros), `block_str_min/max`
+    * (full-value unsigned-byte order = Spark's UTF8String order) for
+    * strings; opaque binary has neither and declines at the shape gate. */
+  final case class AggMin(column: String) extends MetaAgg
+  final case class AggMax(column: String) extends MetaAgg
 }
 
 final class GraftTable(root: String) extends Table with SupportsRead
@@ -491,7 +497,6 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
   private var pushed: Array[Filter] = Array.empty
   private var predicates: Seq[DecodeJob.BlockPredicate] = Seq.empty
   private var sawFilters = false
-  private var pushedAggs: Option[Seq[GraftDataSource.MetaAgg]] = None
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[GraftDataSource.TopN] = None
 
@@ -557,31 +562,39 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
 
   override def pruneColumns(required: StructType): Unit = requiredSchema = required
 
-  // -------- aggregate pushdown: count(*) / min / max (warc_ts) from metadata --------
-
-  private def isWarcTs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-    e match {
-      case n: org.apache.spark.sql.connector.expressions.NamedReference =>
-        n.fieldNames.toSeq == Seq("warc_ts") &&
-          // a generalized schema could name a STRING column warc_ts: its
-          // blocks have no int bounds and the metadata scan would answer NULL
-          tableSchema.fields.exists(f => f.name == "warc_ts" && f.dataType == TimestampType)
-      case _ => false
-    }
+  // -------- aggregate pushdown: count(*)/count(col)/min/max from metadata --------
 
   /** Convertible iff NOTHING was filtered (metadata reflects the unfiltered
-    * table — a pushed predicate would make manifest counts wrong), there is no
-    * grouping, and every aggregate is count(*)/min(warc_ts)/max(warc_ts). */
+    * table — a pushed predicate would make manifest counts wrong), there is
+    * no grouping, and every aggregate is count(*) / non-distinct count(col) /
+    * min(col) / max(col) of a metadata-bounded column: the int family
+    * (incl. timestamps) carries exact `block_min/max`, strings carry exact
+    * full-value `block_str_min/max`; opaque binary has neither. Whether the
+    * STORE can answer (n_nulls/bounds coverage) is the data-dependent check
+    * in [[supportCompletePushDown]]. */
   private def convertAgg(agg: aggregate.Aggregation): Option[Seq[GraftDataSource.MetaAgg]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
     // incremental (fromSnapshot) scans answer over a snapshot-RANGE delta; the
     // metadata aggregate paths read one snapshot's state — decline, the
     // ordinary scan + Spark's aggregate stay exact over the delta rows
     if (incremental.isDefined) return None
     if (pushed.nonEmpty || predicates.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+        case _ => None
+      }
+    def bounded(c: String): Boolean = tableSchema.fields.find(_.name == c).exists(f =>
+      f.dataType == StringType || f.dataType == TimestampType ||
+      f.dataType == LongType || f.dataType == IntegerType ||
+      f.dataType == ShortType || f.dataType == ByteType)
     val fns = agg.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(GraftDataSource.AggCountStar)
-      case m: aggregate.Min if isWarcTs(m.column) => Some(GraftDataSource.AggMinTs)
-      case m: aggregate.Max if isWarcTs(m.column) => Some(GraftDataSource.AggMaxTs)
+      case ct: aggregate.Count if !ct.isDistinct =>
+        colOf(ct.column).filter(tableSchema.fieldNames.contains)
+          .map(GraftDataSource.AggCountCol)
+      case m: aggregate.Min => colOf(m.column).filter(bounded).map(GraftDataSource.AggMin)
+      case m: aggregate.Max => colOf(m.column).filter(bounded).map(GraftDataSource.AggMax)
       case _ => None
     }
     if (fns.nonEmpty && fns.forall(_.isDefined)) Some(fns.flatten) else None
@@ -623,13 +636,28 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
 
   private var pushedGrouped: Option[(String, Seq[GroupedAggKind],
     Seq[GraftGroupedAgg.GroupRow])] = None
-  // build() serves the grouped scan ONLY after Spark ACCEPTED it through
+  private var pushedUngrouped: Option[(Seq[GraftDataSource.MetaAgg], Array[Any])] = None
+  // build() serves a metadata scan ONLY after Spark ACCEPTED it through
   // pushAggregation — a supportCompletePushDown probe alone must not flip the
   // scan's output schema (Spark would still expect full-width rows)
   private var groupedAccepted = false
+  private var ungroupedAccepted = false
 
   override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
-    convertAgg(agg).isDefined || (convertGroupedAgg(agg) match {
+    (convertAgg(agg) match {
+      case Some(as) =>
+        // data-dependent gate, mirrored from the grouped path: every block of
+        // a min/max column must carry bounds (or be all-null with exact
+        // n_nulls), every count(col) column exact n_nulls — the store answers
+        // from metadata or not at all (a partial/approximate answer is never
+        // served; see pushAggregation)
+        GraftUngroupedAgg.compute(SparkSession.active, root, snapshotId, as,
+            tableSchema) match {
+          case Some(vals) => pushedUngrouped = Some((as, vals)); true
+          case None => false
+        }
+      case None => false
+    }) || (convertGroupedAgg(agg) match {
       case Some((c, kinds)) =>
         // data-dependent gate: every live block of c must carry dict+counts
         // (or be all-null) — the store answers from metadata or not at all
@@ -640,23 +668,24 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
       case None => false
     })
 
-  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
-    convertAgg(agg) match {
-      case Some(a) => pushedAggs = Some(a); true
-      // grouped: accepted only as the COMPLETE pushdown prepared above, for
-      // the SAME (group column, aggregate kinds) — a partial grouped pushdown
-      // (supportCompletePushDown false) must be refused, the per-block counts
-      // cannot serve Spark's partial agg shape
-      case None =>
-        val matches = pushedGrouped.exists(p =>
-          convertGroupedAgg(agg).contains((p._1, p._2)))
-        if (matches) groupedAccepted = true
-        matches
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+    // both forms are accepted only as the COMPLETE pushdown prepared above,
+    // for the SAME aggregate shape — Spark also probes pushAggregation on its
+    // PARTIAL pushdown path (supportCompletePushDown false), and per-block
+    // metadata cannot serve Spark's partial agg row shape
+    val ungroupedMatches = pushedUngrouped.exists(p => convertAgg(agg).contains(p._1))
+    if (ungroupedMatches) { ungroupedAccepted = true; true }
+    else {
+      val matches = pushedGrouped.exists(p =>
+        convertGroupedAgg(agg).contains((p._1, p._2)))
+      if (matches) groupedAccepted = true
+      matches
     }
+  }
 
-  override def build(): Scan = pushedAggs match {
+  override def build(): Scan = pushedUngrouped.filter(_ => ungroupedAccepted) match {
     // a pushed aggregate yields one metadata row — a limit on top is moot
-    case Some(aggs) => new GraftAggScan(root, snapshotId, aggs)
+    case Some((aggs, vals)) => new GraftAggScan(root, snapshotId, aggs, vals, tableSchema)
     case None => pushedGrouped.filter(_ => groupedAccepted) match {
       case Some((c, kinds, rows)) => new GraftGroupedAggScan(root, c, kinds, rows)
       case None =>
@@ -671,25 +700,34 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
 }
 
 /**
- * Complete aggregate pushdown: `SELECT count(*), min(warc_ts), max(warc_ts)`
- * over the graft table is answered WITHOUT decoding anything — count(*) from
- * the manifest's per-part row counts (driver arithmetic, zero file IO) and
- * min/max from the block min/max metadata columns (a column-pruned scan that
- * never touches `encoded`) — [[graft.jobs.DecodeJob.statsFast]] surfaced to
- * plain SQL. Exact: block bounds are exact over non-null values, and nulls
- * don't participate in SQL min/max.
+ * Complete aggregate pushdown: `SELECT count(*), count(col), min(col),
+ * max(col)` over the graft table is answered WITHOUT decoding anything —
+ * count(*) from the manifest's per-part row counts (driver arithmetic, zero
+ * file IO), count(col) from exact per-block `n_nulls`, and min/max from the
+ * exact per-block bounds (int family via `block_min/max`, strings via the
+ * full-value `block_str_min/max`) — one column-pruned metadata scan that
+ * never touches `encoded`. The values were computed (and coverage-gated) at
+ * PUSHDOWN time ([[GraftUngroupedAgg]]); execution serves the one metadata
+ * row. Exact: bounds/null counts are exact, and nulls don't participate in
+ * SQL min/max.
  */
 final class GraftAggScan(root: String, snapshotId: Option[Long],
-                         aggs: Seq[GraftDataSource.MetaAgg])
+                         aggs: Seq[GraftDataSource.MetaAgg],
+                         values: Array[Any],
+                         tableSchema: StructType = GraftDataSource.PageSchema)
     extends Scan with Batch {
+
+  private def colType(c: String) = tableSchema(c).dataType
 
   override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
     case (GraftDataSource.AggCountStar, i) =>
       StructField(s"count_star_$i", LongType, nullable = false)
-    case (GraftDataSource.AggMinTs, i) =>
-      StructField(s"min_warc_ts_$i", TimestampType, nullable = true)
-    case (GraftDataSource.AggMaxTs, i) =>
-      StructField(s"max_warc_ts_$i", TimestampType, nullable = true)
+    case (GraftDataSource.AggCountCol(c), i) =>
+      StructField(s"count_${c}_$i", LongType, nullable = false)
+    case (GraftDataSource.AggMin(c), i) =>
+      StructField(s"min_${c}_$i", colType(c), nullable = true)
+    case (GraftDataSource.AggMax(c), i) =>
+      StructField(s"max_${c}_$i", colType(c), nullable = true)
   })
 
   override def description(): String = {
@@ -700,32 +738,6 @@ final class GraftAggScan(root: String, snapshotId: Option[Long],
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val needsTsBounds = aggs.exists(a => a == GraftDataSource.AggMinTs ||
-      a == GraftDataSource.AggMaxTs)
-    // count(*)-only: pure manifest arithmetic, zero Spark jobs and zero file
-    // IO; the metadata scan (statsFast) runs only when ts bounds are asked for
-    val row: org.apache.spark.sql.Row =
-      if (needsTsBounds) DecodeJob.statsFast(SparkSession.active, root, snapshotId).collect()(0)
-      else {
-        val entries = snapshotId match {
-          case Some(id) => SnapshotStore.entriesAt(root, id)
-          case None =>
-            // empty-ENTRIES snapshots are legal (created-but-unloaded table,
-            // truncate, all-matched DELETE): count(*) is 0. No snapshot at all
-            // is a different thing — not a store — and must fail loudly
-            require(SnapshotStore.currentSnapshotId(root).isDefined,
-              s"no committed snapshot under $root")
-            SnapshotStore.currentEntries(root)
-        }
-        org.apache.spark.sql.Row(entries.map(_.nRows).sum, null, null)
-      }
-    val values: Array[java.lang.Long] = aggs.toArray.map {
-      case GraftDataSource.AggCountStar => java.lang.Long.valueOf(row.getLong(0))
-      case GraftDataSource.AggMinTs =>
-        if (row.isNullAt(1)) null else java.lang.Long.valueOf(row.getLong(1))
-      case GraftDataSource.AggMaxTs =>
-        if (row.isNullAt(2)) null else java.lang.Long.valueOf(row.getLong(2))
-    }
     // record THIS scan's stats: a gate reading planStatsFor after an
     // agg-pushed query must not validate the PREVIOUS scan's plan (the
     // stale-gate-result class); one metadata partition, zero data files
@@ -737,7 +749,9 @@ final class GraftAggScan(root: String, snapshotId: Option[Long],
   override def createReaderFactory(): PartitionReaderFactory = GraftAggReaderFactory
 }
 
-final case class GraftAggPartition(values: Array[java.lang.Long]) extends InputPartition
+/** `values` are INTERNAL representations (Long/Int/Short/Byte, epoch-micros
+  * Long for timestamps, UTF8String for strings, null for empty columns). */
+final case class GraftAggPartition(values: Array[Any]) extends InputPartition
 
 object GraftAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =

@@ -90,6 +90,104 @@ object GraftGroupedAgg {
   }
 }
 
+/**
+ * UNGROUPED metadata aggregates — `count(*)` / `count(col)` / `min(col)` /
+ * `max(col)` computed exactly from the manifest and per-block metadata at
+ * pushdown time, for ANY column the metadata bounds: the int family
+ * (timestamps as epoch micros) via exact `block_min/max`, strings via the
+ * exact full-value `block_str_min/max` (unsigned-byte order — identical to
+ * Spark's UTF8String ordering), null counts via exact `n_nulls`.
+ *
+ * Coverage gate (None -> the pushdown declines, Spark computes normally):
+ * every block of a min/max column must carry bounds or be provably all-null
+ * (`n == n_nulls` with n_nulls present); every count(col) column must carry
+ * `n_nulls` in every block; per-column block row totals must account for
+ * every table row. Values return in INTERNAL representation ready for the
+ * scan's one metadata row.
+ */
+private[v2] object GraftUngroupedAgg {
+  import GraftDataSource.{AggCountCol, AggCountStar, AggMax, AggMin, MetaAgg}
+
+  def compute(spark: SparkSession, root: String, snapshotId: Option[Long],
+              aggs: Seq[MetaAgg], schema: StructType): Option[Array[Any]] = {
+    val entries = snapshotId match {
+      case Some(id) => SnapshotStore.entriesAt(root, id)
+      case None =>
+        if (SnapshotStore.currentSnapshotId(root).isEmpty) return None // not a store
+        SnapshotStore.currentEntries(root)
+    }
+    val totalRows = entries.map(_.nRows).sum
+    val cols = aggs.collect {
+      case AggCountCol(c) => c
+      case AggMin(c) => c
+      case AggMax(c) => c
+    }.distinct
+    // count(*)-only: pure manifest arithmetic, zero Spark jobs, zero file IO
+    if (cols.isEmpty)
+      return Some(aggs.toArray.map(_ => java.lang.Long.valueOf(totalRows): Any))
+    if (totalRows == 0L)
+      // empty store: counts are 0, min/max are SQL NULL — exact with no blocks
+      return Some(aggs.toArray.map {
+        case AggCountStar | AggCountCol(_) => java.lang.Long.valueOf(0L): Any
+        case _ => null
+      })
+    val blocksDf = DecodeJob.fromEntries(spark, root, entries)
+    if (!blocksDf.columns.contains("n_nulls")) return None // pre-r5 store
+    // one column-pruned metadata job over the involved columns' block rows
+    val allNull = col("nn").isNotNull && col("n") === col("nn")
+    val stats = blocksDf.where(col("column").isin(cols: _*))
+      .select(col("column"), col("n").cast("long").as("n"),
+        col("n_nulls").cast("long").as("nn"),
+        col("block_min").as("imin"), col("block_max").as("imax"),
+        col("block_str_min").as("smin"), col("block_str_max").as("smax"))
+      .groupBy(col("column")).agg(
+        sum(col("n")).as("rows"),
+        sum(col("nn")).as("nulls"),
+        sum(when(col("nn").isNull, 1L).otherwise(0L)).as("nn_missing"),
+        sum(when(col("imin").isNull && !allNull, 1L).otherwise(0L)).as("int_missing"),
+        sum(when(col("smin").isNull && !allNull, 1L).otherwise(0L)).as("str_missing"),
+        min(col("imin")).as("imin"), max(col("imax")).as("imax"),
+        min(col("smin")).as("smin"), max(col("smax")).as("smax"))
+      .collect().iterator.map(r => r.getString(0) -> r).toMap
+    def internal(c: String, raw: Any): Any = raw match {
+      case null => null
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case l: Long => schema(c).dataType match {
+        case TimestampType | LongType => java.lang.Long.valueOf(l)
+        case IntegerType => java.lang.Integer.valueOf(l.toInt)
+        case ShortType => java.lang.Short.valueOf(l.toShort)
+        case ByteType => java.lang.Byte.valueOf(l.toByte)
+        case _ => return NotCoverable // unreachable: convertAgg gated the types
+      }
+      case _ => NotCoverable
+    }
+    val out = aggs.toArray.map {
+      case AggCountStar => java.lang.Long.valueOf(totalRows): Any
+      case AggCountCol(c) =>
+        val r = stats.getOrElse(c, return None)
+        if (r.getAs[Long]("nn_missing") != 0L || r.getAs[Long]("rows") != totalRows)
+          return None
+        java.lang.Long.valueOf(totalRows - r.getAs[Long]("nulls")): Any
+      case AggMin(c) =>
+        val r = stats.getOrElse(c, return None)
+        if (r.getAs[Long]("rows") != totalRows) return None
+        val isStr = schema(c).dataType == StringType
+        if (r.getAs[Long](if (isStr) "str_missing" else "int_missing") != 0L) return None
+        internal(c, r.getAs[Any](if (isStr) "smin" else "imin"))
+      case AggMax(c) =>
+        val r = stats.getOrElse(c, return None)
+        if (r.getAs[Long]("rows") != totalRows) return None
+        val isStr = schema(c).dataType == StringType
+        if (r.getAs[Long](if (isStr) "str_missing" else "int_missing") != 0L) return None
+        internal(c, r.getAs[Any](if (isStr) "smax" else "imax"))
+    }
+    if (out.contains(NotCoverable)) None else Some(out)
+  }
+
+  /** Sentinel for an unconvertible metadata value (declines the pushdown). */
+  private object NotCoverable
+}
+
 /** The aggregate kinds a grouped pushdown serves. */
 private[v2] sealed trait GroupedAggKind
 private[v2] case object GroupedCountStar extends GroupedAggKind

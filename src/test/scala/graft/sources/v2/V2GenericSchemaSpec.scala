@@ -131,6 +131,26 @@ class V2GenericSchemaSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM graftcat.`$root2`").head().getLong(0) == 4000)
   }
 
+  test("generalized aggregate pushdown answers min/max/count over generic columns") {
+    val root = tmp()
+    spark.sql(s"CREATE TABLE graftcat.`$root` " +
+      "(host string, id bigint, score int, fetched timestamp) USING graft")
+    src(4000).createOrReplaceTempView("generic_agg_src")
+    spark.sql(s"INSERT INTO graftcat.`$root` SELECT * FROM generic_agg_src")
+    val df = spark.sql("SELECT count(*) AS c, count(score) AS cs, " +
+      "min(score) AS mns, max(score) AS mxs, min(fetched) AS mnf, " +
+      "max(fetched) AS mxf, min(host) AS mnh, max(id) AS mxi " +
+      s"FROM graftcat.`$root`")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") && plan.contains("(metadata-only)"),
+      s"generic-store aggregates must push completely:\n$plan")
+    val want = src(4000).agg(count(lit(1)), count(col("score")),
+      min(col("score")), max(col("score")), min(col("fetched")),
+      max(col("fetched")), min(col("host")), max(col("id"))).collect()(0)
+    assert(df.collect()(0) == want,
+      s"metadata answer must equal the computed one: ${df.collect()(0)} vs $want")
+  }
+
   test("columnar read path serves generic int/short/byte columns exactly") {
     val root = tmp()
     spark.sql(s"CREATE TABLE graftcat.`$root` " +

@@ -156,6 +156,47 @@ class V2SourceSpec extends AnyFunSuite {
       .select(col("lang")).distinct().count())
   }
 
+  test("generalized aggregate pushdown: count(col)/min/max over ANY bounded column") {
+    graftTable.createOrReplaceTempView("graft_agg_any")
+    // strings (exact full-value bounds) + timestamps + null counts in one shot
+    val df = spark.sql("SELECT count(lang) AS cl, min(url) AS mnu, max(url) AS mxu, " +
+      "min(lang) AS mnl, max(warc_ts) AS mxt FROM graft_agg_any")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") && plan.contains("(metadata-only)"),
+      s"generalized aggregates must push completely:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must leave no aggregate exec:\n$plan")
+    val want = DecodeJob.decode(spark, root).toDF().agg(
+      count(col("lang")), min(col("url")), max(col("url")),
+      min(col("lang")), max(col("warc_ts"))).collect()(0)
+    val got = df.collect()(0)
+    assert(got == want, s"metadata answer must equal the decode: $got vs $want")
+    // null counting: planted null langs make count(lang) < count(*)
+    val r2 = Files.createTempDirectory("graft-v2-aggany-nulls-").toString
+    locally {
+      import spark.implicits._
+      EncodeJob.run(spark, Webtext.generate(spark, 2000L, 4).map(p =>
+        if (p.url.endsWith("1")) p.copy(lang = null) else p), r2, parts = 2)
+    }
+    spark.read.format("graft").load(r2).createOrReplaceTempView("graft_agg_any_n")
+    val nulls = spark.sql(
+      "SELECT count(*) AS c, count(lang) AS cl FROM graft_agg_any_n")
+    assert(nulls.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val nRow = nulls.collect()(0)
+    assert(nRow.getLong(0) == 2000L && nRow.getLong(1) < 2000L &&
+      nRow.getLong(1) == DecodeJob.decode(spark, r2).toDF()
+        .where(col("lang").isNotNull).count())
+    // min/max over an opaque BINARY column has no metadata bounds: shape-decline
+    val onHtml = spark.sql("SELECT min(html) AS h FROM graft_agg_any")
+    assert(!onHtml.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "binary min/max must not push (no bounds metadata)")
+    // distinct counts cannot be answered from per-block metadata
+    val distinctCount = spark.sql("SELECT count(DISTINCT lang) AS d FROM graft_agg_any")
+    assert(!distinctCount.queryExecution.executedPlan.toString.contains("(metadata-only)"))
+    assert(distinctCount.collect()(0).getLong(0) ==
+      DecodeJob.decode(spark, root).toDF().select(col("lang")).distinct().count())
+  }
+
   test("GROUPED aggregate pushdown: count(*) GROUP BY lang answers from dict metadata") {
     graftTable.createOrReplaceTempView("graft_gagg")
     val df = spark.sql(
