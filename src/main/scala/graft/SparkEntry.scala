@@ -660,6 +660,32 @@ object SparkEntry {
         s"FROM graftcat.`$root`")
     }),
 
+    // sum/min/max/count pushdown over a GENERIC store's int columns — the
+    // exact per-block sums (block_sum, written at encode) answer
+    // `SELECT sum(score), sum(id), ...` with zero decode (plan-proven
+    // complete: metadata-only scan, no aggregate exec)
+    "q_generic_agg_sum" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graftcat", "graft.sources.v2.GraftCatalog")
+      val root = Files.createTempDirectory("graft-generic-agg-").toString + "/t"
+      t(s, d, "events").selectExpr(
+        "concat('host-', lpad(cast(user_id % 50 as string), 4, '0'), '.example/e', " +
+          "cast(event_id as string)) AS host",
+        "event_id AS id",
+        "cast(event_id % 1000 as int) AS score",
+        "ts AS fetched").createOrReplaceTempView("generic_agg_oracle_src")
+      s.sql(s"CREATE TABLE graftcat.`$root` " +
+        "(host string, id bigint, score int, fetched timestamp) USING graft")
+      s.sql(s"INSERT INTO graftcat.`$root` SELECT * FROM generic_agg_oracle_src")
+      val df = s.sql("SELECT sum(score) AS ss, sum(id) AS si, count(score) AS cs, " +
+        s"min(score) AS mns, max(id) AS mxi FROM graftcat.`$root`")
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates") && plan.contains("(metadata-only)"),
+        s"generic sums must push completely:\n$plan")
+      require(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+        s"complete pushdown must leave no aggregate exec:\n$plan")
+      df
+    }),
+
     // SQL UPDATE (catalog-resolved row-level DML): group-based copy-on-write
     // ReplaceData — the pushed url bound prunes which parts get rewritten
     // (block metadata), survivors re-encode through the staged pipeline, the
@@ -1457,6 +1483,9 @@ object SparkEntry {
     "q_generic_roundtrip" -> ("SELECT concat('host-', lpad(CAST(user_id % 50 AS VARCHAR), 4, '0'), " +
       "'.example/e', CAST(event_id AS VARCHAR)) AS host, event_id AS id, " +
       "CAST(event_id % 1000 AS INTEGER) AS score, epoch_us(ts) AS fetched_us FROM events"),
+    "q_generic_agg_sum" -> ("SELECT CAST(sum(event_id % 1000) AS BIGINT) AS ss, " +
+      "CAST(sum(event_id) AS BIGINT) AS si, CAST(count(event_id) AS BIGINT) AS cs, " +
+      "CAST(min(event_id % 1000) AS INTEGER) AS mns, max(event_id) AS mxi FROM events"),
     "q_dsv2_update" -> ("SELECT concat('doc://', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS url, " +
       "CASE WHEN doc_id <= (SELECT max(doc_id) // 5 FROM documents) THEN 'xx' ELSE lang END AS lang " +
       "FROM documents"),

@@ -39,6 +39,13 @@ final case class BlockRow(
     n_nulls: Int,
     block_min: Option[Long],
     block_max: Option[Long],
+    // exact sum of the block's non-null values (int family only): what makes
+    // `SELECT sum(col)` answerable from metadata. None for string blocks, for
+    // all-null blocks, and when the block's own sum overflows a signed 64-bit
+    // (the pushdown then declines — sound; Spark computes with its own
+    // overflow semantics). Stores written before this column read it as
+    // null = sum unknown (decline)
+    block_sum: Option[Long],
     block_dict: Option[Array[Long]],
     block_str_min: Option[String],
     block_str_max: Option[String],
@@ -220,7 +227,7 @@ object EncodeJob {
       } else (None, None)
 
     BlockRow(partId, seq, name, "str", StringBlockCodec.codecName(enc), arr.length,
-      nulls, None, None, None, bound(mn), bound(mx), strDict, strDictCounts,
+      nulls, None, None, None, None, bound(mn), bound(mx), strDict, strDictCounts,
       orig, enc.length.toLong, enc)
   }
 
@@ -237,6 +244,8 @@ object EncodeJob {
     var mn = Long.MaxValue; var mx = Long.MinValue
     var any = false
     var validN = 0
+    var sum = 0L
+    var sumOk = true // a block whose own sum overflows i64 carries no sum
     val distinct = new java.util.TreeSet[java.lang.Long]()
     var i = 0
     while (i < n) {
@@ -244,6 +253,10 @@ object EncodeJob {
         val v = vals(i)
         if (v < mn) mn = v
         if (v > mx) mx = v
+        if (sumOk) {
+          try sum = Math.addExact(sum, v)
+          catch { case _: ArithmeticException => sumOk = false }
+        }
         any = true
         validN += 1
         if (distinct.size <= IntDictCap) distinct.add(v)
@@ -260,7 +273,8 @@ object EncodeJob {
       } else None
     BlockRow(partId, seq, name, t.name, IntBlockCodec.info(enc).codecName, n,
       n - validN,
-      if (any) Some(mn) else None, if (any) Some(mx) else None, intDict,
+      if (any) Some(mn) else None, if (any) Some(mx) else None,
+      if (any && sumOk) Some(sum) else None, intDict,
       None, None, None, None, n.toLong * (t.width / 8), enc.length.toLong, enc)
   }
 

@@ -272,6 +272,10 @@ object GraftDataSource {
     * strings; opaque binary has neither and declines at the shape gate. */
   final case class AggMin(column: String) extends MetaAgg
   final case class AggMax(column: String) extends MetaAgg
+  /** `sum(col)` — exact from per-block `block_sum` (int family; declines on
+    * any overflowing or sum-less block, Spark then computes with its own
+    * overflow semantics). */
+  final case class AggSum(column: String) extends MetaAgg
 }
 
 final class GraftTable(root: String) extends Table with SupportsRead
@@ -588,6 +592,9 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
       f.dataType == StringType || f.dataType == TimestampType ||
       f.dataType == LongType || f.dataType == IntegerType ||
       f.dataType == ShortType || f.dataType == ByteType)
+    def summable(c: String): Boolean = tableSchema.fields.find(_.name == c).exists(f =>
+      f.dataType == LongType || f.dataType == IntegerType ||
+      f.dataType == ShortType || f.dataType == ByteType)
     val fns = agg.aggregateExpressions.toSeq.map {
       case _: aggregate.CountStar => Some(GraftDataSource.AggCountStar)
       case ct: aggregate.Count if !ct.isDistinct =>
@@ -595,6 +602,8 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
           .map(GraftDataSource.AggCountCol)
       case m: aggregate.Min => colOf(m.column).filter(bounded).map(GraftDataSource.AggMin)
       case m: aggregate.Max => colOf(m.column).filter(bounded).map(GraftDataSource.AggMax)
+      case s: aggregate.Sum if !s.isDistinct =>
+        colOf(s.column).filter(summable).map(GraftDataSource.AggSum)
       case _ => None
     }
     if (fns.nonEmpty && fns.forall(_.isDefined)) Some(fns.flatten) else None
@@ -728,6 +737,9 @@ final class GraftAggScan(root: String, snapshotId: Option[Long],
       StructField(s"min_${c}_$i", colType(c), nullable = true)
     case (GraftDataSource.AggMax(c), i) =>
       StructField(s"max_${c}_$i", colType(c), nullable = true)
+    case (GraftDataSource.AggSum(c), i) =>
+      // Spark's final type for integral sums is LongType regardless of width
+      StructField(s"sum_${c}_$i", LongType, nullable = true)
   })
 
   override def description(): String = {

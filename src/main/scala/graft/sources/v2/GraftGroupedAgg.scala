@@ -106,7 +106,7 @@ object GraftGroupedAgg {
  * scan's one metadata row.
  */
 private[v2] object GraftUngroupedAgg {
-  import GraftDataSource.{AggCountCol, AggCountStar, AggMax, AggMin, MetaAgg}
+  import GraftDataSource.{AggCountCol, AggCountStar, AggMax, AggMin, AggSum, MetaAgg}
 
   def compute(spark: SparkSession, root: String, snapshotId: Option[Long],
               aggs: Seq[MetaAgg], schema: StructType): Option[Array[Any]] = {
@@ -121,33 +121,43 @@ private[v2] object GraftUngroupedAgg {
       case AggCountCol(c) => c
       case AggMin(c) => c
       case AggMax(c) => c
+      case AggSum(c) => c
     }.distinct
     // count(*)-only: pure manifest arithmetic, zero Spark jobs, zero file IO
     if (cols.isEmpty)
       return Some(aggs.toArray.map(_ => java.lang.Long.valueOf(totalRows): Any))
     if (totalRows == 0L)
-      // empty store: counts are 0, min/max are SQL NULL — exact with no blocks
+      // empty store: counts are 0, min/max/sum are SQL NULL — exact, no blocks
       return Some(aggs.toArray.map {
         case AggCountStar | AggCountCol(_) => java.lang.Long.valueOf(0L): Any
         case _ => null
       })
     val blocksDf = DecodeJob.fromEntries(spark, root, entries)
     if (!blocksDf.columns.contains("n_nulls")) return None // pre-r5 store
-    // one column-pruned metadata job over the involved columns' block rows
+    val hasSums = blocksDf.columns.contains("block_sum")
+    if (!hasSums && aggs.exists(_.isInstanceOf[AggSum])) return None // pre-sum store
+    // one column-pruned metadata job over the involved columns' block rows.
+    // Block sums aggregate as DECIMAL(38,0): the metadata job itself must
+    // never overflow (ANSI would fail the QUERY where the design is to
+    // DECLINE); the long-range check happens driver-side below.
     val allNull = col("nn").isNotNull && col("n") === col("nn")
+    val bsum = if (hasSums) col("block_sum") else lit(null).cast("long")
     val stats = blocksDf.where(col("column").isin(cols: _*))
       .select(col("column"), col("n").cast("long").as("n"),
         col("n_nulls").cast("long").as("nn"),
         col("block_min").as("imin"), col("block_max").as("imax"),
-        col("block_str_min").as("smin"), col("block_str_max").as("smax"))
+        col("block_str_min").as("smin"), col("block_str_max").as("smax"),
+        bsum.as("bsum"))
       .groupBy(col("column")).agg(
         sum(col("n")).as("rows"),
         sum(col("nn")).as("nulls"),
         sum(when(col("nn").isNull, 1L).otherwise(0L)).as("nn_missing"),
         sum(when(col("imin").isNull && !allNull, 1L).otherwise(0L)).as("int_missing"),
         sum(when(col("smin").isNull && !allNull, 1L).otherwise(0L)).as("str_missing"),
+        sum(when(col("bsum").isNull && !allNull, 1L).otherwise(0L)).as("sum_missing"),
         min(col("imin")).as("imin"), max(col("imax")).as("imax"),
-        min(col("smin")).as("smin"), max(col("smax")).as("smax"))
+        min(col("smin")).as("smin"), max(col("smax")).as("smax"),
+        sum(col("bsum").cast("decimal(38,0)")).as("bsum"))
       .collect().iterator.map(r => r.getString(0) -> r).toMap
     def internal(c: String, raw: Any): Any = raw match {
       case null => null
@@ -180,6 +190,19 @@ private[v2] object GraftUngroupedAgg {
         val isStr = schema(c).dataType == StringType
         if (r.getAs[Long](if (isStr) "str_missing" else "int_missing") != 0L) return None
         internal(c, r.getAs[Any](if (isStr) "smax" else "imax"))
+      case AggSum(c) =>
+        val r = stats.getOrElse(c, return None)
+        if (r.getAs[Long]("rows") != totalRows ||
+            r.getAs[Long]("sum_missing") != 0L) return None
+        val total = r.getAs[java.math.BigDecimal]("bsum")
+        if (total == null) null // all blocks all-null: SQL sum is NULL
+        else {
+          // a true total outside i64 declines: Spark then computes the sum
+          // itself with its own overflow semantics (ANSI error / wrap)
+          val bi = total.toBigIntegerExact
+          if (bi.bitLength() >= 64) return None
+          java.lang.Long.valueOf(bi.longValueExact()): Any
+        }
     }
     if (out.contains(NotCoverable)) None else Some(out)
   }

@@ -492,6 +492,7 @@ object GraftDataWriter {
       |  required int32 n_nulls;
       |  optional int64 block_min;
       |  optional int64 block_max;
+      |  optional int64 block_sum;
       |  optional group block_dict (LIST) {
       |    repeated group list {
       |      required int64 element;
@@ -620,6 +621,7 @@ final class GraftDataWriter(absDir: String, partId: Int, partitionId: Int, taskI
     g.add("n_nulls", b.n_nulls)
     b.block_min.foreach(v => g.add("block_min", v))
     b.block_max.foreach(v => g.add("block_max", v))
+    b.block_sum.foreach(v => g.add("block_sum", v))
     b.block_dict.foreach { vs =>
       val lg = g.addGroup("block_dict")
       vs.foreach(v => lg.addGroup("list").add("element", v))

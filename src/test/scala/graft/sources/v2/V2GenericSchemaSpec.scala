@@ -139,16 +139,39 @@ class V2GenericSchemaSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO graftcat.`$root` SELECT * FROM generic_agg_src")
     val df = spark.sql("SELECT count(*) AS c, count(score) AS cs, " +
       "min(score) AS mns, max(score) AS mxs, min(fetched) AS mnf, " +
-      "max(fetched) AS mxf, min(host) AS mnh, max(id) AS mxi " +
+      "max(fetched) AS mxf, min(host) AS mnh, max(id) AS mxi, " +
+      "sum(score) AS ss, sum(id) AS si " +
       s"FROM graftcat.`$root`")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedAggregates") && plan.contains("(metadata-only)"),
       s"generic-store aggregates must push completely:\n$plan")
     val want = src(4000).agg(count(lit(1)), count(col("score")),
       min(col("score")), max(col("score")), min(col("fetched")),
-      max(col("fetched")), min(col("host")), max(col("id"))).collect()(0)
+      max(col("fetched")), min(col("host")), max(col("id")),
+      sum(col("score")), sum(col("id"))).collect()(0)
     assert(df.collect()(0) == want,
       s"metadata answer must equal the computed one: ${df.collect()(0)} vs $want")
+
+    // sum overflow safety: values big enough that a BLOCK's sum overflows i64
+    // lose their block_sum at encode — the pushdown declines and Spark
+    // computes the (representable) total itself, exactly
+    val ovRoot = tmp()
+    spark.sql(s"CREATE TABLE graftcat.`$ovRoot` (host string, big bigint) USING graft")
+    spark.range(200).selectExpr("concat('h-', id) AS host",
+      "CAST(9e16 AS BIGINT) + id AS big").createOrReplaceTempView("generic_ov_src")
+    spark.sql(s"INSERT INTO graftcat.`$ovRoot` SELECT * FROM generic_ov_src")
+    val ov = spark.sql(s"SELECT sum(big) AS s FROM graftcat.`$ovRoot`")
+    // 200 × 9e16 = 1.8e19 > Long.MaxValue: the true total is outside i64
+    // (and a single-block layout overflows at encode) — either gate declines,
+    // and Spark's own ANSI overflow semantics stay intact (plan-only check:
+    // collecting would rightly raise Spark's overflow error)
+    assert(!ov.queryExecution.executedPlan.toString.contains("(metadata-only)"),
+      "an i64-overflowing sum must decline the metadata answer")
+    // ... but count/min/max on the same store still push and stay exact
+    val still = spark.sql(s"SELECT count(big) AS c, max(big) AS m FROM graftcat.`$ovRoot`")
+    assert(still.queryExecution.executedPlan.toString.contains("(metadata-only)"))
+    assert(still.collect()(0) ==
+      spark.sql("SELECT count(big) AS c, max(big) AS m FROM generic_ov_src").collect()(0))
   }
 
   test("columnar read path serves generic int/short/byte columns exactly") {
