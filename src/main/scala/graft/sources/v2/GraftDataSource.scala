@@ -262,6 +262,26 @@ object GraftDataSource {
       "id of the store part (work unit) holding the row; constant per block group"
   }
 
+  /** The one bare column a connector expression references, or None. Shared
+    * by pushTopN / convertAgg / convertGroupedAgg so the reference-shape rule
+    * cannot diverge between the pushdown surfaces. */
+  private[v2] def singleColumnOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] = e match {
+    case n: org.apache.spark.sql.connector.expressions.NamedReference
+        if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Does the column's block metadata carry exact value bounds? Strings via
+    * full-value `block_str_min/max`, the int family (timestamps as micros)
+    * via `block_min/max`; opaque binary has neither. ONE definition shared by
+    * top-n and aggregate pushdown — a new bounded type must light up both. */
+  private[v2] def metadataBounded(schema: StructType, c: String): Boolean =
+    schema.fields.find(_.name == c).exists(f =>
+      f.dataType == StringType || f.dataType == TimestampType ||
+      f.dataType == LongType || f.dataType == IntegerType ||
+      f.dataType == ShortType || f.dataType == ByteType)
+
   sealed trait MetaAgg
   case object AggCountStar extends MetaAgg
   /** `count(col)` — exact from per-block `n`/`n_nulls`, any column. */
@@ -525,21 +545,11 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
     * count-based prefix could cut off true top-n rows. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         limit: Int): Boolean = {
-    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     if (sawFilters || orders.length != 1 || limit <= 0) return false
     val o = orders(0)
-    val column = o.expression() match {
-      case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames()(0)
-      case _ => return false
-    }
-    // metadata-bounded columns only: strings carry str bounds, the int family
-    // (incl. timestamps as micros) carries exact block_min/max; opaque binary
-    // has neither
-    val bounded = tableSchema.fields.find(_.name == column).exists(f =>
-      f.dataType == StringType || f.dataType == TimestampType ||
-      f.dataType == LongType || f.dataType == IntegerType ||
-      f.dataType == ShortType || f.dataType == ByteType)
-    if (!bounded) return false
+    val column = GraftDataSource.singleColumnOf(o.expression()).getOrElse(return false)
+    if (!GraftDataSource.metadataBounded(tableSchema, column)) return false
     pushedTopN = Some(GraftDataSource.TopN(
       column = column,
       asc = o.direction() == SortDirection.ASCENDING,
@@ -577,21 +587,14 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
     * STORE can answer (n_nulls/bounds coverage) is the data-dependent check
     * in [[supportCompletePushDown]]. */
   private def convertAgg(agg: aggregate.Aggregation): Option[Seq[GraftDataSource.MetaAgg]] = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
     // incremental (fromSnapshot) scans answer over a snapshot-RANGE delta; the
     // metadata aggregate paths read one snapshot's state — decline, the
     // ordinary scan + Spark's aggregate stay exact over the delta rows
     if (incremental.isDefined) return None
     if (pushed.nonEmpty || predicates.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
-        case _ => None
-      }
-    def bounded(c: String): Boolean = tableSchema.fields.find(_.name == c).exists(f =>
-      f.dataType == StringType || f.dataType == TimestampType ||
-      f.dataType == LongType || f.dataType == IntegerType ||
-      f.dataType == ShortType || f.dataType == ByteType)
+      GraftDataSource.singleColumnOf(e)
+    def bounded(c: String): Boolean = GraftDataSource.metadataBounded(tableSchema, c)
     def summable(c: String): Boolean = tableSchema.fields.find(_.name == c).exists(f =>
       f.dataType == LongType || f.dataType == IntegerType ||
       f.dataType == ShortType || f.dataType == ByteType)
@@ -622,10 +625,8 @@ final class GraftScanBuilder(root: String, snapshotId: Option[Long],
     if (incremental.isDefined) return None // see convertAgg: delta != state
     if (pushed.nonEmpty || predicates.nonEmpty) return None
     if (agg.groupByExpressions.length != 1) return None
-    val gcol = agg.groupByExpressions()(0) match {
-      case n: NamedReference if n.fieldNames.length == 1 => n.fieldNames()(0)
-      case _ => return None
-    }
+    val gcol = GraftDataSource.singleColumnOf(agg.groupByExpressions()(0))
+      .getOrElse(return None)
     // textual dict-capable columns = the schema's string fields
     if (!tableSchema.fields.exists(f => f.name == gcol && f.dataType == StringType))
       return None

@@ -153,7 +153,12 @@ private[v2] object GraftUngroupedAgg {
         sum(col("nn")).as("nulls"),
         sum(when(col("nn").isNull, 1L).otherwise(0L)).as("nn_missing"),
         sum(when(col("imin").isNull && !allNull, 1L).otherwise(0L)).as("int_missing"),
-        sum(when(col("smin").isNull && !allNull, 1L).otherwise(0L)).as("str_missing"),
+        // the two string bounds are INDEPENDENTLY absent (each is None when
+        // that bound string alone exceeds StrBoundMaxLen) — min and max must
+        // gate on their OWN side, or a short-min/long-max block silently
+        // excludes the true maximum
+        sum(when(col("smin").isNull && !allNull, 1L).otherwise(0L)).as("smin_missing"),
+        sum(when(col("smax").isNull && !allNull, 1L).otherwise(0L)).as("smax_missing"),
         sum(when(col("bsum").isNull && !allNull, 1L).otherwise(0L)).as("sum_missing"),
         min(col("imin")).as("imin"), max(col("imax")).as("imax"),
         min(col("smin")).as("smin"), max(col("smax")).as("smax"),
@@ -182,13 +187,13 @@ private[v2] object GraftUngroupedAgg {
         val r = stats.getOrElse(c, return None)
         if (r.getAs[Long]("rows") != totalRows) return None
         val isStr = schema(c).dataType == StringType
-        if (r.getAs[Long](if (isStr) "str_missing" else "int_missing") != 0L) return None
+        if (r.getAs[Long](if (isStr) "smin_missing" else "int_missing") != 0L) return None
         internal(c, r.getAs[Any](if (isStr) "smin" else "imin"))
       case AggMax(c) =>
         val r = stats.getOrElse(c, return None)
         if (r.getAs[Long]("rows") != totalRows) return None
         val isStr = schema(c).dataType == StringType
-        if (r.getAs[Long](if (isStr) "str_missing" else "int_missing") != 0L) return None
+        if (r.getAs[Long](if (isStr) "smax_missing" else "int_missing") != 0L) return None
         internal(c, r.getAs[Any](if (isStr) "smax" else "imax"))
       case AggSum(c) =>
         val r = stats.getOrElse(c, return None)

@@ -149,8 +149,23 @@ class V2GenericSchemaSpec extends AnyFunSuite {
       min(col("score")), max(col("score")), min(col("fetched")),
       max(col("fetched")), min(col("host")), max(col("id")),
       sum(col("score")), sum(col("id"))).collect()(0)
-    assert(df.collect()(0) == want,
-      s"metadata answer must equal the computed one: ${df.collect()(0)} vs $want")
+    val got = df.collect()(0)
+    assert(got == want, s"metadata answer must equal the computed one: $got vs $want")
+
+    // the two string bounds are INDEPENDENTLY absent (each None past
+    // StrBoundMaxLen): a block whose min is short but whose max is >64 chars
+    // must decline max() — answering from the remaining bounds would silently
+    // exclude the true maximum
+    val mixRoot = tmp()
+    spark.sql(s"CREATE TABLE graftcat.`$mixRoot` (k string, longtail string) USING graft")
+    spark.sql(s"INSERT INTO graftcat.`$mixRoot` VALUES " +
+      "('a', 'aaa'), ('b', concat('z', repeat('y', 100)))")
+    val mx = spark.sql(s"SELECT max(longtail) AS m FROM graftcat.`$mixRoot`")
+    assert(!mx.queryExecution.executedPlan.toString.contains("(metadata-only)"),
+      "max over a block with an over-long max bound must decline")
+    assert(mx.collect()(0).getString(0).startsWith("zy"), "fallback stays exact")
+    val mn = spark.sql(s"SELECT min(longtail) AS m FROM graftcat.`$mixRoot`")
+    assert(mn.collect()(0).getString(0) == "aaa", "min stays exact either way")
 
     // sum overflow safety: values big enough that a BLOCK's sum overflows i64
     // lose their block_sum at encode — the pushdown declines and Spark
