@@ -1317,6 +1317,41 @@ object SparkEntry {
         .select(col("vec_id"))
     }),
 
+    // batched IVF probes: a DataFrame of query vectors probes the persisted
+    // IVF index in one distributed plan — per-query nearest cells computed
+    // kernel-side against the broadcast centroids, cell-partition-pruned join,
+    // exact per-query rerank; row-identity to per-query ivfTopK is required
+    // in-query, and each query's 10 planted near-twins (tight positive scales:
+    // same cell as the query's probe) are the provable top-10
+    "q_knn_ivf_batch" -> ((s, d) => {
+      import s.implicits._
+      def qvec(qi: Int): Array[Double] =
+        Array.tabulate(64)(j => (math.sin(j + qi * 3.0) * 0.5).toFloat.toDouble)
+      val queries = (0 until 3).map(qi => (qi.toLong, qvec(qi)))
+      val planted = queries.flatMap { case (qi, v) =>
+        (0 until 10).map(r => (3100000L + qi * 100 + r, v.map(_ * (1.0 + r / 1000.0))))
+      }
+      val base = t(s, d, "embeddings").select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val df = base.union(s.createDataset(planted).toDF("vec_id", "embedding"))
+      val idx = Files.createTempDirectory("graft-batch-ivf-idx-").toString
+      Similarity.buildIvfIndex(df, "vec_id", "embedding", k = 16, idx)
+      val queriesDf = s.createDataset(queries).toDF("qid", "qvec")
+      val batch = Similarity.ivfTopKBatch(s, idx, "vec_id", "embedding",
+        queriesDf, "qid", "qvec", k = 10, nProbe = 4)
+      val byQ = batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(x => (x._2, x._3)).toSeq }
+      queries.foreach { case (qi, v) =>
+        val single = Similarity.ivfTopK(s, idx, "vec_id", "embedding",
+          v.map(_.toFloat), 10, nProbe = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        require(byQ(qi) == single,
+          s"batched IVF probe for query $qi must be row-identical to ivfTopK")
+      }
+      s.createDataset(byQ.toSeq.flatMap { case (q, rows) => rows.map(r => (q, r._1)) })
+        .toDF("qid", "vec_id")
+    }),
+
     // watermarked event-time windowed aggregation over a bounded stream (complete
     // mode -> memory sink); hour buckets reduced to epoch seconds so the oracle
     // is pure integer arithmetic (no timezone coupling)
@@ -1708,6 +1743,9 @@ object SparkEntry {
       "CAST(2100000 + qi * 100 + r AS BIGINT) AS vec_id " +
       "FROM range(3) q(qi), range(10) t(r)"),
     "q_knn_ivf" -> "SELECT CAST(3000000 + r AS BIGINT) AS vec_id FROM range(10) t(r)",
+    "q_knn_ivf_batch" -> ("SELECT CAST(qi AS BIGINT) AS qid, " +
+      "CAST(3100000 + qi * 100 + r AS BIGINT) AS vec_id " +
+      "FROM range(3) q(qi), range(10) t(r)"),
     "q_stream_window" -> ("SELECT (1600000000 + (doc_id // 50) * 3600) // 3600 * 3600 AS ws_s, " +
       "lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY 1, 2"),
     "q_stream_window_append" -> ("SELECT (1600000000 + (doc_id // 50) * 3600) // 3600 * 3600 " +

@@ -517,4 +517,56 @@ object Similarity {
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
+
+  /**
+   * Batched IVF probes — [[ivfTopK]] for a whole DataFrame of (query id,
+   * query vector) in ONE distributed plan: each query ranks the (broadcast,
+   * k×dim) centroids kernel-side and emits its `nProbe` nearest cells; probe
+   * rows join the index on the `cell` PARTITION column — a small batch
+   * broadcasts and dynamic partition pruning scans only the probed cell
+   * directories, a huge batch shuffle-joins with one index scan amortized
+   * over all queries — and an exact per-query cosine rerank keeps top-k.
+   * Cells partition the ids, so no per-pair dedup is needed (unlike the
+   * multi-table LSH batch). Output: (qidCol, idCol, cosine), row-identical
+   * per query to [[ivfTopK]] by construction (same centroid ranking
+   * expression, same rerank ordering).
+   */
+  def ivfTopKBatch(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    require(qidCol != idCol && qidCol != "cosine",
+      s"qidCol '$qidCol' collides with an output column — alias the query id " +
+      "in `queries` to a name distinct from idCol and 'cosine'")
+    val centroids = loadCentroids(spark, indexPath)
+    require(centroids.nonEmpty, s"index at $indexPath has no centroids")
+    val dim = centroids(0).length
+    val bc = spark.sparkContext.broadcast(centroids)
+    // internal names keep the plan unambiguous whatever qidCol is named
+    val probes = queries
+      .where(col(qvecCol).isNotNull && size(col(qvecCol)) > 0)
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, v) =>
+          // a wrong-model query would silently rank cells with truncated
+          // geometry — refuse, like the single-query probe's dim check
+          if (v.length != dim) throw new IllegalArgumentException(
+            s"query $qid has ${v.length}-dim embedding; index holds $dim-dim")
+          cs.indices.sortBy(c => sqDist(v, cs(c))).take(nProbe)
+            .map(c => (qid, v, c))
+        }
+      }
+      .toDF("__qid", "__qvec", "cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(desc("cosine"), col(idCol))
+    spark.read.parquet(indexPath)
+      .join(probes, Seq("cell"))
+      .select(col("__qid"), col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+      .withColumnRenamed("__qid", qidCol)
+  }
 }

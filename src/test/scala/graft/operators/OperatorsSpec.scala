@@ -338,6 +338,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("collides"))
   }
 
+  test("batched IVF probes: row-identical to per-query ivfTopK") {
+    import spark.implicits._
+    val dim = 16
+    def mx(x: Long): Long = { var y = x + 0x9E3779B97F4A7C15L; y = (y ^ (y >>> 30)) * 0xBF58476D1CE4E5B9L; y ^ (y >>> 27) }
+    val base = (0 until 2000).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => mx(i.toLong * 41 + j).toDouble / Long.MaxValue)))
+    val qs = (0 until 3).map(qi =>
+      (qi.toLong, Array.tabulate(dim)(j => math.cos(j * 0.6 + qi * 2.1).toFloat.toDouble)))
+    val twins = qs.flatMap { case (qi, v) =>
+      Seq((800000L + qi * 10, v.map(_ * 1.02)), (800001L + qi * 10, v.map(_ * 0.37)))
+    }
+    val df = spark.createDataset(base ++ twins).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-batch-ivf-").toString
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", k = 8, idx)
+
+    val queriesDf = spark.createDataset(qs).toDF("qid", "qvec")
+    val batch = Similarity.ivfTopKBatch(spark, idx, "vec_id", "embedding",
+      queriesDf, "qid", "qvec", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(t => (t._2, t._3)).toSeq }
+    qs.foreach { case (qi, v) =>
+      val single = Similarity.ivfTopK(spark, idx, "vec_id", "embedding",
+        v.map(_.toFloat), 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qi) == single, s"query $qi: batch must equal per-query ivfTopK")
+      // a planted twin must lead at cosine ~1.0 (which of the two wins is
+      // floating-point: both are exactly collinear, and euclidean cell
+      // assignment may even leave the far-scaled one unprobed)
+      val twinIds = Set(800000L + qi * 10, 800001L + qi * 10)
+      assert(twinIds(batch(qi).head._1) && batch(qi).head._2 > 0.9999,
+        s"query $qi: a planted twin must lead: ${batch(qi)}")
+    }
+    // a qid named like the index's partition column still works
+    val renamed = Similarity.ivfTopKBatch(spark, idx, "vec_id", "embedding",
+      queriesDf.withColumnRenamed("qid", "cell"), "cell", "qvec", k = 5, nProbe = 3)
+    assert(renamed.columns.head == "cell" && renamed.count() == 15)
+    // output-colliding qid is refused with remediation
+    val dup = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKBatch(spark, idx, "vec_id", "embedding",
+        queriesDf.withColumnRenamed("qid", "vec_id"), "vec_id", "qvec", 5, nProbe = 3)
+    }
+    assert(dup.getMessage.contains("collides"))
+  }
+
   test("stratified sampling: deterministic, rate-respecting, null-safe") {
     import spark.implicits._
     import graft.operators.Sampling
