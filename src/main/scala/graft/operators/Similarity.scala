@@ -312,18 +312,7 @@ object Similarity {
     require(idx.columns.contains("table"),
       s"index at $indexPath is single-table (legacy layout); batched probes need " +
       "the multi-table layout — rebuild with buildIndex")
-    // the output carries one column per role — a qid name that collides with
-    // the id or score column would produce an unusable duplicate-named result
-    require(qidCol != idCol && qidCol != "cosine",
-      s"qidCol '$qidCol' collides with an output column — alias the query id " +
-      "in `queries` to a name distinct from idCol and 'cosine'")
-    // internal names ("__qid"/"__qvec") keep the probe/join plan unambiguous
-    // even when qidCol is named like an index or probe column (e.g. 'table',
-    // 'bucket', or the index's vector column); qidCol is restored at the end
-    val probes = queries
-      .where(col(qvecCol).isNotNull && size(col(qvecCol)) > 0)
-      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
+    val probes = typedBatchQueries(queries, qidCol, qvecCol, idCol)
       .mapPartitions { it =>
         val m = planeMatrix(planes * tables, dim)
         it.flatMap { case (qid, v) =>
@@ -338,10 +327,43 @@ object Similarity {
         }
       }
       .toDF("__qid", "__qvec", "table", "bucket")
+    perQueryTopK(idx.join(probes, Seq("table", "bucket")), idCol, vecCol, k, qidCol)
+  }
+
+  /** Typed (qid, vector) rows for a batched probe — the shared prep of both
+    * batch forms: validates the qid name against the (qidCol, idCol, cosine)
+    * output contract and drops null/empty-vector queries, which are therefore
+    * ABSENT from the output (the batch analog of the single-query forms'
+    * loud refusal; a batch must not die on one vectorless row). Duplicate
+    * qids are a caller error: their rankings merge under one id, with each
+    * candidate kept at most once per qid by the pair dedup below. */
+  private def typedBatchQueries(queries: DataFrame, qidCol: String,
+      qvecCol: String, idCol: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
+    require(qidCol != idCol && qidCol != "cosine",
+      s"qidCol '$qidCol' collides with an output column — alias the query id " +
+      "in `queries` to a name distinct from idCol and 'cosine'")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // internal names ("__qid"/"__qvec") keep the probe/join plan unambiguous
+    // even when qidCol is named like an index or probe column; qidCol is
+    // restored by perQueryTopK
+    queries
+      .where(col(qvecCol).isNotNull && size(col(qvecCol)) > 0)
+      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+  }
+
+  /** The batched rerank tail shared by both probe forms: one exact cosine per
+    * DISTINCT (query, candidate) pair (multi-table LSH collisions and
+    * duplicate qids both collapse here), per-query top-k window with the
+    * single-query tie-break (cosine desc, id asc), caller's qid restored. */
+  private def perQueryTopK(joined: DataFrame, idCol: String, vecCol: String,
+      k: Int, qidCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__qid")).orderBy(desc("cosine"), col(idCol))
-    idx.join(probes, Seq("table", "bucket"))
-      .dropDuplicates("__qid", idCol) // multi-table collisions: one rerank per pair
+    joined
+      .dropDuplicates("__qid", idCol)
       .select(col("__qid"), col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= k)
@@ -357,6 +379,35 @@ object Similarity {
     val n = math.min(a.length, b.length)
     while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
+  }
+
+  /** Indices of the `n` nearest centroids (euclidean), ties broken by lower
+    * index — the exact ordering of a stable `indices.sortBy(sqDist)`, in
+    * O(k·n) with zero boxing/allocation beyond the two result-sized arrays:
+    * the batched probe runs this per QUERY ROW in the executor kernel, where
+    * a full sort of k boxed Ints to take n≈4 cells is hot-path waste. */
+  private[operators] def nearestCells(v: Array[Double],
+      centroids: Array[Array[Double]], n: Int): Array[Int] = {
+    val k = math.min(n, centroids.length)
+    val idx = new Array[Int](k)
+    val d = new Array[Double](k)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val dist = sqDist(v, centroids(c))
+      // strict comparisons keep equal-distance cells in index order (stable)
+      if (filled < k) {
+        var i = filled
+        while (i > 0 && d(i - 1) > dist) { d(i) = d(i - 1); idx(i) = idx(i - 1); i -= 1 }
+        d(i) = dist; idx(i) = c; filled += 1
+      } else if (dist < d(k - 1)) {
+        var i = k - 1
+        while (i > 0 && d(i - 1) > dist) { d(i) = d(i - 1); idx(i) = idx(i - 1); i -= 1 }
+        d(i) = dist; idx(i) = c
+      }
+      c += 1
+    }
+    idx
   }
 
   /** Index of the nearest centroid (euclidean). */
@@ -506,10 +557,7 @@ object Similarity {
     require(centroids.nonEmpty && centroids(0).length == query.length,
       s"index at $indexPath holds ${centroids.headOption.map(_.length).getOrElse(0)}-dim " +
       s"embeddings; query has ${query.length}")
-    val cells = centroids.indices
-      .sortBy(c => sqDist(qd, centroids(c)))
-      .take(nProbe)
-      .map(Int.box)
+    val cells = nearestCells(qd, centroids, nProbe).map(Int.box).toSeq
     val q = typedLit(qd)
     spark.read.parquet(indexPath)
       .where(col("cell").isin(cells: _*))
@@ -526,27 +574,20 @@ object Similarity {
    * broadcasts and dynamic partition pruning scans only the probed cell
    * directories, a huge batch shuffle-joins with one index scan amortized
    * over all queries — and an exact per-query cosine rerank keeps top-k.
-   * Cells partition the ids, so no per-pair dedup is needed (unlike the
-   * multi-table LSH batch). Output: (qidCol, idCol, cosine), row-identical
-   * per query to [[ivfTopK]] by construction (same centroid ranking
-   * expression, same rerank ordering).
+   * Output: (qidCol, idCol, cosine), row-identical per query to [[ivfTopK]]
+   * by construction (same centroid ranking, same rerank ordering); like
+   * [[annTopKBatch]], a null/empty-vector query is ABSENT from the output
+   * rather than failing the whole batch.
    */
   def ivfTopKBatch(spark: SparkSession, indexPath: String, idCol: String, vecCol: String,
                    queries: DataFrame, qidCol: String, qvecCol: String,
                    k: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
-    require(qidCol != idCol && qidCol != "cosine",
-      s"qidCol '$qidCol' collides with an output column — alias the query id " +
-      "in `queries` to a name distinct from idCol and 'cosine'")
     val centroids = loadCentroids(spark, indexPath)
     require(centroids.nonEmpty, s"index at $indexPath has no centroids")
     val dim = centroids(0).length
     val bc = spark.sparkContext.broadcast(centroids)
-    // internal names keep the plan unambiguous whatever qidCol is named
-    val probes = queries
-      .where(col(qvecCol).isNotNull && size(col(qvecCol)) > 0)
-      .select(col(qidCol).cast("long"), col(qvecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
+    val probes = typedBatchQueries(queries, qidCol, qvecCol, idCol)
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (qid, v) =>
@@ -554,19 +595,11 @@ object Similarity {
           // geometry — refuse, like the single-query probe's dim check
           if (v.length != dim) throw new IllegalArgumentException(
             s"query $qid has ${v.length}-dim embedding; index holds $dim-dim")
-          cs.indices.sortBy(c => sqDist(v, cs(c))).take(nProbe)
-            .map(c => (qid, v, c))
+          nearestCells(v, cs, nProbe).map(c => (qid, v, c))
         }
       }
       .toDF("__qid", "__qvec", "cell")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid")).orderBy(desc("cosine"), col(idCol))
-    spark.read.parquet(indexPath)
-      .join(probes, Seq("cell"))
-      .select(col("__qid"), col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
-      .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= k)
-      .drop("__rk")
-      .withColumnRenamed("__qid", qidCol)
+    perQueryTopK(spark.read.parquet(indexPath).join(probes, Seq("cell")),
+      idCol, vecCol, k, qidCol)
   }
 }

@@ -380,6 +380,24 @@ class OperatorsSpec extends AnyFunSuite {
         queriesDf.withColumnRenamed("qid", "vec_id"), "vec_id", "qvec", 5, nProbe = 3)
     }
     assert(dup.getMessage.contains("collides"))
+
+    // the kernel's bounded selection ranks exactly like a stable sortBy
+    // (ties by lower index) — the contract the row-identity above rides on
+    val cs = Similarity.loadCentroids(idx)
+    def dst(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    qs.foreach { case (_, v) =>
+      assert(Similarity.nearestCells(v, cs, 3).toSeq ==
+        cs.indices.sortBy(c => dst(v, cs(c))).take(3))
+    }
+    val tied = Array(Array(1.0), Array(1.0), Array(0.5))
+    assert(Similarity.nearestCells(Array(0.0), tied, 2).toSeq == Seq(2, 0),
+      "equal distances must keep index order (stable)")
+    // null/empty-vector queries are absent, never fail the batch
+    val withBad = queriesDf.union(Seq((9L, Array.empty[Double])).toDF("qid", "qvec"))
+    val sane = Similarity.ivfTopKBatch(spark, idx, "vec_id", "embedding",
+      withBad, "qid", "qvec", k = 5, nProbe = 3)
+    assert(sane.where(col("qid") === 9L).count() == 0 && sane.count() == 15)
   }
 
   test("stratified sampling: deterministic, rate-respecting, null-safe") {
