@@ -61,6 +61,15 @@ object SnapshotStore {
     s"""{"part_id":${e.partId},"data_dir":${q(e.dataDir)},"n_rows":${e.nRows},""" +
     s""""orig_bytes":${e.origBytes},"enc_bytes":${e.encBytes},"codecs":${e.codecsJson}}"""
 
+  // precompiled per-field patterns: parseEntry runs once per manifest LINE,
+  // and manifests are re-parsed on every commit/plan/stream batch/expiry — a
+  // 100k-part manifest must not pay 500k Pattern.compile calls per read
+  private val PartIdRe = "\"part_id\":(-?\\d+)".r
+  private val NRowsRe = "\"n_rows\":(-?\\d+)".r
+  private val OrigBytesRe = "\"orig_bytes\":(-?\\d+)".r
+  private val EncBytesRe = "\"enc_bytes\":(-?\\d+)".r
+  private val DataDirRe = "\"data_dir\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
   private def parseEntry(line: String): PartEntry = {
     // fields are writer-controlled; the one corruption shape worth guarding is
     // a TRUNCATED line (partial write by a pre-atomic-manifest version, or
@@ -68,20 +77,16 @@ object SnapshotStore {
     // store ROOT as a data dir and return silently wrong rows — fail loudly
     require(line.contains("\"part_id\"") && line.contains("\"data_dir\""),
       s"corrupt manifest line (truncated write?): '${line.take(200)}'")
-    def longField(k: String): Long = {
-      val m = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(line)
-      m.map(_.group(1).toLong).getOrElse(0L)
-    }
-    def strField(k: String): String = {
-      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(line)
-      m.map(g => unescape(g.group(1))).getOrElse("")
-    }
+    def longField(re: scala.util.matching.Regex): Long =
+      re.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+    val dataDir = DataDirRe.findFirstMatchIn(line)
+      .map(g => unescape(g.group(1))).getOrElse("")
     val codecs = {
       val i = line.indexOf("\"codecs\":")
       if (i < 0) "{}" else line.substring(i + 9, line.length - 1)
     }
-    PartEntry(longField("part_id").toInt, strField("data_dir"), longField("n_rows"),
-      longField("orig_bytes"), longField("enc_bytes"), codecs)
+    PartEntry(longField(PartIdRe).toInt, dataDir, longField(NRowsRe),
+      longField(OrigBytesRe), longField(EncBytesRe), codecs)
   }
 
   def snapshotPointer(root: String): Path = Paths.get(root, "SNAPSHOT")
@@ -319,11 +324,16 @@ object SnapshotStore {
     // distributed write keeps touching nested files while the top-level dir's
     // mtime stays at creation — judging by the top level alone could sweep a
     // LIVE in-flight staging out from under its encode job
-    def newestMtime(p: Path): Long = {
-      var m = Files.getLastModifiedTime(p).toMillis
-      if (Files.isDirectory(p)) listDir(p).foreach(c => m = math.max(m, newestMtime(c)))
-      m
-    }
+    def newestMtime(p: Path): Long =
+      // tolerate paths vanishing mid-walk (same class deleteTree guards): an
+      // orphan CANDIDATE may be a live staging dir whose writer is actively
+      // renaming .inprogress files — a race must not abort the whole expiry.
+      // A vanished path reads as "just modified": the dir stays in grace.
+      try {
+        var m = Files.getLastModifiedTime(p).toMillis
+        if (Files.isDirectory(p)) listDir(p).foreach(c => m = math.max(m, newestMtime(c)))
+        m
+      } catch { case _: java.io.IOException => System.currentTimeMillis() }
     val allRef = keptDirs ++ dropDirs
     val dataRoot = Paths.get(root, "data")
     val now = System.currentTimeMillis()
@@ -416,15 +426,22 @@ object SnapshotStore {
     var fullEmitFirst = false
     var sid = from + 1
     while (sid <= to) {
+      // a manifest can vanish BETWEEN entriesAt's exists() check and its read
+      // (concurrent expiry holds no lock this walk shares) — route the IO
+      // form of "gone" to the same remediation as the checked form, not an
+      // opaque NoSuchFileException
       val entries =
         try entriesAt(root, sid)
-        catch { case e: IllegalArgumentException => onMissing(sid, e) }
+        catch {
+          case e: IllegalArgumentException => onMissing(sid, e)
+          case e: java.nio.file.NoSuchFileException => onMissing(sid, e)
+        }
       if (prevParts == null) { // first walked snapshot: load its predecessor
         prevParts =
           if (sid == 1) Set.empty
           else try entriesAt(root, sid - 1).map(_.partId).toSet
           catch {
-            case e: IllegalArgumentException =>
+            case e @ (_: IllegalArgumentException | _: java.nio.file.NoSuchFileException) =>
               // legal exactly at a FRESH consumer's first batch: it began at
               // the earliest retained snapshot, whose manifest is the full
               // state — emit it whole. Anywhere else it is a retention hole.

@@ -112,7 +112,14 @@ final class GraftMicroBatchStream(root: String,
 
   override def commit(end: Offset): Unit = () // offsets live in Spark's checkpoint
 
-  override def stop(): Unit = ()
+  override def stop(): Unit = planLock.synchronized {
+    // the FINAL batch's pruned-key broadcast is only destroyed when the NEXT
+    // range plans — on query stop release it (and the memoized plan)
+    // deterministically instead of waiting for the ContextCleaner
+    if (lastKeysBc != null) { lastKeysBc.destroy(); lastKeysBc = null }
+    lastRange = null
+    lastPlan = null
+  }
 
   private def retentionFail(sid: Long, start: Long, end: Long,
       cause: Throwable): Nothing = throw new IllegalStateException(
@@ -137,9 +144,12 @@ final class GraftMicroBatchStream(root: String,
     // retention-fail after commits + expiry despite having emitted nothing —
     // re-base it at the earliest retained snapshot like the fresh path, which
     // is lossless by the same argument (full first emit).
+    // ONE manifests-dir listing feeds BOTH rebases below (offset-0 and
+    // expired-fresh — same "earliest retained - 1, full first emit" value)
+    lazy val earliestMinus1: Option[Long] =
+      SnapshotStore.snapshotIds(root).headOption.map(_ - 1L)
     val s1 = if (s0.snapshotId == 0L && !s0.fresh)
-      GraftOffset(SnapshotStore.snapshotIds(root).headOption.map(_ - 1L).getOrElse(0L),
-        fresh = true)
+      GraftOffset(earliestMinus1.getOrElse(0L), fresh = true)
     else s0
     val e = end.asInstanceOf[GraftOffset].snapshotId
     // a FRESH stream whose pinned first snapshot was expired between
@@ -151,23 +161,24 @@ final class GraftMicroBatchStream(root: String,
     // stays non-degenerate — otherwise fall through to the honest retention
     // failure instead of silently emitting an empty first batch.
     val s = if (s1.fresh) {
-      SnapshotStore.snapshotIds(root).headOption
-        .map(_ - 1L)
+      earliestMinus1
         .filter(eb => eb > s1.snapshotId && eb < e)
         .map(eb => GraftOffset(eb, fresh = true))
         .getOrElse(s1)
     } else s1
     if (e <= s.snapshotId) return Array.empty
-    val entries = emitEntries(s, e)
-    if (entries.isEmpty) return Array.empty
     val spark = SparkSession.active
     planLock.synchronized {
       // the engine plans one batch MULTIPLE times (logical planning + physical
       // execution) — memoize per offset range so re-planning reuses the same
-      // partitions/broadcast instead of re-running the metadata scan (or,
-      // worse, destroying a broadcast the first plan's tasks still reference)
+      // partitions/broadcast instead of re-running the manifest walk and
+      // metadata scan (or, worse, destroying a broadcast the first plan's
+      // tasks still reference). The manifest walk (emitEntries) sits INSIDE
+      // the memo: rangeKey does not depend on it, and a memo hit must not
+      // re-parse every manifest in the range.
       val rangeKey = (s.snapshotId, s.fresh, e, predicates)
       if (lastRange == rangeKey) return lastPlan
+      val entries = emitEntries(s, e)
       // pushed predicates prune THIS BATCH's delta groups through the same
       // gated metadata planning as the batch scan (planPrunedKeys over the
       // emitted entries only) — the normal incremental-consumer shape (new
@@ -176,7 +187,7 @@ final class GraftMicroBatchStream(root: String,
       // None plan (non-selective) scans the delta whole, same as before.
       import graft.jobs.DecodeJob
       val keysOpt: Option[Array[(Int, Int)]] =
-        if (predicates.isEmpty) None
+        if (predicates.isEmpty || entries.isEmpty) None
         else DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries),
           predicates, DecodeJob.estimatedGroups(entries),
           Some(GraftDataSource.storeSchema(root).fieldNames.toSet))
@@ -188,12 +199,17 @@ final class GraftMicroBatchStream(root: String,
       // destroy instead of accumulating one broadcast per filtered batch
       if (lastKeysBc != null) lastKeysBc.destroy()
       lastKeysBc = newBc
-      // row path only (batch-sized ColumnarBatches buy nothing on micro-batches)
-      val (parts, files) = GraftDataSource.packPartitions(spark, root, entries,
-        readSchema, refColumn, keyParts = keyParts, keysBc = newBc,
-        columnar = false, limit = -1)
-      GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
-        parts.length, files, predicates.size, keysOpt.map(_.length)))
+      val parts: Array[InputPartition] =
+        if (entries.isEmpty) Array.empty
+        else {
+          // row path only (batch-sized ColumnarBatches buy nothing on micro-batches)
+          val (p, f) = GraftDataSource.packPartitions(spark, root, entries,
+            readSchema, refColumn, keyParts = keyParts, keysBc = newBc,
+            columnar = false, limit = -1)
+          GraftDataSource.recordPlanStats(root, GraftDataSource.PlanStats(
+            p.length, f, predicates.size, keysOpt.map(_.length)))
+          p
+        }
       lastRange = rangeKey
       lastPlan = parts
       parts

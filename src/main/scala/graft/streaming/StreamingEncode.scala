@@ -58,10 +58,42 @@ object StreamingEncode {
             // record THE BATCH's committed total (manifest-read, covers a
             // partial-crash resume that encoded only some waves) in the same
             // EPOCH_ROWS sidecar as the native sink — the evidence that keeps
-            // replay verification exact after compaction rewrites history
-            val total = graft.sources.SnapshotStore.currentEntries(root)
-              .filter(e => e.partId >= lo && e.partId < hi).map(_.nRows).sum
-            graft.sources.v2.EpochRows.record(root, batchId, total)
+            // replay verification exact after compaction rewrites history.
+            // The CURRENT manifest alone is not enough when a compaction ran
+            // between the pre-crash partial commit and this resume: the
+            // crashed waves' parts are rehomed OUT of [lo, hi), and summing
+            // current entries would permanently record an under-count (a
+            // later genuine replay would then crash-loop on the row check
+            // below). In-range tombstones detect that case; the parts' true
+            // rows are recovered from the retained manifest that still holds
+            // them (part rows are immutable once committed), or — if expiry
+            // removed every such manifest — the total is honestly
+            // unverifiable and NO line is recorded (warn, window stays open).
+            val cur = graft.sources.SnapshotStore.currentEntries(root)
+              .filter(e => e.partId >= lo && e.partId < hi)
+            val tombsInRange = graft.sources.SnapshotStore.currentTombstones(root)
+              .filter(id => id >= lo && id < hi)
+            if (tombsInRange.isEmpty) {
+              graft.sources.v2.EpochRows.record(root, batchId,
+                cur.iterator.map(_.nRows).sum)
+            } else {
+              val seen = scala.collection.mutable.Map.empty[Int, Long]
+              cur.foreach(e => seen.getOrElseUpdate(e.partId, e.nRows))
+              graft.sources.SnapshotStore.snapshotIds(root).foreach { sid =>
+                graft.sources.SnapshotStore.entriesAt(root, sid).foreach(e =>
+                  if (e.partId >= lo && e.partId < hi)
+                    seen.getOrElseUpdate(e.partId, e.nRows))
+              }
+              val lost = tombsInRange.filterNot(id => seen.contains(id.toInt))
+              if (lost.isEmpty)
+                graft.sources.v2.EpochRows.record(root, batchId, seen.values.sum)
+              else
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"stream batch $batchId committed, but parts ${lost.toSeq.sorted.take(5)} " +
+                  "of its namespace were compacted AND their original manifests " +
+                  "expired before the total could be recorded — replay " +
+                  "verification for this batch stays manifest-based")
+            }
           } else {
             // nothing pended: a genuine replay of a committed batch — OR a
             // FRESH checkpoint over a grown source packing NEW rows into a
