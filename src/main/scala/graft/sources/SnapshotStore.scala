@@ -200,6 +200,28 @@ object SnapshotStore {
       }.sum
   }
 
+  /** Tombstoned ids INTERSECTING `[lo, hi)` at a snapshot, without
+    * materializing the full set: O(sidecar lines) range-overlap scan yielding
+    * only the in-window ids (bounded by the window width). The per-batch
+    * replay verification asks "were any of MY namespace's parts rehomed?" on
+    * every stream trigger — expanding a multi-million-id accumulated set to
+    * answer it would box the whole store's compaction history each batch. */
+  def tombstonesInRange(root: String, snapshotId: Long, lo: Long, hi: Long): Set[Int] = {
+    val p = Paths.get(root, "manifests", s"$snapshotId.tombstones")
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).iterator.flatMap { line =>
+        val t = line.trim
+        val dash = t.indexOf('-', 1) // from 1: skips a negative id's sign (see tombstonesAt)
+        val (a, b) =
+          if (dash < 0) { val v = t.toLong; (v, v) }
+          else (t.substring(0, dash).toLong, t.substring(dash + 1).toLong)
+        val from = math.max(a, lo)
+        val to = math.min(b, hi - 1)
+        if (from > to) Iterator.empty else (from.toInt to to.toInt).iterator
+      }.toSet
+  }
+
   /** Merge sorted ids into "a-b" range lines: tombstones accumulate monotonically
     * across every compaction, and streaming part ids come in contiguous
     * per-batch runs, so range encoding keeps the sidecar (re-read and rewritten
@@ -293,12 +315,20 @@ object SnapshotStore {
       case None => allIds
     }
     val nowMs = System.currentTimeMillis()
+    // EVERY mtime probe in this sweep tolerates the probed path vanishing
+    // between listing and probing (a concurrent writer's ATOMIC_MOVE, a
+    // zombie task's rename, a parallel expiry) by reading as "just modified"
+    // — the candidate stays in grace this round instead of aborting the
+    // whole retention run partway through its deletions
+    def mtimeOrNow(p: Path): Long =
+      try Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => nowMs }
     // aged crash-orphan manifests beyond the pointer (grace: a commit may be
     // in its write-then-swap window right now)
     val orphanManifestIds = current.map(c => allIds.filter(_ > c)).getOrElse(Seq.empty)
       .filter { id =>
         val mf = Paths.get(root, "manifests", s"$id.jsonl")
-        nowMs - Files.getLastModifiedTime(mf).toMillis >= orphanGraceMs
+        nowMs - mtimeOrNow(mf) >= orphanGraceMs
       }
     orphanManifestIds.foreach { id =>
       Files.deleteIfExists(Paths.get(root, "manifests", s"$id.jsonl"))
@@ -314,7 +344,8 @@ object SnapshotStore {
       // probe on the gone dir would throw on EVERY later run (retention
       // permanently bricked; deleteIfExists already tolerates absence)
       if (Files.isDirectory(p)) listDir(p).foreach(deleteTree)
-      else if (Files.exists(p)) removedBytes += Files.size(p)
+      else removedBytes +=
+        (try Files.size(p) catch { case _: java.io.IOException => 0L })
       Files.deleteIfExists(p)
     }
     // dirs referenced only by dropped manifests
@@ -333,7 +364,7 @@ object SnapshotStore {
         var m = Files.getLastModifiedTime(p).toMillis
         if (Files.isDirectory(p)) listDir(p).foreach(c => m = math.max(m, newestMtime(c)))
         m
-      } catch { case _: java.io.IOException => System.currentTimeMillis() }
+      } catch { case _: java.io.IOException => nowMs }
     val allRef = keptDirs ++ dropDirs
     val dataRoot = Paths.get(root, "data")
     val now = System.currentTimeMillis()
@@ -358,7 +389,7 @@ object SnapshotStore {
           val n = p.getFileName.toString
           (n.startsWith(".") && n.contains(".tmp.")) || n.startsWith("BOUNDARIES.b")
         }
-        .filter(p => now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+        .filter(p => now - mtimeOrNow(p) >= orphanGraceMs) // ATOMIC_MOVE race: stays in grace
         .map(p => rel(p.getFileName.toString)).toSeq
     val staleTmps = staleIn(Paths.get(root), identity) ++
       staleIn(Paths.get(root, "manifests"), n => s"manifests/$n")
@@ -374,7 +405,7 @@ object SnapshotStore {
         .filter { p =>
           val n = p.getFileName.toString
           n.startsWith(".") && n.endsWith(".inprogress") &&
-            now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
+            now - mtimeOrNow(p) >= orphanGraceMs // zombie-rename race: stays in grace
         }
         .foreach { p => removedBytes += Files.size(p); Files.deleteIfExists(p) }
     }

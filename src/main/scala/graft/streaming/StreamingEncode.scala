@@ -69,22 +69,37 @@ object StreamingEncode {
             // them (part rows are immutable once committed), or — if expiry
             // removed every such manifest — the total is honestly
             // unverifiable and NO line is recorded (warn, window stays open).
+            val curId = graft.sources.SnapshotStore.currentSnapshotId(root)
             val cur = graft.sources.SnapshotStore.currentEntries(root)
               .filter(e => e.partId >= lo && e.partId < hi)
-            val tombsInRange = graft.sources.SnapshotStore.currentTombstones(root)
-              .filter(id => id >= lo && id < hi)
+            // bounded O(sidecar lines) overlap scan — never the full
+            // multi-million-id accumulated set just to test one window
+            val tombsInRange = curId.map(id => graft.sources.SnapshotStore
+              .tombstonesInRange(root, id, lo, hi)).getOrElse(Set.empty)
             if (tombsInRange.isEmpty) {
               graft.sources.v2.EpochRows.record(root, batchId,
                 cur.iterator.map(_.nRows).sum)
             } else {
               val seen = scala.collection.mutable.Map.empty[Int, Long]
               cur.foreach(e => seen.getOrElseUpdate(e.partId, e.nRows))
-              graft.sources.SnapshotStore.snapshotIds(root).foreach { sid =>
-                graft.sources.SnapshotStore.entriesAt(root, sid).foreach(e =>
+              // oldest-first walk of RETAINED manifests for the rehomed parts'
+              // original rows; stop as soon as every tombstoned id resolved,
+              // skip the current manifest (cur already covered it), and treat
+              // a manifest vanishing under a concurrent expiry as simply not
+              // retained (the unresolved ids then fall to the honest warn) —
+              // a post-commit bookkeeping walk must never kill the query
+              val ids = graft.sources.SnapshotStore.snapshotIds(root).iterator
+                .filter(sid => !curId.contains(sid))
+              while (ids.hasNext && !tombsInRange.forall(id => seen.contains(id))) {
+                val sid = ids.next()
+                try graft.sources.SnapshotStore.entriesAt(root, sid).foreach(e =>
                   if (e.partId >= lo && e.partId < hi)
                     seen.getOrElseUpdate(e.partId, e.nRows))
+                catch {
+                  case _: IllegalArgumentException | _: java.nio.file.NoSuchFileException => ()
+                }
               }
-              val lost = tombsInRange.filterNot(id => seen.contains(id.toInt))
+              val lost = tombsInRange.filterNot(id => seen.contains(id))
               if (lost.isEmpty)
                 graft.sources.v2.EpochRows.record(root, batchId, seen.values.sum)
               else
