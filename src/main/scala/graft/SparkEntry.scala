@@ -88,6 +88,18 @@ object SparkEntry {
     })
   }
 
+  /** Memoized per-store count of url block groups (stores under [[storeCache]]
+    * are written once per JVM and never mutated): the pruning `require`s
+    * compare against this total on every invocation, and re-counting the
+    * metadata was a full Spark job per bench round spent recomputing a
+    * constant (guide §1.2: don't compute things you throw away). The
+    * RETURNED rows of every query stay computed fresh from the store. */
+  private val urlBlockTotalCache = scala.collection.mutable.Map[String, Long]()
+  private def urlBlockTotal(s: SparkSession, root: String): Long = synchronized {
+    urlBlockTotalCache.getOrElseUpdate(root,
+      DecodeJob.blocks(s, root).where(col("column") === "url").count())
+  }
+
   /** Ensure the block-metadata pruning + stream-filter rules run in this
     * (driver-built) session. The write-arrange rule needs a RESOLUTION hook
     * and can only ride `spark.sql.extensions` (set in our own session
@@ -143,12 +155,23 @@ object SparkEntry {
     // row rank — the test parquet's physical row order is scrambled) with mixed
     // signs, so the chooser's exact adaptive-cost simulation must pick
     // eg_adaptive (the reference's -a mode, now auto-chosen) — asserted in-query
-    // for every full block; identity oracle proves the round trip
+    // for every full block; identity oracle proves the round trip.
+    // r7: the global row rank comes from a DISTRIBUTED range sort + contiguous
+    // per-partition index offsets (zipWithIndex) instead of a single-partition
+    // Window — the rn multiset is identically {1..N} (so the drift multiset and
+    // the oracle hash are unchanged), but the adaptive-chooser's cost simulation
+    // and the codec round-trip now run on every core instead of one
+    // (guide §2.4: the SinglePartition Exchange serialized the whole query).
+    // Explicit partition count (not AQE-coalescible) keeps the sort spread.
     "rt_auto_drift" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-      val df = t(s, d, "lineitem")
-        .select(row_number().over(w).cast("long").as("rn"))
+      import s.implicits._
+      val p = s.sparkContext.defaultParallelism
+      val rn = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(p, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+        .as[(Long, Int)].rdd.zipWithIndex.map(_._2 + 1L)
+      val df = rn.toDF("rn")
         .selectExpr("CAST(CASE WHEN rn % 2 = 0 THEN 1 ELSE -1 END AS BIGINT) * " +
           "((rn * 7919) % 4096 + 4096) * " +
           "shiftleft(CAST(1 AS BIGINT), CAST((rn div 512) % 24 AS INT)) AS drift")
@@ -422,10 +445,15 @@ object SparkEntry {
       s.read.format("graft").load(root).createOrReplaceTempView("graft_store_v2")
       val df = s.sql("SELECT url, lang FROM graft_store_v2 " +
         "WHERE url LIKE 'doc://000001%' AND lang = 'en'")
-      df.count() // force one planning pass so the pruning decision is observable
+      // force ONE planning pass so the pruning decision is observable: building
+      // the scan's input-partition list records plan stats without running any
+      // job — the previous `df.count()` EXECUTED the whole scan (decode
+      // included) once here and then again for the returned rows (guide §1.4:
+      // count() is not a free observation)
+      df.queryExecution.toRdd.getNumPartitions
       val stats = graft.sources.v2.GraftDataSource.planStatsFor(root)
         .getOrElse(sys.error("V2 scan did not record plan stats"))
-      val total = DecodeJob.blocks(s, root).where(col("column") === "url").count()
+      val total = urlBlockTotal(s, root)
       require(stats.predicates >= 2 && stats.prunedGroupKeys.exists(k => k > 0 && k < total),
         s"V2 pushdown must prune block groups: $stats of $total groups")
       df
@@ -1158,6 +1186,8 @@ object SparkEntry {
         concat(col("text"), lit(" tail")).as("text")))
       // est threshold 0.3 only discards random band collisions: a true pair has
       // exact j >= 0.75 here, and P(est < 0.3 | j = 0.75, 64 hashes) ~ 1e-15.
+      // (r7: measured — dropping this pre-filter pushes every j~0.07 band
+      // collision into the exact shingle verify and is a NET LOSS; it stays.)
       // maxBucket unbounded: this corpus needs no mega-cluster guard, and skipping
       // it saves the bucket-size aggregate + join
       val cand = Dedup.minhashPairs(corpus, "doc_id", "text",
@@ -1173,14 +1203,16 @@ object SparkEntry {
         })
         .toDF("doc_id", "s")
         .cache()
-      val sa = sh.select(col("doc_id").as("a"), col("s").as("s_a"))
-      val sb = sh.select(col("doc_id").as("b"), col("s").as("s_b"))
       // mining convention (matches the oracle): two zero-shingle docs are NOT
-      // near-dups (0/greatest(union,1) = 0), unlike ngramJaccard's 1.0 identity
-      val union = size(array_union(col("s_a"), col("s_b")))
-      val j = size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+      // near-dups (0/greatest(union,1) = 0), unlike ngramJaccard's 1.0 identity.
+      // r7: both shingle attachments join the cached table through a plan alias
+      // (not a renamed projection) so exchange reuse serves both joins from ONE
+      // broadcast of the (heavy, string-array) shingle table instead of two.
+      val union = size(array_union(col("sa.s"), col("sb.s")))
+      val j = size(array_intersect(col("sa.s"), col("sb.s"))).cast("double") /
         greatest(union, lit(1)).cast("double")
-      cand.join(sa, "a").join(sb, "b")
+      cand.join(sh.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("b") === col("sb.doc_id"))
         .where(j >= 0.6)
         .select(col("a"), col("b"))
     }),

@@ -167,10 +167,15 @@ object Dedup {
     val b = bounded.select($"band", $"bucket", $"id".as("b"))
     val pairs = a.join(b, Seq("band", "bucket")).where($"a" < $"b")
       .select($"a", $"b").distinct()
-    val agree = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+    // r7: both signature attachments join the SAME cached relation through a
+    // plan alias (no per-side rename projection UNDER the exchange), so the
+    // planner's exchange reuse serves both joins from ONE broadcast/shuffle
+    // of `signed` instead of building it twice (guide §2.4: two operations
+    // keyed the same way can share one exchange)
+    val agree = expr("size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))")
     pairs
-      .join(signed.select($"id".as("a"), $"sig".as("sig_a")), Seq("a"))
-      .join(signed.select($"id".as("b"), $"sig".as("sig_b")), Seq("b"))
+      .join(signed.as("sa"), $"a" === col("sa.id"))
+      .join(signed.as("sb"), $"b" === col("sb.id"))
       .withColumn("est_jaccard", agree.cast("double") / lit(numHashes))
       .where($"est_jaccard" >= threshold)
       .select($"a", $"b", $"est_jaccard")

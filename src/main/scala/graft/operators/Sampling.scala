@@ -31,11 +31,16 @@ object Sampling {
     * rate >= 1 returns "g", which every hex string sorts below (keep all).
     * Granularity is 2^-32 and positive rates round UP to the next grid
     * point — a tiny rate like 1e-10 keeps ~2^-32 of rows instead of being
-    * silently truncated to zero (only rate == 0.0 keeps nothing). */
+    * silently truncated to zero (only rate == 0.0 keeps nothing). A rate
+    * just below 1 whose grid point rounds UP to 2^32 also keeps all: %08x
+    * would format it as the 9-char '100000000', and 8-char prefixes >= '11'
+    * sort ABOVE that — silently keeping ~1/16 of the stratum instead of ~all
+    * (r7 correctness fix, ADVICE). */
   private[operators] def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"sampling rate $rate outside [0, 1]")
-    if (rate >= 1.0) "g"
-    else f"${math.ceil(rate * 4294967296.0).toLong}%08x"
+    val grid = math.ceil(rate * 4294967296.0).toLong
+    if (rate >= 1.0 || grid >= 4294967296L) "g"
+    else f"$grid%08x"
   }
 
   /** The keep-condition alone (composable into larger plans). */

@@ -163,10 +163,10 @@ object GroupedAggMetadataRule extends Rule[LogicalPlan] {
     * current-state key changes with every commit (one tiny pointer read), so
     * a write between queries can never serve stale counts. Bounded LRU. */
   private val MaxCached = 64
-  private val cache = new java.util.LinkedHashMap[(String, Long, String),
+  private val cache = new java.util.LinkedHashMap[(String, Long, Long, String),
       Option[Seq[GraftGroupedAgg.GroupRow]]](MaxCached, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, Long, String),
+        e: java.util.Map.Entry[(String, Long, Long, String),
           Option[Seq[GraftGroupedAgg.GroupRow]]]): Boolean = size() > MaxCached
   }
 
@@ -175,7 +175,11 @@ object GroupedAggMetadataRule extends Rule[LogicalPlan] {
     val resolved = snapshotId.orElse(
       graft.sources.SnapshotStore.currentSnapshotId(root)).getOrElse(return None)
     cache.synchronized {
-      val key = (root, resolved, column)
+      // the identity token guards the same-path-recreated-store case: a store
+      // dropped and recreated restarts snapshot ids at 1, and (root, id)
+      // alone could serve the OLD store's counts (r7 correctness fix, ADVICE)
+      val key = (root, graft.sources.v2.GraftDataSource.storeIdentityToken(root),
+        resolved, column)
       val hit = cache.get(key)
       if (hit != null) return hit
       // compute under the lock: concurrent planners of the same store would

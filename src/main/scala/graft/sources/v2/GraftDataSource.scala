@@ -171,6 +171,38 @@ object GraftDataSource {
   def planStatsFor(root: String): Option[PlanStats] =
     planStatsByRoot.synchronized(Option(planStatsByRoot.get(root)))
 
+  /** Store-identity token: the SNAPSHOT pointer's mtime. A store dropped and
+    * recreated at the same path restarts snapshot ids at 1, so (root, id)
+    * alone could serve a PREVIOUS store's cached plan — the pointer file is
+    * rewritten (fresh mtime) on every commit, which makes (root, token, id)
+    * collision-safe for same-JVM caches. -1 = no pointer (never cacheable). */
+  private[graft] def storeIdentityToken(root: String): Long =
+    try java.nio.file.Files.getLastModifiedTime(
+      graft.sources.SnapshotStore.snapshotPointer(root)).toMillis
+    catch { case _: java.io.IOException => -1L }
+
+  /** Snapshot-immutable key-plan memo (r7): the pruned/top-n group-key
+    * computation ([[DecodeJob.planPrunedKeys]] / [[DecodeJob.planTopNKeys]])
+    * is a pure function of (store snapshot, predicates, top-n), yet each new
+    * scan re-ran its metadata Spark job (a per-invocation planning cost on
+    * every selective or top-n query). Keyed by (root, identity token,
+    * snapshot/incremental scope, predicates, top-n); bounded LRU. The
+    * per-scan broadcast lifecycle is unchanged — only the driver-side key
+    * ARRAY is shared. */
+  private val keyPlanMemo =
+    new java.util.LinkedHashMap[AnyRef, Option[Array[(Int, Int)]]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, Option[Array[(Int, Int)]]]): Boolean = size > 256
+    }
+
+  private[v2] def memoizedKeyPlan(key: AnyRef)(
+      compute: => Option[Array[(Int, Int)]]): Option[Array[(Int, Int)]] = {
+    keyPlanMemo.synchronized { if (keyPlanMemo.containsKey(key)) return keyPlanMemo.get(key) }
+    val computed = compute // outside the lock: the metadata scan is a Spark job
+    keyPlanMemo.synchronized { keyPlanMemo.put(key, computed); () }
+    computed
+  }
+
   /** Per-task parquet In-filter value budget: row-group stats evaluation of an
     * In probes the value set per row group, so a huge set costs more than the
     * IO it saves; past the budget only the part_id component is pushed (still
@@ -876,7 +908,12 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       : (Option[Array[(Int, Int)]], org.apache.spark.broadcast.Broadcast[Array[Long]]) =
     planLock.synchronized {
       if (cachedPreds != null && cachedPreds == preds) return (cachedKeys, cachedKeysBc)
-      val keysOpt: Option[Array[(Int, Int)]] =
+      // r7: the key plan is a pure function of the (immutable) snapshot +
+      // predicates + top-n — memoized across SCANS, not just within one, so a
+      // re-planned or re-run query skips the metadata Spark job entirely
+      val memoKey = (root, GraftDataSource.storeIdentityToken(root), snapshotId,
+        incremental, preds, if (preds.nonEmpty) None else pushedTopN)
+      val keysOpt: Option[Array[(Int, Int)]] = GraftDataSource.memoizedKeyPlan(memoKey) {
         if (preds.nonEmpty)
           DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), preds,
             DecodeJob.estimatedGroups(entries), Some(tableSchema.fieldNames.toSet))
@@ -890,6 +927,7 @@ final class GraftScan(root: String, snapshotId: Option[Long],
             t.column, t.asc, t.nullsFirst, t.limit, DecodeJob.estimatedGroups(entries),
             intBounds)
         }
+      }
       if (cachedKeysBc != null) cachedKeysBc.destroy()
       cachedPreds = preds
       cachedKeys = keysOpt
