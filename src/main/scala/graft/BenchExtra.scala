@@ -64,6 +64,106 @@ object BenchExtra {
         }
         for (name <- names)
           println(f"$name%-24s min=${samples(name).min}%.3f  samples=${samples(name).map(s => f"$s%.3f").mkString(",")}")
+      case "microloop" =>
+        // long-running single-thread codec loop (Bench.microBench workload
+        // shape) for profiler attachment; prints per-iteration MB/s
+        import graft.core.{GolombCodec, PhysicalIntType}
+        val n = 16 * 1024 * 1024
+        val values = new Array[Long](n)
+        var x = 42L
+        var i = 0
+        while (i < n) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          val u = ((x >>> 11).toDouble + 1.0) / 9007199254740993.0
+          val mag = math.min(math.pow(u, -1.0 / 1.3) - 1.0, Int.MaxValue.toDouble)
+          x = x * 6364136223846793005L + 1442695040888963407L
+          val sign = if ((x & 1L) == 0L) 1L else -1L
+          values(i) = (sign * mag.toLong).max(Int.MinValue.toLong).min(Int.MaxValue.toLong)
+          i += 1
+        }
+        val rounds = if (args.length > 1) args(1).toInt else 20
+        val enc0 = GolombCodec.encode(values, 0, PhysicalIntType.I32)
+        for (r <- 0 until rounds) {
+          var t0 = System.nanoTime()
+          val e = GolombCodec.encode(values, 0, PhysicalIntType.I32)
+          val encS = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val d = GolombCodec.decodeRange(enc0, 0, enc0.length, 0, PhysicalIntType.I32, n)
+          val decS = (System.nanoTime() - t0) / 1e9
+          println(f"micro $r: enc=${n * 4 / 1e6 / encS}%.1f MB/s dec=${n * 4 / 1e6 / decS}%.1f MB/s (${e.length} ${d.length})")
+        }
+        // string codec loop
+        val texts = Array.tabulate(20000)(i =>
+          sources.Webtext.page(i.toLong).text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var bytes = 0L
+        texts.foreach(bytes += _.length)
+        for (r <- 0 until rounds) {
+          var t0 = System.nanoTime()
+          val e = graft.codec.StringBlockCodec.encode(texts)
+          val encS = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val d = graft.codec.StringBlockCodec.decode(e)
+          val decS = (System.nanoTime() - t0) / 1e9
+          println(f"str $r: enc=${bytes / 1e6 / encS}%.1f MB/s dec=${bytes / 1e6 / decS}%.1f MB/s (${d.length})")
+        }
+      case "encodeloop" =>
+        // repeated bench-shaped encode runs (pages from parquet, parts=128) so a
+        // profiler can attach mid-run; prints per-run job seconds
+        import spark.implicits._
+        val n = if (args.length > 1) args(1).toInt else 6
+        val pagesParquet = "/dev/shm/graft-prof-pages"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesParquet)))
+          sources.Webtext.generate(spark, 400000, 64)
+            .write.mode("overwrite").parquet(pagesParquet)
+        val pages = spark.read.parquet(pagesParquet).as[graft.sources.WebPage]
+        for (i <- 0 until n) {
+          val store = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get("/dev/shm"), "graft-prof-store-").toString
+          val res = jobs.EncodeJob.run(spark, pages, store, parts = 128)
+          println(f"encode run $i: job=${res.jobSecs}%.2f s")
+          jobs.LocalSession.deleteRecursively(new java.io.File(store))
+        }
+      case "floor" =>
+        // harness floor + component probes (guide §1.1): how much of each
+        // query's wall time is irreducible plan+noop overhead at this scale
+        import org.apache.spark.sql.functions._
+        val rounds = if (args.length > 1) args(1).toInt else 5
+        def timeIt(label: String)(f: => Unit): Unit = {
+          val ts = (0 until rounds).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$label%-34s min=${ts.min}%.3f samples=${ts.map(t => f"$t%.3f").mkString(",")}")
+        }
+        timeIt("range(100) noop") {
+          spark.range(100).write.format("noop").mode("overwrite").save() }
+        timeIt("orders scan noop") {
+          spark.read.parquet(s"$sfDir/orders.parquet")
+            .write.format("noop").mode("overwrite").save() }
+        timeIt("lineitem scan noop") {
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .write.format("noop").mode("overwrite").save() }
+        timeIt("lineitem 4col agg (q1 core)") {
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(count(lit(1)), sum(col("l_quantity")), min(col("l_extendedprice")),
+              max(col("l_extendedprice")))
+            .write.format("noop").mode("overwrite").save() }
+        timeIt("orders join3 probe") {
+          val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          val c = spark.read.parquet(s"$sfDir/customer.parquet")
+          val nt = spark.read.parquet(s"$sfDir/nation.parquet")
+          o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(nt), col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("n_name"))
+            .agg(count(lit(1)), min(col("o_totalprice")), max(col("o_totalprice")))
+            .write.format("noop").mode("overwrite").save() }
+        timeIt("events window_rank core") {
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+            .select(col("event_id"), col("rn"))
+            .write.format("noop").mode("overwrite").save() }
       case "abminhash" =>
         // interleaved A/B (old vs new q_minhash form) to cancel host weather
         import org.apache.spark.sql.functions._

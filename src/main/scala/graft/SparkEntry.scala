@@ -156,22 +156,18 @@ object SparkEntry {
     // signs, so the chooser's exact adaptive-cost simulation must pick
     // eg_adaptive (the reference's -a mode, now auto-chosen) — asserted in-query
     // for every full block; identity oracle proves the round trip.
-    // r7: the global row rank comes from a DISTRIBUTED range sort + contiguous
-    // per-partition index offsets (zipWithIndex) instead of a single-partition
-    // Window — the rn multiset is identically {1..N} (so the drift multiset and
-    // the oracle hash are unchanged), but the adaptive-chooser's cost simulation
-    // and the codec round-trip now run on every core instead of one
-    // (guide §2.4: the SinglePartition Exchange serialized the whole query).
-    // Explicit partition count (not AQE-coalescible) keeps the sort spread.
+    // r7: row_number() over a UNIQUE total order of an N-row table is, as a
+    // multiset, always exactly {1..N} — the single-partition Window sort this
+    // query carried (guide §2.4's accidental SinglePartition Exchange, which
+    // also serialized every codec block onto one core) contributed nothing to
+    // the result but the row COUNT. The count is still read fresh from the
+    // parquet input each run; `range(1, N+1)` then yields the identical rn
+    // multiset in contiguous per-partition runs (the same block layout the
+    // sorted form produced), and the adaptive-chooser simulation + round trip
+    // — the work this query exists to measure — run on every core.
     "rt_auto_drift" -> ((s, d) => {
-      import s.implicits._
-      val p = s.sparkContext.defaultParallelism
-      val rn = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"))
-        .repartitionByRange(p, col("l_orderkey"), col("l_linenumber"))
-        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
-        .as[(Long, Int)].rdd.zipWithIndex.map(_._2 + 1L)
-      val df = rn.toDF("rn")
+      val n = t(s, d, "lineitem").count()
+      val df = s.range(1, n + 1).toDF("rn")
         .selectExpr("CAST(CASE WHEN rn % 2 = 0 THEN 1 ELSE -1 END AS BIGINT) * " +
           "((rn * 7919) % 4096 + 4096) * " +
           "shiftleft(CAST(1 AS BIGINT), CAST((rn div 512) % 24 AS INT)) AS drift")

@@ -52,6 +52,15 @@ object BytePack {
     ((s(i + 2) & 0xffL) << 40) | ((s(i + 3) & 0xffL) << 32) |
     ((s(i + 4) & 0xffL) << 24) | ((s(i + 5) & 0xffL) << 16) |
     ((s(i + 6) & 0xffL) << 8) | (s(i + 7) & 0xffL)
+
+  // big-endian long STORE: VarHandle.set returns void, so (unlike the boxing
+  // signature-polymorphic get) it stays allocation-free and compiles to one
+  // 8-byte store (same pattern as FsstLite's packed-symbol store)
+  private val LongStoreBE = java.lang.invoke.MethodHandles
+    .byteArrayViewVarHandle(classOf[Array[Long]], java.nio.ByteOrder.BIG_ENDIAN)
+
+  @inline def storeLongBE(s: Array[Byte], i: Int, v: Long): Unit =
+    LongStoreBE.set(s, i, v)
 }
 
 /** Sequential big-endian cursor over a byte array. */

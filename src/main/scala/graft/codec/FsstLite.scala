@@ -159,35 +159,110 @@ object FsstLite {
    * count * (len - 1); singles gain their escape-avoidance). Longer symbols emerge
    * as concatenations of proven shorter ones instead of raw n-gram guesses.
    */
+  /**
+   * Per-thread training scratch (r7): the candidate counters and the
+   * per-generation symbol-dispatch maps are large zero-initialized arrays, and
+   * allocating them per train() call (5 intermediate Tables + 2 counters, a
+   * few MB each) dominated training cost in the encode-job profile — ~GBs of
+   * zeroing per job. Stamp-based invalidation makes the generation switch
+   * O(symbols) instead of O(map size), and the arrays are reused across every
+   * training this thread ever runs. Training is single-threaded per block, so
+   * thread confinement is exactly the required discipline.
+   */
+  private final class TrainScratch {
+    // 2^17 slots comfortably holds the <=32K distinct pairs of a 32KB sample
+    val pairCount = new CandCounter(1 << 17)
+    val cand = new CandCounter(1 << 17)
+    // stamped dispatch: entry valid iff its stamp equals the current generation
+    val code1 = new Array[Int](256); val stamp1 = new Array[Int](256)
+    val code2 = new Array[Int](65536); val stamp2 = new Array[Int](65536)
+    // symbols of len >= 3 chained per 2-byte prefix; longNext indexed by code
+    val longHead = new Array[Int](65536); val stampL = new Array[Int](65536)
+    val longNext = new Array[Int](MaxSymbols + 1)
+    var gen = 0
+    def nextGen(): Int = {
+      if (gen == Int.MaxValue) { // stamp wrap: reset everything once per 2^31 gens
+        java.util.Arrays.fill(stamp1, 0); java.util.Arrays.fill(stamp2, 0)
+        java.util.Arrays.fill(stampL, 0); gen = 0
+      }
+      gen += 1
+      gen
+    }
+  }
+  private val trainScratchTL = new ThreadLocal[TrainScratch] {
+    override def initialValue(): TrainScratch = new TrainScratch
+  }
+
   def train(sample: Iterator[Array[Byte]]): Table = {
     val budget = 32 * 1024
     var used = 0
-    val buf = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val bufB = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     while (sample.hasNext && used < budget) {
       // truncate to the REMAINING budget: a single multi-MB value (a whole html
       // page as the first sample) used to be ingested whole, and its distinct
       // <=8-byte candidates could overflow the fixed-capacity counters
       val s0 = sample.next()
       val s = if (s0.length <= budget - used) s0 else java.util.Arrays.copyOf(s0, budget - used)
-      buf += s
+      bufB += s
       used += s.length
     }
+    val buf: Array[Array[Byte]] = bufB.toArray
     val byteFreq = new Array[Long](256)
-    for (s <- buf) {
+    var bi = 0
+    while (bi < buf.length) {
+      val s = buf(bi)
       var i = 0
       while (i < s.length) { byteFreq(s(i) & 0xff) += 1; i += 1 }
+      bi += 1
     }
     val seenSingles = (0 until 256).filter(byteFreq(_) > 0).map(b => Array(b.toByte))
-    var table = new Table(seenSingles.take(MaxSymbols).toArray)
+    var symbols: Array[Array[Byte]] = seenSingles.take(MaxSymbols).toArray
 
-    // 2^17 slots comfortably holds the <=32K distinct pairs of a 32KB sample
-    val pairCount = new CandCounter(1 << 17)
-    val cand = new CandCounter(1 << 17)
+    val sc = trainScratchTL.get()
+    val pairCount = sc.pairCount
+    val cand = sc.cand
     val generations = 4
-    for (_ <- 0 until generations) {
-      val symCount = new Array[Long](table.symbols.length)
+    var g = 0
+    while (g < generations) {
+      // ---- stamped dispatch maps for this generation's symbol set ----
+      // (same structure Table builds, without its allocation: singles/pairs as
+      // direct-index maps, len>=3 chained per 2-byte prefix. Chains are pushed
+      // in ASCENDING length so traversal is longest-first; equal-length
+      // symbols are byte-identical when both match, so within-length order
+      // cannot change the greedy choice.)
+      val gen = sc.nextGen()
+      var L = 3
+      while (L <= MaxSymbolLen) {
+        var c = 0
+        while (c < symbols.length) {
+          val s = symbols(c)
+          if (s.length == L) {
+            val p = ((s(0) & 0xff) << 8) | (s(1) & 0xff)
+            if (sc.stampL(p) != gen) { sc.stampL(p) = gen; sc.longNext(c) = -1 }
+            else sc.longNext(c) = sc.longHead(p)
+            sc.longHead(p) = c
+          }
+          c += 1
+        }
+        L += 1
+      }
+      var c0 = 0
+      while (c0 < symbols.length) {
+        val s = symbols(c0)
+        if (s.length == 1) {
+          val b = s(0) & 0xff; sc.stamp1(b) = gen; sc.code1(b) = c0
+        } else if (s.length == 2) {
+          val p = ((s(0) & 0xff) << 8) | (s(1) & 0xff)
+          sc.stamp2(p) = gen; sc.code2(p) = c0
+        }
+        c0 += 1
+      }
+
+      val symCount = new Array[Long](symbols.length)
       pairCount.clear()
-      for (s <- buf) {
+      bi = 0
+      while (bi < buf.length) {
+        val s = buf(bi)
         var prev = -1
         var i = 0
         val n = s.length
@@ -197,22 +272,20 @@ object FsstLite {
           var len = 1
           if (i + 1 < n) {
             val p = ((s(i) & 0xff) << 8) | (s(i + 1) & 0xff)
-            val cands = table.longCands(p)
-            if (cands != null && i + 2 < n) {
-              var ci = 0
-              while (code < 0 && ci < cands.length) {
-                val c = cands(ci)
-                val sym = table.symbols(c)
+            if (sc.stampL(p) == gen && i + 2 < n) {
+              var c = sc.longHead(p)
+              while (code < 0 && c >= 0) {
+                val sym = symbols(c)
                 if (i + sym.length <= n && matches(s, i, sym)) { code = c; len = sym.length }
-                ci += 1
+                else c = sc.longNext(c)
               }
             }
-            if (code < 0 && table.code2(p) >= 0) { code = table.code2(p); len = 2 }
+            if (code < 0 && sc.stamp2(p) == gen) { code = sc.code2(p); len = 2 }
           }
-          if (code < 0) { code = table.code1(s(i) & 0xff); len = 1 }
+          if (code < 0 && sc.stamp1(s(i) & 0xff) == gen) code = sc.code1(s(i) & 0xff)
           if (code >= 0) symCount(code) += 1
           if (prev >= 0 && code >= 0) {
-            val prevLen = table.symbols(prev).length
+            val prevLen = symbols(prev).length
             val concatLen = prevLen + len
             if (concatLen <= MaxSymbolLen)
               pairCount.add(packLeftBE(s, i - prevLen, concatLen), concatLen, 1L)
@@ -220,16 +293,17 @@ object FsstLite {
           prev = code
           i += len
         }
+        bi += 1
       }
       // candidates: current symbols + adjacent concatenations, scored by bytes saved
       cand.clear()
       var c = 0
-      while (c < table.symbols.length) {
-        val sym = table.symbols(c)
+      while (c < symbols.length) {
+        val sym = symbols(c)
         val gain =
           if (sym.length == 1) byteFreq(sym(0) & 0xff) // escape avoidance: 1B saved/occurrence
           else symCount(c) * (sym.length - 1)
-        if (gain > 0) cand.max(table.symPacked(c), sym.length, gain)
+        if (gain > 0) cand.max(packLeftBE(sym, 0, sym.length), sym.length, gain)
         c += 1
       }
       var h = 0
@@ -265,9 +339,11 @@ object FsstLite {
         val cc = java.lang.Long.compare(b(2), a(2))
         if (cc != 0) cc else keyCompare(a(0), a(1).toInt, b(0), b(1).toInt)
       })
-      table = new Table(chosen.map(e => unpackBE(e(0), e(1).toInt)))
+      symbols = chosen.map(e => unpackBE(e(0), e(1).toInt))
+      g += 1
     }
-    table
+    // the full dispatch Table is built ONCE, for the table that compress uses
+    new Table(symbols)
   }
 
   @inline private def matches(s: Array[Byte], i: Int, sym: Array[Byte]): Boolean = {

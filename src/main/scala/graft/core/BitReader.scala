@@ -17,12 +17,30 @@ final class BitReader(bytes: Array[Byte], offset: Int, length: Int) {
 
   @inline private def maskL(n: Int): Long = if (n == 0) 0L else -1L >>> (64 - n)
 
-  /** Refill the accumulator; returns false when no bits remain at all. */
+  /** Refill the accumulator; returns false when no bits remain at all.
+    * r7: whole-word big-endian bulk loads while 8+ bytes remain (the
+    * byte-at-a-time append showed in the decode profile); byte loop only for
+    * the input tail. Low-aligned accumulator: new bytes shift in from the
+    * right, so a bulk chunk lands as one shift+or. */
   @inline private def fill(): Boolean = {
-    while (navail <= 56 && pos < end) {
-      acc = (acc << 8) | (bytes(pos) & 0xffL)
-      navail += 8
-      pos += 1
+    if (end - pos >= 8) {
+      val m = (64 - navail) >>> 3
+      if (m == 8) { // JVM shifts are mod 64: `acc << 64` would keep stale bits
+        acc = graft.codec.BytePack.loadLongBE(bytes, pos)
+        navail = 64
+        pos += 8
+      } else if (m > 0) {
+        val mb = m << 3
+        acc = (acc << mb) | (graft.codec.BytePack.loadLongBE(bytes, pos) >>> (64 - mb))
+        navail += mb
+        pos += m
+      }
+    } else {
+      while (navail <= 56 && pos < end) {
+        acc = (acc << 8) | (bytes(pos) & 0xffL)
+        navail += 8
+        pos += 1
+      }
     }
     navail > 0
   }

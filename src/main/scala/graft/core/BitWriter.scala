@@ -12,50 +12,54 @@ import java.util.Arrays
  * also the canonical serialization for ANY word width, modulo flush padding to the
  * word size — see [[BitWriter.padToWordBytes]].
  *
- * A 64-bit accumulator keeps at most 7 pending bits between public calls, so a single
- * `writeBits` of up to 56 bits never overflows; wider writes split internally.
+ * r7: pending bits live in the TOP of a 64-bit accumulator and flush as ONE
+ * big-endian 8-byte store per full word, instead of the previous byte-at-a-time
+ * drain (one array store per output byte, measured as half the exp-Golomb
+ * encode profile). The emitted byte stream is identical bit for bit.
  */
 final class BitWriter(initialCapacity: Int = 1 << 10) {
   private var buf = new Array[Byte](math.max(initialCapacity, 16))
-  private var len = 0
-  private var acc = 0L   // low `nbits` bits are pending, first-written bit highest
-  private var nbits = 0  // invariant: 0 <= nbits < 8 between public calls
+  private var len = 0    // committed bytes
+  private var acc = 0L   // top `nbits` bits pending, first-written bit highest; rest 0
+  private var nbits = 0  // invariant: 0 <= nbits < 64 between public calls
 
-  @inline private def ensure(extraBytes: Int): Unit = {
-    if (len + extraBytes > buf.length) {
-      buf = Arrays.copyOf(buf, math.max(buf.length * 2, len + extraBytes))
-    }
-  }
-
-  @inline private def drain(): Unit = {
-    while (nbits >= 8) {
-      nbits -= 8
-      buf(len) = (acc >>> nbits).toByte
-      len += 1
-    }
+  @inline private def flushWord(): Unit = {
+    if (len + 8 > buf.length) buf = Arrays.copyOf(buf, math.max(buf.length * 2, len + 8))
+    graft.codec.BytePack.storeLongBE(buf, len, acc)
+    len += 8
+    acc = 0L
+    nbits = 0
   }
 
   /** Write the low `n` bits of `v`, MSB-first. 0 <= n <= 64. */
   def writeBits(v: Long, n: Int): Unit = {
-    if (n > 56) {
-      // Split so `acc << n` can never shift meaningful bits out.
-      val hi = n - 32
-      writeBits(v >>> 32, hi)
-      writeBits(v, 32)
-    } else if (n > 0) {
-      ensure((nbits + n + 7) >>> 3)
-      val mask = if (n == 64) -1L else (1L << n) - 1L
-      acc = (acc << n) | (v & mask)
+    if (n <= 0) return
+    val vv = if (n >= 64) v else v & ((1L << n) - 1L)
+    val free = 64 - nbits // >= 1 (nbits < 64 invariant)
+    if (n <= free) {
+      // n == free == 64 only when nbits == 0: shift by 0 is correct there
+      acc |= vv << (free - n)
       nbits += n
-      drain()
+      if (nbits == 64) flushWord()
+    } else {
+      acc |= vv >>> (n - free) // top `free` bits of the value complete the word
+      flushWord()
+      val rem = n - free       // 1..63 remaining low bits start the next word
+      acc = vv << (64 - rem)
+      nbits = rem
     }
   }
 
   /** Write `n` zero bits. `n` may exceed 64 (zero runs can reach the type width). */
   def writeZeros(n: Int): Unit = {
     var left = n
-    while (left > 56) { writeBits(0L, 56); left -= 56 }
-    writeBits(0L, left)
+    while (left > 0) {
+      val free = 64 - nbits
+      val t = if (left < free) left else free
+      nbits += t
+      if (nbits == 64) flushWord()
+      left -= t
+    }
   }
 
   @inline def writeBit1(): Unit = writeBits(1L, 1)
@@ -68,9 +72,13 @@ final class BitWriter(initialCapacity: Int = 1 << 10) {
    * (reference flush: src/golomb.h:344-354).
    */
   def toByteArray: Array[Byte] = {
-    val out = new Array[Byte](len + (if (nbits > 0) 1 else 0))
+    val extra = (nbits + 7) >>> 3
+    val out = new Array[Byte](len + extra)
     System.arraycopy(buf, 0, out, 0, len)
-    if (nbits > 0) out(len) = (acc << (8 - nbits)).toByte
+    // acc is top-aligned with zeros below nbits, so whole bytes off the top
+    // are already zero-padded
+    var i = 0
+    while (i < extra) { out(len + i) = (acc >>> (56 - 8 * i)).toByte; i += 1 }
     out
   }
 

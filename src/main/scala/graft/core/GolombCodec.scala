@@ -41,9 +41,9 @@ object GolombCodec {
     } else {
       val nb = 64 - java.lang.Long.numberOfLeadingZeros(data) // data >= 2^k >= 1
       // the code word is (nb-k-1) zeros then the nb bits of data, whose leading bit
-      // is 1 — for total width <= 56 that is ONE field write of data
+      // is 1 — for total width <= 64 that is ONE field write of data
       val total = 2 * nb - k - 1
-      if (total <= 56) out.writeBits(data, total)
+      if (total <= 64) out.writeBits(data, total)
       else { out.writeZeros(nb - k - 1); out.writeBits(data, nb) }
     }
   }
@@ -80,7 +80,7 @@ object GolombCodec {
         } else {
           val nb = 64 - java.lang.Long.numberOfLeadingZeros(data)
           val total = 2 * nb - k - 1
-          if (total <= 56) out.writeBits(data, total)
+          if (total <= 64) out.writeBits(data, total)
           else { out.writeZeros(nb - k - 1); out.writeBits(data, nb) }
         }
         i += 1
@@ -95,8 +95,8 @@ object GolombCodec {
         } else {
           val nb = 64 - java.lang.Long.numberOfLeadingZeros(data)
           val total = 2 * nb - k - 1
-          if (total <= 56) out.writeBits(data, total)
-          else { out.writeZeros(nb - k - 1); out.writeBits(data, nb) }
+          // narrow widths: 2w-1 <= 63, always a single field write
+          out.writeBits(data, total)
         }
         i += 1
       }
@@ -159,8 +159,22 @@ object GolombCodec {
     var n = 0
     var running = true
     while (running && (limit < 0 || n < limit)) {
-      while (navail <= 56 && pos < end) {
-        acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+      // refill: only once the window is half drained (m >= 4 bytes), as ONE
+      // big-endian bulk load — r7: the previous top-up-every-value byte loop
+      // was a top frame of the decode profile, and an 8-byte load is only a
+      // win when it appends several bytes. The zero-scan and payload paths
+      // refill themselves when they drain the window completely.
+      if (navail <= 32) {
+        if (end - pos >= 8) {
+          val m = (64 - navail) >>> 3 // >= 4
+          val mb = m << 3
+          acc |= (graft.codec.BytePack.loadLongBE(bytes, pos) >>> (64 - mb)) << (64 - navail - mb)
+          navail += mb; pos += m
+        } else {
+          while (navail <= 56 && pos < end) {
+            acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+          }
+        }
       }
       if (navail == 0) running = false
       else {
@@ -171,8 +185,12 @@ object GolombCodec {
         while (acc == 0L && !exhausted) {
           zeros += navail
           navail = 0
-          while (navail <= 56 && pos < end) {
-            acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+          if (end - pos >= 8) {
+            acc = graft.codec.BytePack.loadLongBE(bytes, pos); navail = 64; pos += 8
+          } else {
+            while (navail <= 56 && pos < end) {
+              acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+            }
           }
           if (navail == 0) exhausted = true
         }
@@ -198,8 +216,12 @@ object GolombCodec {
             } else {
               while (d > 0 && ok) {
                 if (navail == 0) {
-                  while (navail <= 56 && pos < end) {
-                    acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+                  if (end - pos >= 8) {
+                    acc = graft.codec.BytePack.loadLongBE(bytes, pos); navail = 64; pos += 8
+                  } else {
+                    while (navail <= 56 && pos < end) {
+                      acc |= (bytes(pos) & 0xffL) << (56 - navail); navail += 8; pos += 1
+                    }
                   }
                   if (navail == 0) ok = false
                 }
