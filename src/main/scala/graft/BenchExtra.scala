@@ -50,6 +50,38 @@ object BenchExtra {
             txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           println(s"wrote plans/r07/${name}_$suffix.txt")
         }
+      case "explainexec" =>
+        // like `explain`, but EXECUTES the query (noop sink) first and appends
+        // the post-execution plan: with AQE, exchange/stage reuse only shows in
+        // the final plan, not the initial one
+        val suffix = args(1)
+        val names = args(2).split(',').map(_.trim).filter(_.nonEmpty)
+        val dir = java.nio.file.Paths.get("plans/r07")
+        java.nio.file.Files.createDirectories(dir)
+        val lastExecuted = new java.util.concurrent.atomic.AtomicReference[String]("")
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+            lastExecuted.set(qe.executedPlan.toString)
+          override def onFailure(f: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+        })
+        for (name <- names) {
+          val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+          val df = fn(spark, sfDir)
+          lastExecuted.set("")
+          df.write.format("noop").mode("overwrite").save()
+          // listener delivery is async; a short bounded wait suffices here
+          var waited = 0
+          while (lastExecuted.get().isEmpty && waited < 5000) { Thread.sleep(50); waited += 50 }
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode) +
+            "\n\n== Post-execution (AQE final) plan of the noop write ==\n" +
+            lastExecuted.get()
+          java.nio.file.Files.write(dir.resolve(s"${name}_$suffix.txt"),
+            txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"wrote plans/r07/${name}_$suffix.txt")
+        }
       case "time" =>
         val names = args(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val rounds = if (args.length > 2) args(2).toInt else 3

@@ -1189,9 +1189,12 @@ object SparkEntry {
       val cand = Dedup.minhashPairs(corpus, "doc_id", "text",
         numHashes = 64, bands = 32, shingleSize = 3, threshold = 0.3,
         maxBucket = Int.MaxValue)
-      // shingle SETS via the one-pass kernel, computed once per doc and CACHED so
-      // the two join sides don't re-shingle (the declarative regex-split tree ran
-      // twice and dominated this query's profile)
+      // shingle SETS via the one-pass kernel, computed once per doc and CACHED:
+      // the cache is ALSO what lets the two verify joins below share ONE
+      // broadcast — the cached scan canonicalizes identically under both
+      // exchanges (AQE stage reuse), while the raw kernel plan holds two
+      // distinct lambda instances and never matches (r7: verified in the
+      // executed plan — a ReusedExchange per aliased pair)
       val sh = corpus.select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, tx) =>

@@ -100,7 +100,8 @@ object DecodeJob {
   /** Decode the full snapshot back into pages. */
   def decode(spark: SparkSession, root: String): Dataset[WebPage] = {
     requireWebtext(root)
-    reassemble(spark, blocks(spark, root))
+    reassemble(spark, blocks(spark, root),
+      Some(preScanKey(spark, root, None, PageColumns)))
   }
 
   // ---------------- predicate-pushed decode (decoded-view API) ----------------
@@ -525,7 +526,8 @@ object DecodeJob {
   /** Time travel: decode the pages visible at a specific committed snapshot. */
   def decodeAt(spark: SparkSession, root: String, snapshotId: Long): Dataset[WebPage] = {
     requireWebtext(root)
-    reassemble(spark, blocksAt(spark, root, snapshotId))
+    reassemble(spark, blocksAt(spark, root, snapshotId),
+      Some(preScanKey(spark, root, Some(snapshotId), PageColumns)))
   }
 
   /** Decode only the given parts (compaction input). Small lists become an `isin`
@@ -650,9 +652,34 @@ object DecodeJob {
    * derive from the same `blocksDf`, so Spark's deterministic size-based file
    * partitioning gives them identical partition boundaries.
    */
+  /** Memoized straddling-group pre-scan results (r7): for an immutable
+    * snapshot + column set + the split-relevant session confs, the pre-scan's
+    * bad-key set is a constant, yet it ran a Spark job on EVERY decode call.
+    * None = over [[MaxFallbackGroups]] (callers take the full shuffle path).
+    * A stale hit cannot corrupt: a wrongly-EMPTY set trips fastPathGroup's
+    * loud misalignment error, a wrongly-extra key just re-reads that group
+    * through the always-correct shuffle repair. Bounded LRU. */
+  private val badKeysMemo =
+    new java.util.LinkedHashMap[AnyRef, Option[Array[(Int, Int)]]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, Option[Array[(Int, Int)]]]): Boolean = size > 128
+    }
+
+  /** Pre-scan memo key for a whole-snapshot read of `root`: the store identity
+    * token pins the snapshot bytes, the conf values pin Spark's deterministic
+    * file-split planning (the invariant [[fastPathGroup]] documents). */
+  private[jobs] def preScanKey(spark: SparkSession, root: String,
+      snapshotId: Option[Long], expected: Set[String]): AnyRef = {
+    val c = spark.sessionState.conf
+    (root, graft.sources.v2.GraftDataSource.storeIdentityToken(root), snapshotId,
+      expected.toSeq.sorted, c.filesMaxPartitionBytes, c.filesOpenCostInBytes,
+      c.filesMinPartitionNum, spark.sparkContext.defaultParallelism)
+  }
+
   private def hybridReassemble[T](spark: SparkSession,
       blocksDf: org.apache.spark.sql.DataFrame, expected: Set[String],
-      enc: org.apache.spark.sql.Encoder[T])(
+      enc: org.apache.spark.sql.Encoder[T],
+      memoKey: Option[AnyRef] = None)(
       decodeGroup: Map[String, Array[Byte]] => Iterator[T]): Dataset[T] = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -663,15 +690,29 @@ object DecodeJob {
     if (sys.env.get("GRAFT_DECODE_FORCE_SHUFFLE").contains("1"))
       return shuffleReassemble(raw, enc)(decodeGroup)
     val exp = expected
-    val badRaw = blocksDf.select(col("part_id"), col("block_seq"), col("column"))
-      .as[(Int, Int, String)]
-      .mapPartitions(it => incompleteRunKeys(it, exp))
-      .take(MaxFallbackGroups + 1)
-    // truncation check on the RAW row count: a fragmented key can surface from
-    // two partitions, so deduping a truncated sample would undercount and let
-    // the partial-fallback path run with an incomplete badSet (dropped groups)
-    if (badRaw.length > MaxFallbackGroups) return shuffleReassemble(raw, enc)(decodeGroup)
-    val badKeys = badRaw.distinct
+    def computeBadKeys(): Option[Array[(Int, Int)]] = {
+      val badRaw = blocksDf.select(col("part_id"), col("block_seq"), col("column"))
+        .as[(Int, Int, String)]
+        .mapPartitions(it => incompleteRunKeys(it, exp))
+        .take(MaxFallbackGroups + 1)
+      // truncation check on the RAW row count: a fragmented key can surface from
+      // two partitions, so deduping a truncated sample would undercount and let
+      // the partial-fallback path run with an incomplete badSet (dropped groups)
+      if (badRaw.length > MaxFallbackGroups) None else Some(badRaw.distinct)
+    }
+    val badKeysOpt = memoKey match {
+      case Some(key) =>
+        badKeysMemo.synchronized { if (badKeysMemo.containsKey(key)) badKeysMemo.get(key) else null } match {
+          case null =>
+            val computed = computeBadKeys() // outside the lock: it is a Spark job
+            badKeysMemo.synchronized { badKeysMemo.put(key, computed); () }
+            computed
+          case hit => hit
+        }
+      case None => computeBadKeys()
+    }
+    if (badKeysOpt.isEmpty) return shuffleReassemble(raw, enc)(decodeGroup)
+    val badKeys = badKeysOpt.get
     val badSet = badKeys.toSet
     val fast = raw.mapPartitions { it =>
       consecutiveRuns(it).flatMap { case (pid, seq, cols) =>
@@ -713,9 +754,10 @@ object DecodeJob {
   }
 
   private[jobs] def reassemble(spark: SparkSession,
-                               blocksDf: org.apache.spark.sql.DataFrame): Dataset[WebPage] =
+                               blocksDf: org.apache.spark.sql.DataFrame,
+                               memoKey: Option[AnyRef] = None): Dataset[WebPage] =
     hybridReassemble(spark, blocksDf, PageColumns,
-      Encoders.product[WebPage])(decodePageGroup)
+      Encoders.product[WebPage], memoKey)(decodePageGroup)
 
   /**
    * Projected decode: reassemble ONLY the requested columns. The blocks scan
@@ -733,14 +775,18 @@ object DecodeJob {
     require(wanted.forall(PageColumns),
       s"unknown columns ${wanted.filterNot(PageColumns)}; available: $PageColumns")
     requireWebtext(root)
+    // memoizable: the pre-scan's input is fully determined by (snapshot,
+    // wanted column set, split confs) — all in the key
     projectedReassemble(spark,
-      blocks(spark, root).where(col("column").isin(wanted: _*)), wanted)
+      blocks(spark, root).where(col("column").isin(wanted: _*)), wanted,
+      Some(preScanKey(spark, root, None, wanted.toSet)))
   }
 
   /** Column-projected hybrid reassembly of a (possibly pre-pruned) blocks scan. */
   private def projectedReassemble(spark: SparkSession,
       filteredBlocks: org.apache.spark.sql.DataFrame,
-      wanted: Seq[String]): org.apache.spark.sql.DataFrame = {
+      wanted: Seq[String],
+      memoKey: Option[AnyRef] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
     val schema = StructType(wanted.map {
@@ -781,7 +827,7 @@ object DecodeJob {
         new org.apache.spark.sql.catalyst.expressions.GenericRow(vals): Row
       }
     }
-    hybridReassemble(spark, filteredBlocks, wanted.toSet, rowEnc)(decodeGroup).toDF()
+    hybridReassemble(spark, filteredBlocks, wanted.toSet, rowEnc, memoKey)(decodeGroup).toDF()
   }
 
   /**

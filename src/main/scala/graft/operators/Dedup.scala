@@ -454,10 +454,14 @@ object Dedup {
     val b = bounded.select($"band", $"key", $"id".as("b"))
     val pairs = a.join(b, Seq("band", "key")).where($"a" < $"b")
       .select($"a", $"b").distinct()
+    // r7: both vector attachments join the SAME cached relation through a plan
+    // alias (no per-side rename projection under the exchange), so exchange
+    // reuse serves both joins from ONE broadcast/shuffle of `keyed` instead of
+    // building it twice (same fix as minhashPairs' signature joins)
     pairs
-      .join(keyed.select($"id".as("a"), $"v".as("v_a")), Seq("a"))
-      .join(keyed.select($"id".as("b"), $"v".as("v_b")), Seq("b"))
-      .withColumn("cosine", Similarity.cosine($"v_a", $"v_b"))
+      .join(keyed.as("va"), $"a" === col("va.id"))
+      .join(keyed.as("vb"), $"b" === col("vb.id"))
+      .withColumn("cosine", Similarity.cosine(col("va.v"), col("vb.v")))
       .where($"cosine" >= minCosine)
       .select($"a", $"b", $"cosine")
   }

@@ -178,7 +178,9 @@ object GraftDataSource {
     * collision-safe for same-JVM caches. -1 = no pointer (never cacheable). */
   private[graft] def storeIdentityToken(root: String): Long =
     try java.nio.file.Files.getLastModifiedTime(
-      graft.sources.SnapshotStore.snapshotPointer(root)).toMillis
+      graft.sources.SnapshotStore.snapshotPointer(root))
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS) // ns where the fs has it:
+      // two commits in the same millisecond must not share a token
     catch { case _: java.io.IOException => -1L }
 
   /** Snapshot-immutable key-plan memo (r7): the pruned/top-n group-key
