@@ -138,6 +138,29 @@ object BenchExtra {
           val decS = (System.nanoTime() - t0) / 1e9
           println(f"str $r: enc=${bytes / 1e6 / encS}%.1f MB/s dec=${bytes / 1e6 / decS}%.1f MB/s (${d.length})")
         }
+      case "v2scan" =>
+        // row-path vs columnar-path V2 full scan A/B on a bench-shaped store
+        import spark.implicits._
+        val rounds = if (args.length > 1) args(1).toInt else 4
+        val pagesParquet = "/dev/shm/graft-v2-pages"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesParquet)))
+          sources.Webtext.generate(spark, 400000, 64)
+            .write.mode("overwrite").parquet(pagesParquet)
+        val store = "/dev/shm/graft-v2-store"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+          jobs.EncodeJob.run(spark,
+            spark.read.parquet(pagesParquet).as[graft.sources.WebPage], store, parts = 128)
+        def scanOnce(columnar: Boolean): Double = {
+          if (columnar) spark.conf.set("spark.graft.v2.columnar", "true")
+          else spark.conf.unset("spark.graft.v2.columnar")
+          val t0 = System.nanoTime()
+          spark.read.format("graft").load(store)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        for (r <- 0 until rounds)
+          println(f"v2scan round $r: row=${scanOnce(false)}%.3f s columnar=${scanOnce(true)}%.3f s")
+        spark.conf.unset("spark.graft.v2.columnar")
       case "encodeloop" =>
         // repeated bench-shaped encode runs (pages from parquet, parts=128) so a
         // profiler can attach mid-run; prints per-run job seconds

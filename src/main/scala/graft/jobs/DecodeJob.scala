@@ -300,7 +300,7 @@ object DecodeJob {
    * paying — the collect itself (and the broadcast built from it) becomes the
    * bottleneck. `private[jobs]` var so tests can force the ungated branch.
    */
-  private[jobs] var MaxPrunedKeyCollect = 1000000
+  private[graft] var MaxPrunedKeyCollect = 1000000 // private[graft]: part of the V2 key-plan memo key
 
   /** Fraction of total groups above which pruning is skipped: past half the
     * groups the key filters buy little IO (survivors sit in ~every file) while
@@ -673,7 +673,8 @@ object DecodeJob {
     val c = spark.sessionState.conf
     (root, graft.sources.v2.GraftDataSource.storeIdentityToken(root), snapshotId,
       expected.toSeq.sorted, c.filesMaxPartitionBytes, c.filesOpenCostInBytes,
-      c.filesMinPartitionNum, spark.sparkContext.defaultParallelism)
+      c.filesMinPartitionNum, spark.sparkContext.defaultParallelism,
+      MaxFallbackGroups) // test-mutable gate: never serve across altered gates
   }
 
   private def hybridReassemble[T](spark: SparkSession,

@@ -913,8 +913,11 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       // r7: the key plan is a pure function of the (immutable) snapshot +
       // predicates + top-n — memoized across SCANS, not just within one, so a
       // re-planned or re-run query skips the metadata Spark job entirely
+      // the two planning gates are test-mutable vars: include them so a key
+      // computed under altered gates can never serve a default-gate scan
       val memoKey = (root, GraftDataSource.storeIdentityToken(root), snapshotId,
-        incremental, preds, if (preds.nonEmpty) None else pushedTopN)
+        incremental, preds, if (preds.nonEmpty) None else pushedTopN,
+        DecodeJob.MaxPrunedKeyCollect, DecodeJob.PruneFractionCutoff)
       val keysOpt: Option[Array[(Int, Int)]] = GraftDataSource.memoizedKeyPlan(memoKey) {
         if (preds.nonEmpty)
           DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), preds,
