@@ -138,6 +138,35 @@ object BenchExtra {
           val decS = (System.nanoTime() - t0) / 1e9
           println(f"str $r: enc=${bytes / 1e6 / encS}%.1f MB/s dec=${bytes / 1e6 / decS}%.1f MB/s (${d.length})")
         }
+      case "v2write" =>
+        // attribute the arranged SQL write's analysis-time jobs: url count,
+        // boundary sample, and the full write (guide §1: measure first)
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val rounds = if (args.length > 1) args(1).toInt else 3
+        val pagesParquet = "/dev/shm/graft-w-pages"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pagesParquet)))
+          sources.Webtext.generate(spark, 400000, 64)
+            .write.mode("overwrite").parquet(pagesParquet)
+        val src = spark.read.parquet(pagesParquet)
+        for (r <- 0 until rounds) {
+          var t0 = System.nanoTime()
+          val total = src.select(col("url").as("url")).as[String].count()
+          val countS = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val b = jobs.EncodeJob.computeUrlBoundaries(
+            src.select(col("url").as("url")).as[String], 128, knownTotal = Some(total))
+          val sampleS = (System.nanoTime() - t0) / 1e9
+          val wStore = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get("/dev/shm"), "graft-w-").toString
+          spark.conf.set("spark.graft.write.partitions", "128")
+          t0 = System.nanoTime()
+          try src.write.format("graft").mode("append").save(wStore)
+          finally spark.conf.unset("spark.graft.write.partitions")
+          val writeS = (System.nanoTime() - t0) / 1e9
+          jobs.LocalSession.deleteRecursively(new java.io.File(wStore))
+          println(f"v2write round $r: count=$countS%.3f sample=$sampleS%.3f (boundaries=${b.length}) write=$writeS%.3f")
+        }
       case "v2scan" =>
         // row-path vs columnar-path V2 full scan A/B on a bench-shaped store
         import spark.implicits._

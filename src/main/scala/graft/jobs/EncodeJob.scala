@@ -107,6 +107,82 @@ object EncodeJob {
     computeUrlBoundaries(pages.select($"url").as[String], parts, knownTotal)
   }
 
+  /**
+   * ONE-pass (row count, partition count, range boundaries) for the V2
+   * write-arrange rule (r7, closing the r6 verdict item: the separate
+   * `count()` job computed the write's child a second time — for a child
+   * where column pruning cannot cheapen the url projection, a third full
+   * compute on top of the sample and the write itself).
+   *
+   * Per partition: exact row count + a deterministic uniform reservoir of
+   * SAMPLEABLE urls (exclusions identical to [[computeUrlBoundaries]]: null,
+   * empty, and newline-holding urls can never become split points — they
+   * still bucket fine as data). Driver side: the caller's sizing function
+   * turns the exact total into the partition count, then boundaries are
+   * weighted quantiles over the merged reservoirs (each sampled url stands
+   * for eligible_i/|sample_i| rows — the public RangePartitioner scheme).
+   * Deterministic for a given input partitioning: the reservoir PRNG is
+   * seeded per partition index. Boundary QUALITY matches the hash-threshold
+   * sampler (~200+ candidates per split point at the default sizes); the
+   * exact split points differ, which only moves block-range edges — content,
+   * ordering guarantees, and prefix pruning are unaffected.
+   */
+  def countAndUrlBoundaries(urls: Dataset[String],
+                            partsFor: Long => Int): (Long, Int, Array[String]) = {
+    val ReservoirPerPartition = 4096
+    val partials = urls.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rng = new java.util.Random(scala.util.hashing.byteswap32(idx).toLong)
+      val res = new Array[String](ReservoirPerPartition)
+      var total = 0L
+      var eligible = 0L
+      while (it.hasNext) {
+        val u = it.next()
+        total += 1
+        if (u != null && u.nonEmpty && u.indexOf('\n') < 0) {
+          if (eligible < ReservoirPerPartition) res(eligible.toInt) = u
+          else {
+            val j = (rng.nextDouble() * (eligible + 1).toDouble).toLong
+            if (j < ReservoirPerPartition) res(j.toInt) = u
+          }
+          eligible += 1
+        }
+      }
+      Iterator.single((total, eligible,
+        java.util.Arrays.copyOf(res, math.min(eligible, ReservoirPerPartition.toLong).toInt)))
+    }.collect()
+    val total = partials.iterator.map(_._1).sum
+    val parts = partsFor(total)
+    val eligibleTotal = partials.iterator.map(_._2).sum
+    if (parts <= 1 || eligibleTotal == 0) return (total, parts, Array.empty)
+    // weighted candidates, sorted by url (the same String ordering
+    // computeUrlBoundaries' `.sorted` uses, which RangeBucketId mirrors)
+    val candidates = new scala.collection.mutable.ArrayBuffer[(String, Double)](
+      partials.iterator.map(_._3.length).sum)
+    partials.foreach { case (_, elig, sample) =>
+      if (sample.nonEmpty) {
+        val w = elig.toDouble / sample.length
+        sample.foreach(u => candidates += ((u, w)))
+      }
+    }
+    val sorted = candidates.sortBy(_._1)
+    val step = eligibleTotal.toDouble / parts
+    val bounds = new scala.collection.mutable.ArrayBuffer[String](parts - 1)
+    var cum = 0.0
+    var target = step
+    var last: String = null
+    var i = 0
+    while (i < sorted.length && bounds.length < parts - 1) {
+      cum += sorted(i)._2
+      if (cum >= target) {
+        val u = sorted(i)._1
+        if (last == null || u.compareTo(last) > 0) { bounds += u; last = u }
+        target += step
+      }
+      i += 1
+    }
+    (total, parts, bounds.toArray)
+  }
+
   /** Boundary computation over a bare url column — shared by the batch job
     * (above) and the V2 write-arrange rule ([[graft.plans.GraftWriteArrangeRule]]),
     * whose input is an arbitrary resolved query, not a WebPage dataset. */

@@ -53,15 +53,17 @@ import org.apache.spark.sql.types.StringType
  * degrades safely: any sampling failure logs and leaves the command unchanged
  * (ordered-distribution path, correct but slower).
  *
- * Known cost, accepted: the count + boundary-sample jobs run at ANALYSIS of
- * the write command (the only hook that sees the query plan for AppendData),
- * so `EXPLAIN INSERT INTO <graft store> ...` pays one url-column count+sample
- * of the source before printing — the same two jobs the real INSERT would pay
- * anyway, column-pruned to the sort key. Deferring them to execution would
- * need a custom exchange (Spark's own range exchange samples lazily inside
- * doExecute); not worth the machinery for an explain-only path. The
- * fired-evidence counter is NOT affected: [[graft.sources.v2.GraftWrite]]
- * increments it at `toBatch` (execution), so explain never counts.
+ * Known cost, accepted: ONE url-only boundary pass (r7: count and sample
+ * FOLDED into a single job — [[graft.jobs.EncodeJob.countAndUrlBoundaries]])
+ * runs at ANALYSIS of the write command (the only hook that sees the query
+ * plan for AppendData), so `EXPLAIN INSERT INTO <graft store> ...` pays one
+ * url-column pass of the source before printing — the same job the real
+ * INSERT would pay anyway, column-pruned to the sort key. Deferring it to
+ * execution would need a custom exchange (Spark's own range exchange samples
+ * lazily inside doExecute); not worth the machinery for an explain-only
+ * path. The fired-evidence counter is NOT affected:
+ * [[graft.sources.v2.GraftWrite]] increments it at `toBatch` (execution), so
+ * explain never counts.
  */
 case class GraftWriteArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftWriteArrangeRule._
@@ -127,24 +129,26 @@ case class GraftWriteArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] 
         import spark.implicits._
         Shim.ofRows(spark, query).select(col(url.name).as("url")).as[String]
       }
-      // row count drives both the sample rate and (when the operator did not
-      // pin spark.graft.write.partitions) the task count: ~8Ki rows/task
-      // (~20MB at webtext page sizes), with a parallelism floor — once a write
-      // is non-trivial (512+ rows/core) it should use the shuffle width — and
-      // a 4x-width cap so big writes neither OOM fat tasks (the r5 range
-      // exchange was AQE-coalesce-only) nor need the conf; tiny appends get
-      // ONE well-sized file instead of shuffle-partition-many shards
-      val total = urlsDs.count()
+      // row count drives both the boundary weighting and (when the operator
+      // did not pin spark.graft.write.partitions) the task count: ~8Ki
+      // rows/task (~20MB at webtext page sizes), with a parallelism floor —
+      // once a write is non-trivial (512+ rows/core) it should use the
+      // shuffle width — and a 4x-width cap so big writes neither OOM fat
+      // tasks (the r5 range exchange was AQE-coalesce-only) nor need the
+      // conf; tiny appends get ONE well-sized file instead of
+      // shuffle-partition-many shards. r7: count and boundary sample are ONE
+      // url-only pass (EncodeJob.countAndUrlBoundaries) — the separate
+      // count() job computed the child a second time, and for a child whose
+      // url projection column pruning cannot cheapen, a third.
       val width = spark.sessionState.conf.numShufflePartitions.toLong
-      val parts =
-        if (pinned > 0) pinned
-        else {
-          val byRows = (total + 8191) / 8192
-          val useCores = math.min(width, (total + 511) / 512)
-          math.min(math.max(math.max(byRows, useCores), 1L), 4L * width).toInt
-        }
-      val boundaries = graft.jobs.EncodeJob.computeUrlBoundaries(
-        urlsDs, parts, knownTotal = Some(total))
+      val (_, parts, boundaries) = graft.jobs.EncodeJob.countAndUrlBoundaries(
+        urlsDs, total =>
+          if (pinned > 0) pinned
+          else {
+            val byRows = (total + 8191) / 8192
+            val useCores = math.min(width, (total + 511) / 512)
+            math.min(math.max(math.max(byRows, useCores), 1L), 4L * width).toInt
+          })
       val bucket = graft.functions.RangeBucketId(url, boundaries.toSeq, 0)
       // DirectShufflePartitionID: partition id IS the bucket id — one
       // contiguous url range per task (the batch job's exact layout: tight
