@@ -100,8 +100,9 @@ object DecodeJob {
   /** Decode the full snapshot back into pages. */
   def decode(spark: SparkSession, root: String): Dataset[WebPage] = {
     requireWebtext(root)
-    reassemble(spark, blocks(spark, root),
-      Some(preScanKey(spark, root, None, PageColumns)))
+    val t0 = graft.sources.v2.GraftDataSource.storeIdentityToken(root)
+    val df = blocks(spark, root)
+    reassemble(spark, df, preScanKey(spark, root, None, PageColumns, t0))
   }
 
   // ---------------- predicate-pushed decode (decoded-view API) ----------------
@@ -526,8 +527,9 @@ object DecodeJob {
   /** Time travel: decode the pages visible at a specific committed snapshot. */
   def decodeAt(spark: SparkSession, root: String, snapshotId: Long): Dataset[WebPage] = {
     requireWebtext(root)
-    reassemble(spark, blocksAt(spark, root, snapshotId),
-      Some(preScanKey(spark, root, Some(snapshotId), PageColumns)))
+    val t0 = graft.sources.v2.GraftDataSource.storeIdentityToken(root)
+    val df = blocksAt(spark, root, snapshotId)
+    reassemble(spark, df, preScanKey(spark, root, Some(snapshotId), PageColumns, t0))
   }
 
   /** Decode only the given parts (compaction input). Small lists become an `isin`
@@ -667,14 +669,21 @@ object DecodeJob {
 
   /** Pre-scan memo key for a whole-snapshot read of `root`: the store identity
     * token pins the snapshot bytes, the conf values pin Spark's deterministic
-    * file-split planning (the invariant [[fastPathGroup]] documents). */
+    * file-split planning (the invariant [[fastPathGroup]] documents).
+    * `tokenBefore` is the token the CALLER read before walking the manifest;
+    * None (= don't memoize) when the store has no pointer or a commit raced
+    * the manifest read — the entries might not belong to the token. */
   private[jobs] def preScanKey(spark: SparkSession, root: String,
-      snapshotId: Option[Long], expected: Set[String]): AnyRef = {
+      snapshotId: Option[Long], expected: Set[String],
+      tokenBefore: Long): Option[AnyRef] = {
+    if (tokenBefore == -1L ||
+        graft.sources.v2.GraftDataSource.storeIdentityToken(root) != tokenBefore)
+      return None
     val c = spark.sessionState.conf
-    (root, graft.sources.v2.GraftDataSource.storeIdentityToken(root), snapshotId,
+    Some((root, tokenBefore, snapshotId,
       expected.toSeq.sorted, c.filesMaxPartitionBytes, c.filesOpenCostInBytes,
       c.filesMinPartitionNum, spark.sparkContext.defaultParallelism,
-      MaxFallbackGroups) // test-mutable gate: never serve across altered gates
+      MaxFallbackGroups)) // test-mutable gate: never serve across altered gates
   }
 
   private def hybridReassemble[T](spark: SparkSession,
@@ -778,9 +787,10 @@ object DecodeJob {
     requireWebtext(root)
     // memoizable: the pre-scan's input is fully determined by (snapshot,
     // wanted column set, split confs) — all in the key
-    projectedReassemble(spark,
-      blocks(spark, root).where(col("column").isin(wanted: _*)), wanted,
-      Some(preScanKey(spark, root, None, wanted.toSet)))
+    val t0 = graft.sources.v2.GraftDataSource.storeIdentityToken(root)
+    val df = blocks(spark, root).where(col("column").isin(wanted: _*))
+    projectedReassemble(spark, df, wanted,
+      preScanKey(spark, root, None, wanted.toSet, t0))
   }
 
   /** Column-projected hybrid reassembly of a (possibly pre-pruned) blocks scan. */

@@ -129,8 +129,15 @@ object EncodeJob {
    */
   def countAndUrlBoundaries(urls: Dataset[String],
                             partsFor: Long => Int): (Long, Int, Array[String]) = {
-    val ReservoirPerPartition = 4096
-    val partials = urls.rdd.mapPartitionsWithIndex { (idx, it) =>
+    val rdd = urls.rdd
+    // driver-collect bound (review finding): a many-thousand-partition input
+    // must not collect 4096 urls PER partition — scale the per-partition
+    // reservoir so the total candidate collect stays ~2^18 strings at any
+    // width (the old hash-threshold sampler's 200k bound, same order), with
+    // a floor so every partition still contributes weighted candidates
+    val ReservoirPerPartition =
+      math.max(16, math.min(4096, (1 << 18) / math.max(1, rdd.getNumPartitions)))
+    val partials = rdd.mapPartitionsWithIndex { (idx, it) =>
       val rng = new java.util.Random(scala.util.hashing.byteswap32(idx).toLong)
       val res = new Array[String](ReservoirPerPartition)
       var total = 0L

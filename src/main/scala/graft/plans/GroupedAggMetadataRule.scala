@@ -172,20 +172,25 @@ object GroupedAggMetadataRule extends Rule[LogicalPlan] {
 
   private def cachedCompute(root: String, snapshotId: Option[Long],
       column: String): Option[Seq[GraftGroupedAgg.GroupRow]] = {
+    // the identity token guards the same-path-recreated-store case: a store
+    // dropped and recreated restarts snapshot ids at 1, and (root, id) alone
+    // could serve the OLD store's counts (r7 correctness fix, ADVICE). Token
+    // read BEFORE resolving/computing and re-checked after: a commit racing
+    // the compute means the result may not belong to the token, so it is
+    // returned but NOT cached (and a missing pointer, -1, never caches).
+    val t0 = graft.sources.v2.GraftDataSource.storeIdentityToken(root)
     val resolved = snapshotId.orElse(
       graft.sources.SnapshotStore.currentSnapshotId(root)).getOrElse(return None)
     cache.synchronized {
-      // the identity token guards the same-path-recreated-store case: a store
-      // dropped and recreated restarts snapshot ids at 1, and (root, id)
-      // alone could serve the OLD store's counts (r7 correctness fix, ADVICE)
-      val key = (root, graft.sources.v2.GraftDataSource.storeIdentityToken(root),
-        resolved, column)
-      val hit = cache.get(key)
+      val key = (root, t0, resolved, column)
+      val hit = if (t0 == -1L) null else cache.get(key)
       if (hit != null) return hit
       // compute under the lock: concurrent planners of the same store would
       // otherwise race the same two metadata jobs (compute is driver-side)
       val res = GraftGroupedAgg.compute(SparkSession.active, root, Some(resolved), column)
-      cache.put(key, res)
+      if (t0 != -1L &&
+          graft.sources.v2.GraftDataSource.storeIdentityToken(root) == t0)
+        cache.put(key, res)
       res
     }
   }

@@ -171,17 +171,24 @@ object GraftDataSource {
   def planStatsFor(root: String): Option[PlanStats] =
     planStatsByRoot.synchronized(Option(planStatsByRoot.get(root)))
 
-  /** Store-identity token: the SNAPSHOT pointer's mtime. A store dropped and
-    * recreated at the same path restarts snapshot ids at 1, so (root, id)
-    * alone could serve a PREVIOUS store's cached plan — the pointer file is
-    * rewritten (fresh mtime) on every commit, which makes (root, token, id)
-    * collision-safe for same-JVM caches. -1 = no pointer (never cacheable). */
+  /** Store-identity token: the SNAPSHOT pointer file's (inode fileKey, mtime)
+    * folded into one long. A store dropped and recreated at the same path
+    * restarts snapshot ids at 1, so (root, id) alone could serve a PREVIOUS
+    * store's cached plan — every commit rewrites the pointer via a fresh tmp
+    * file + ATOMIC_MOVE, which allocates a NEW inode, so the fileKey changes
+    * per commit even when the kernel's coarse mtime clock has not ticked
+    * (mtime alone was review-flagged: ns UNITS are not ns RESOLUTION).
+    * -1 = no pointer — callers must BYPASS their memo for it, never cache. */
   private[graft] def storeIdentityToken(root: String): Long =
-    try java.nio.file.Files.getLastModifiedTime(
-      graft.sources.SnapshotStore.snapshotPointer(root))
-      .to(java.util.concurrent.TimeUnit.NANOSECONDS) // ns where the fs has it:
-      // two commits in the same millisecond must not share a token
-    catch { case _: java.io.IOException => -1L }
+    try {
+      val p = graft.sources.SnapshotStore.snapshotPointer(root)
+      val attrs = java.nio.file.Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val mtime = attrs.lastModifiedTime.to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      val fk = attrs.fileKey()
+      val token = mtime * 1000003L ^ (if (fk == null) 0L else fk.hashCode().toLong << 21)
+      if (token == -1L) -2L else token // keep -1 reserved for "no pointer"
+    } catch { case _: java.io.IOException => -1L }
 
   /** Snapshot-immutable key-plan memo (r7): the pruned/top-n group-key
     * computation ([[DecodeJob.planPrunedKeys]] / [[DecodeJob.planTopNKeys]])
@@ -873,22 +880,34 @@ final class GraftScan(root: String, snapshotId: Option[Long],
     * must all describe the SAME snapshot — re-reading let a commit landing
     * between them skew the optimizer's stats against the scanned data, and
     * re-parsed a 100k-part manifest per call. */
-  private lazy val pinnedEntries: Seq[SnapshotStore.PartEntry] = incremental match {
-    // incremental read: the parts ADDED in (from, to] — the same additions-
-    // changelog walk as the streaming reader, planned once per scan; every
-    // downstream stage (pruning, projection, limit/top-n, runtime filtering)
-    // rides these entries unchanged
-    case Some((f, t)) => SnapshotStore.deltaEntries(root, f, t, freshFrom = false)(
-      (sid, e) => throw new IllegalStateException(
-        s"incremental read of $root needs the manifest of snapshot $sid to " +
-        s"reconstruct range ($f, $t], but it is gone — expired. Widen " +
-        "SnapshotStore.expireSnapshots(keepLast) to cover your consumption lag, " +
-        "or read the full table and re-baseline.", e))
-    case None => snapshotId match {
-      case Some(id) => SnapshotStore.entriesAt(root, id)
-      case None => SnapshotStore.currentEntries(root)
+  private lazy val pinnedEntriesAndToken: (Seq[SnapshotStore.PartEntry], Long) = {
+    // the identity token is read BEFORE and AFTER the manifest walk: a commit
+    // landing between them means the entries may not belong to the token, so
+    // the scan marks itself non-memoizable (-1) rather than cache a plan
+    // computed from one snapshot's entries under another snapshot's key
+    // (review finding: pin-time vs plan-time token race -> silent stale keys)
+    val t0 = GraftDataSource.storeIdentityToken(root)
+    val entries: Seq[SnapshotStore.PartEntry] = incremental match {
+      // incremental read: the parts ADDED in (from, to] — the same additions-
+      // changelog walk as the streaming reader, planned once per scan; every
+      // downstream stage (pruning, projection, limit/top-n, runtime filtering)
+      // rides these entries unchanged
+      case Some((f, t)) => SnapshotStore.deltaEntries(root, f, t, freshFrom = false)(
+        (sid, e) => throw new IllegalStateException(
+          s"incremental read of $root needs the manifest of snapshot $sid to " +
+          s"reconstruct range ($f, $t], but it is gone — expired. Widen " +
+          "SnapshotStore.expireSnapshots(keepLast) to cover your consumption lag, " +
+          "or read the full table and re-baseline.", e))
+      case None => snapshotId match {
+        case Some(id) => SnapshotStore.entriesAt(root, id)
+        case None => SnapshotStore.currentEntries(root)
+      }
     }
+    val t1 = GraftDataSource.storeIdentityToken(root)
+    (entries, if (t0 == t1) t0 else -1L)
   }
+
+  private lazy val pinnedEntries: Seq[SnapshotStore.PartEntry] = pinnedEntriesAndToken._1
 
   private def snapshotEntries(): Seq[SnapshotStore.PartEntry] = pinnedEntries
 
@@ -912,13 +931,13 @@ final class GraftScan(root: String, snapshotId: Option[Long],
       if (cachedPreds != null && cachedPreds == preds) return (cachedKeys, cachedKeysBc)
       // r7: the key plan is a pure function of the (immutable) snapshot +
       // predicates + top-n — memoized across SCANS, not just within one, so a
-      // re-planned or re-run query skips the metadata Spark job entirely
-      // the two planning gates are test-mutable vars: include them so a key
-      // computed under altered gates can never serve a default-gate scan
-      val memoKey = (root, GraftDataSource.storeIdentityToken(root), snapshotId,
-        incremental, preds, if (preds.nonEmpty) None else pushedTopN,
-        DecodeJob.MaxPrunedKeyCollect, DecodeJob.PruneFractionCutoff)
-      val keysOpt: Option[Array[(Int, Int)]] = GraftDataSource.memoizedKeyPlan(memoKey) {
+      // re-planned or re-run query skips the metadata Spark job entirely.
+      // The token is the one captured WITH the pinned entries (a commit racing
+      // the pin marks it -1 = compute without caching); the two planning gates
+      // are test-mutable vars, included so a key computed under altered gates
+      // can never serve a default-gate scan.
+      val pinnedToken = pinnedEntriesAndToken._2
+      def compute(): Option[Array[(Int, Int)]] =
         if (preds.nonEmpty)
           DecodeJob.planPrunedKeys(DecodeJob.fromEntries(spark, root, entries), preds,
             DecodeJob.estimatedGroups(entries), Some(tableSchema.fieldNames.toSet))
@@ -932,7 +951,11 @@ final class GraftScan(root: String, snapshotId: Option[Long],
             t.column, t.asc, t.nullsFirst, t.limit, DecodeJob.estimatedGroups(entries),
             intBounds)
         }
-      }
+      val keysOpt: Option[Array[(Int, Int)]] =
+        if (pinnedToken == -1L) compute()
+        else GraftDataSource.memoizedKeyPlan((root, pinnedToken, snapshotId,
+          incremental, preds, if (preds.nonEmpty) None else pushedTopN,
+          DecodeJob.MaxPrunedKeyCollect, DecodeJob.PruneFractionCutoff))(compute())
       if (cachedKeysBc != null) cachedKeysBc.destroy()
       cachedPreds = preds
       cachedKeys = keysOpt

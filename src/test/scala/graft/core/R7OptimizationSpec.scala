@@ -109,8 +109,9 @@ class R7OptimizationSpec extends AnyFunSuite {
     graft.sources.SnapshotStore.writeSidecar(root, "SNAPSHOT", "1")
     val t1 = token
     assert(t1 != -1L)
-    Thread.sleep(5) // a recreate is never sub-clock-granularity in practice
-    // simulate drop + recreate at the same path restarting ids at 1
+    // no sleep: the token folds in the pointer's inode fileKey, and every
+    // writeSidecar goes through a fresh tmp file + ATOMIC_MOVE (new inode),
+    // so the token changes even within one coarse mtime clock tick
     graft.sources.SnapshotStore.writeSidecar(root, "SNAPSHOT", "1")
     assert(token != t1,
       "a rewritten SNAPSHOT pointer must change the identity token — " +

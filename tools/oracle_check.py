@@ -35,11 +35,13 @@ for name in sorted(os.listdir(vdir)):
         n_s = con.sql("SELECT count(*) FROM spark_rel").fetchone()[0]
         n_o = con.sql("SELECT count(*) FROM orc_rel").fetchone()[0]
         cols_s = len(spark_rel.columns); cols_o = len(orc_rel.columns)
-        # order-insensitive hash: md5 of each row's varchar repr, xor-aggregated
+        # order-insensitive, multiset-sensitive hash: sum of per-row hash()
+        # (xor cancelled even-multiplicity differences; concat_ws dropped
+        # NULLs so NULL-position disagreements collided — review findings)
         def rowhash(rel, relname):
             cols = ", ".join(f'"{c}"' for c in rel.columns)
             return con.sql(
-                f"SELECT bit_xor(hash(concat_ws('|', {cols}))), count(*) "
+                f"SELECT sum(hash({cols})), count(*) "
                 f"FROM (SELECT * FROM {relname})").fetchone()[0]
         h_s = rowhash(spark_rel, "spark_rel")
         h_o = rowhash(orc_rel, "orc_rel")
