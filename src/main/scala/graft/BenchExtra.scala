@@ -138,6 +138,35 @@ object BenchExtra {
           val decS = (System.nanoTime() - t0) / 1e9
           println(f"str $r: enc=${bytes / 1e6 / encS}%.1f MB/s dec=${bytes / 1e6 / decS}%.1f MB/s (${d.length})")
         }
+      case "exprsql" =>
+        // rt_expr_sql attribution: collect_list shuffle vs eg codec vs explode,
+        // and group-count variants (result multiset identical for any grouping)
+        graft.functions.GraftFunctions.registerAll(spark)
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .createOrReplaceTempView("lineitem_v")
+        val rounds = if (args.length > 1) args(1).toInt else 5
+        def timeSql(label: String, sql: String): Unit = {
+          val ts = (0 until rounds).map { _ =>
+            val t0 = System.nanoTime()
+            spark.sql(sql).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"$label%-28s min=${ts.min}%.3f samples=${ts.map(t => f"$t%.3f").mkString(",")}")
+        }
+        timeSql("collect_list only (64)",
+          "SELECT collect_list(l_suppkey) AS vals FROM lineitem_v GROUP BY l_orderkey % 64")
+        timeSql("encode only (64)",
+          "SELECT eg_encode(vals, 3, 'i64') FROM (SELECT collect_list(l_suppkey) AS vals " +
+          "FROM lineitem_v GROUP BY l_orderkey % 64)")
+        timeSql("full (64, declared)",
+          "SELECT explode(eg_decode(eg_encode(vals, 3, 'i64'), 3, 'i64')) AS v " +
+          "FROM (SELECT collect_list(l_suppkey) AS vals FROM lineitem_v GROUP BY l_orderkey % 64)")
+        timeSql("full (256 groups)",
+          "SELECT explode(eg_decode(eg_encode(vals, 3, 'i64'), 3, 'i64')) AS v " +
+          "FROM (SELECT collect_list(l_suppkey) AS vals FROM lineitem_v GROUP BY l_orderkey % 256)")
+        timeSql("full (32 groups)",
+          "SELECT explode(eg_decode(eg_encode(vals, 3, 'i64'), 3, 'i64')) AS v " +
+          "FROM (SELECT collect_list(l_suppkey) AS vals FROM lineitem_v GROUP BY l_orderkey % 32)")
       case "v2write" =>
         // attribute the arranged SQL write's analysis-time jobs: url count,
         // boundary sample, and the full write (guide §1: measure first)

@@ -233,7 +233,14 @@ object EncodeJob {
     if (Files.exists(p)) {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
     } else {
-      val bs = computeBoundaries(pages, parts)
+      // r7: ONE url-only pass (count folded into the reservoir sample) — the
+      // previous computeBoundaries ran a count() job AND a sample job over the
+      // input before the encode itself, a fixed per-run cost at every
+      // parallelism level. Resume determinism is unchanged: boundaries are
+      // persisted below and re-read, never recomputed.
+      val spark = pages.sparkSession
+      import spark.implicits._
+      val (_, _, bs) = countAndUrlBoundaries(pages.select($"url").as[String], _ => parts)
       SnapshotStore.writeSidecar(root, boundariesFile, bs.mkString("\n"))
       // return what a RESUMED run will parse back, not the in-memory array:
       // create and resume must bucket identically or the resume anti-join
