@@ -229,11 +229,30 @@ object BenchExtra {
           sources.Webtext.generate(spark, 400000, 64)
             .write.mode("overwrite").parquet(pagesParquet)
         val pages = spark.read.parquet(pagesParquet).as[graft.sources.WebPage]
+        // per-stage wall attribution (guide §7.1 without a UI): stage id,
+        // duration, shuffle read/write bytes
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = (for { s <- si.submissionTime; c <- si.completionTime } yield c - s)
+              .getOrElse(-1L)
+            stages.add(f"    stage ${si.stageId}%3d ${si.name.takeWhile(_ != '\n').take(50)}%-50s " +
+              f"${ms / 1000.0}%6.2f s tasks=${si.numTasks} " +
+              f"shufR=${si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6}%.0fMB " +
+              f"shufW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB " +
+              f"in=${si.taskMetrics.inputMetrics.bytesRead / 1e6}%.0fMB")
+          }
+        })
         for (i <- 0 until n) {
+          stages.clear()
           val store = java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get("/dev/shm"), "graft-prof-store-").toString
           val res = jobs.EncodeJob.run(spark, pages, store, parts = 128)
           println(f"encode run $i: job=${res.jobSecs}%.2f s")
+          Thread.sleep(300) // let listener events drain
+          stages.forEach(s => println(s))
           jobs.LocalSession.deleteRecursively(new java.io.File(store))
         }
       case "floor" =>
